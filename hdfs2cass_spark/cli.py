@@ -1,0 +1,65 @@
+"""CLI front-end (M3) — same flag surface as the reference.
+
+Reference: JCommander flags on Hdfs2Cass
+(/root/reference/src/main/java/com/spotify/hdfs2cass/Hdfs2Cass.java:67-94,
+README.md:74-78): --input (repeatable), --output, --rowkey, --timestamp, --ttl,
+--ignore (repeatable).
+
+Additions for the offline engine: --format (parquet|avro|text), --simulated-path
+(offline sink dir), --now-ms (fixed clock for reproducible writetime).
+
+Example (the README "songstreams" scenario, README.md:20-70):
+    python -m hdfs2cass_spark.cli \
+        --input /data/songstreams --rowkey user_id --timestamp timestamp \
+        --output 'cql://cassandra.example.net/example/songstreams?reducers=8' \
+        --simulated-path /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .session import get_session
+from .sinks.pipeline import bulk_load
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hdfs2cass_spark")
+    p.add_argument("--input", action="append", required=True, help="input path (repeatable)")
+    p.add_argument("--output", required=True, help="(cql|thrift)://host/keyspace/table?...")
+    p.add_argument("--rowkey", default=None)
+    p.add_argument("--timestamp", default=None)
+    p.add_argument("--ttl", default=None)
+    p.add_argument("--ignore", action="append", default=[])
+    p.add_argument("--format", default="parquet", choices=["parquet", "avro", "text"])
+    p.add_argument("--simulated-path", default=None)
+    p.add_argument("--now-ms", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_session("hdfs2cass_spark.cli")
+    # pass the list, not *args: load()'s 2nd positional parameter is `format`,
+    # so splatting two paths would silently reinterpret the second as a format
+    df = spark.read.format(args.format).load(args.input)
+    routed = bulk_load(
+        df,
+        output_uri=args.output,
+        rowkey=args.rowkey,
+        timestamp=args.timestamp,
+        ttl=args.ttl,
+        ignore=args.ignore,
+        simulated_path=args.simulated_path,
+        now_ms=args.now_ms,
+    )
+    if args.simulated_path is None:
+        # no sink requested: run the plan for validation (mirrors pipeline.done()
+        # returning a success/failure exit code, Hdfs2Cass.java:131-132)
+        routed.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Target configuration: output URI DSL + table metadata.
+
+Keeps the reference's URI grammar (M2, SURVEY.md §2.1;
+/root/reference/src/main/java/com/spotify/hdfs2cass/cassandra/utils/CassandraParams.java:56-152,
+README.md:80-96):
+
+    (cql|thrift)://host[:port]/keyspace/table?reducers=N&columnnames=a,b
+        &compressionclass=C&streamthrottlembits=M&distributerandomly&rpcport=P
+        &mappers=&copiers=   (accepted but deprecated, warning logged)
+
+The reference fetches table metadata live from the cluster at plan time
+(CassandraClusterInfo.java:61-109). For offline execution/testing, ``TargetInfo``
+is supplied from config instead; a live fetch belongs to the connector sink
+(sinks/cassandra.py) and is import-gated.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from dataclasses import dataclass, field
+from urllib.parse import parse_qsl, urlparse
+
+log = logging.getLogger(__name__)
+
+MURMUR3 = "org.apache.cassandra.dht.Murmur3Partitioner"
+RANDOM = "org.apache.cassandra.dht.RandomPartitioner"
+
+
+@dataclass
+class TargetInfo:
+    """Offline stand-in for CassandraClusterInfo (M1): everything the planner
+    needs about the target table, injectable for tests."""
+
+    keyspace: str
+    table: str
+    columns: list[str]
+    partition_key_columns: list[str]
+    partitioner: str = MURMUR3
+    num_nodes: int = 3
+
+    @property
+    def partition_key_indexes(self) -> list[int]:
+        return [self.columns.index(c) for c in self.partition_key_columns]
+
+
+@dataclass
+class CassandraParams:
+    """Parsed output URI (M2)."""
+
+    protocol: str  # "cql" | "thrift"
+    host: str
+    port: int | None
+    keyspace: str
+    table: str
+    reducers: int | None = None  # default: number of cluster nodes (CassandraParams.java:111-115)
+    columnnames: list[str] | None = None
+    compressionclass: str | None = None
+    streamthrottlembits: int | None = None
+    distribute_randomly: bool = False
+    rpcport: int | None = None
+    extra: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def parse(cls, uri: str) -> "CassandraParams":
+        u = urlparse(uri)
+        if u.scheme not in ("cql", "thrift"):
+            raise ValueError(f"Unsupported output scheme: {u.scheme!r} (want cql:// or thrift://)")
+        parts = [p for p in u.path.split("/") if p]
+        if len(parts) != 2:
+            raise ValueError(f"Output URI path must be /keyspace/table, got {u.path!r}")
+        keyspace, table = parts
+        params = cls(
+            protocol=u.scheme,
+            host=u.hostname or "localhost",
+            port=u.port,
+            keyspace=keyspace,
+            table=table,
+        )
+        # keep_blank_values so bare flags like `distributerandomly` parse
+        for k, v in parse_qsl(u.query, keep_blank_values=True):
+            kl = k.lower()
+            if kl == "reducers":
+                params.reducers = int(v)
+            elif kl == "columnnames":
+                params.columnnames = v.split(",")
+            elif kl == "compressionclass":
+                params.compressionclass = v
+            elif kl == "streamthrottlembits":
+                params.streamthrottlembits = int(v)
+            elif kl == "distributerandomly":
+                params.distribute_randomly = True
+            elif kl == "rpcport":
+                params.rpcport = int(v)
+            elif kl in ("mappers", "copiers"):
+                warnings.warn(f"URI param {k}= is deprecated and ignored", stacklevel=2)
+            else:
+                params.extra[k] = v
+        return params
+
+    def num_partitions(self, target: TargetInfo | None = None) -> int:
+        """Sink parallelism: explicit reducers= else #cluster nodes
+        (CassandraParams.java:111-115)."""
+        if self.reducers is not None:
+            return self.reducers
+        if target is not None:
+            return target.num_nodes
+        return 1

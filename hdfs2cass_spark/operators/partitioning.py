@@ -1,0 +1,112 @@
+"""Topology-aware partitioning — the heart of the reference (G1-G3, K1).
+
+The reference shuffles rows to the reducer owning their Cassandra token range and
+sorts within each reducer by token so the SSTable writer appends without
+re-sorting (SURVEY.md §2.1 G1-G3;
+/root/reference/src/main/java/com/spotify/hdfs2cass/cassandra/utils/CassandraPartitioner.java:42-127,
+CassandraKeyComparator.java:32-89, CassandraParams.java:288-334).
+
+Spark-first design (100 TB rationale):
+  - token: one Arrow-batched pandas UDF (Cassandra Murmur3 has no JVM built-in
+    equivalent; xxhash64/hash are different algorithms). Everything else stays
+    in Catalyst.
+  - bucket: pure column arithmetic over fixed ring boundaries —
+    ``(token - MIN) div range_per_bucket`` — NOT repartitionByRange (which
+    *samples* boundaries; the ring gives us exact ones for free).
+  - routing: ``df.repartition(n, "bucket")`` + ``sortWithinPartitions(bucket,
+    token, key)``. Hash-partitioning on the bucket id may co-locate several
+    buckets in one task (hash collision), but every bucket lands entirely in
+    exactly one task and rows within it are token-sorted — the append-only sink
+    contract holds per bucket, with ~n concurrent writers. This stays entirely
+    in the DataFrame/Tungsten path: no Python round-trip of row data, which an
+    RDD ``partitionBy`` would force on every byte at 100 TB.
+  - bucket->partition shuffling (CassandraParams.java:319-328, avoids mapping
+    ring order onto node order): a seeded permutation applied to the bucket id.
+  - ``distribute_randomly`` escape hatch (CassandraPartitioner.java:58-60):
+    round-robin repartition, no token routing.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.murmur3 import MIN_TOKEN, token_pandas_udf
+
+RING_SIZE = 2**64  # Murmur3 LongToken ring
+
+
+def with_token(df: DataFrame, key_col: str, token_col: str = "token") -> DataFrame:
+    """K1+G2: append the Cassandra Murmur3 token of the partition-key column.
+
+    `key_col` may be StringType (tokenized as UTF-8 bytes) or BinaryType
+    (composite keys pre-composed via functions.serde.compose_partition_key).
+    """
+    tok = token_pandas_udf()
+    return df.withColumn(token_col, tok(F.col(key_col)))
+
+
+def bucket_expr(token_col: str, num_buckets: int) -> Column:
+    """Exact ring-range bucket: floor((token - MIN_TOKEN) / range_per_bucket).
+
+    Mirrors CassandraPartitioner.java:57-72 (the +2^63 rescale is the
+    `- MIN_TOKEN` here). Integer math only; the unsigned offset fits in
+    [0, 2^64) so it is computed via the decimal type to avoid 64-bit overflow.
+    """
+    range_per = RING_SIZE // num_buckets + (1 if RING_SIZE % num_buckets else 0)
+    # (token - MIN_TOKEN) is up to 2^64-1, past long range: go through decimal
+    # with integer `div` (plain decimal `/` rounds at scale 6 before floor,
+    # which would push the top-of-ring tokens into a phantom bucket n)
+    return F.expr(
+        f"CAST((CAST({token_col} AS DECIMAL(38,0)) - CAST({MIN_TOKEN} AS DECIMAL(38,0)))"
+        f" DIV CAST({range_per} AS DECIMAL(38,0)) AS INT)"
+    )
+
+
+def shuffled_bucket_map(num_buckets: int, seed: int = 42) -> list[int]:
+    """Deterministic permutation bucket->partition (CassandraParams.java:319-328
+    shuffles the reducer list so adjacent ring ranges don't map to adjacent
+    nodes; the reference uses Collections.shuffle — we pin a seed)."""
+    perm = list(range(num_buckets))
+    random.Random(seed).shuffle(perm)
+    return perm
+
+
+def with_bucket(
+    df: DataFrame,
+    num_buckets: int,
+    token_col: str = "token",
+    bucket_col: str = "bucket",
+    shuffle_seed: int | None = 42,
+) -> DataFrame:
+    b = bucket_expr(token_col, num_buckets)
+    if shuffle_seed is not None:
+        mapping = shuffled_bucket_map(num_buckets, shuffle_seed)
+        mapping_expr = F.element_at(F.array(*[F.lit(p) for p in mapping]), b + 1)
+        b = mapping_expr
+    return df.withColumn(bucket_col, b)
+
+
+def route_to_buckets(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str,
+    distribute_randomly: bool = False,
+    shuffle_seed: int | None = 42,
+) -> DataFrame:
+    """G1-G3 composed: token -> bucket -> shuffle -> in-partition token sort.
+
+    Output carries `token` and `bucket` columns; rows arrive at the sink in
+    (bucket, token, key) order, i.e. decorated-key order within each bucket —
+    the exact contract CassandraKeyComparator.java:32-35 establishes so the
+    SSTable writer can append without re-sorting.
+    """
+    if distribute_randomly:
+        return df.repartition(num_partitions)
+    routed = with_token(df, key_col)
+    routed = with_bucket(routed, num_partitions, shuffle_seed=shuffle_seed)
+    return routed.repartition(num_partitions, F.col("bucket")).sortWithinPartitions(
+        "bucket", "token", key_col
+    )

@@ -1,0 +1,159 @@
+"""Record reshaping: flat rows -> Cassandra insert form.
+
+Re-expresses the reference's map-phase operators as pure Catalyst column
+expressions (no UDFs — whole-stage codegen keeps this JVM-side):
+
+  P1 AvroToCQL   (/root/reference/src/main/java/com/spotify/hdfs2cass/cassandra/cql/AvroToCQL.java:35-101)
+  P2 AvroToThrift (/root/reference/.../cassandra/thrift/AvroToThrift.java:41-109)
+  P6 ThriftByFieldNamesFn / Thrift.byConvention (/root/reference/.../crunch/thrift/ThriftByFieldNamesFn.java:37-142,
+     Thrift.java:22-52)
+
+Semantics preserved:
+  - rowkey defaults to the field literally named "rowkey", else field 0
+    (Hdfs2Cass.java:50-51, AvroToCQL.java:43)
+  - `ignore` drops columns (a projection); timestamp/ttl source fields are
+    consumed (not emitted as values)
+  - missing/null timestamp -> "now" (µs for CQL, AvroToCQL.java:63; ms for
+    Thrift, AvroToThrift.java:69); missing/null ttl -> 0
+  - field resolution is by NAME from the schema: the reference resolves
+    positions lazily from the first record (AvroToCQL.java:86-100); in Spark the
+    schema is known at plan time so resolution happens eagerly — same contract,
+    earlier errors.
+
+Determinism: pass `now_ms` (fixed clock) for reproducible writetime — the
+reference's tests pin the clock the same way
+(LegacyInputFormatTest.java: DateTimeUtils.setCurrentMillisFixed).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _resolve_rowkey(columns: list[str], rowkey: str | None) -> str:
+    if rowkey is not None:
+        if rowkey not in columns:
+            raise ValueError(f"rowkey column {rowkey!r} not in {columns}")
+        return rowkey
+    return "rowkey" if "rowkey" in columns else columns[0]
+
+
+def _value_columns(
+    columns: list[str],
+    timestamp: str | None,
+    ttl: str | None,
+    ignore: Sequence[str],
+) -> list[str]:
+    drop = set(ignore) | {c for c in (timestamp, ttl) if c}
+    missing = drop - set(columns)
+    if missing:
+        raise ValueError(f"columns not in schema: {sorted(missing)}")
+    return [c for c in columns if c not in drop]
+
+
+def _ts_col(df: DataFrame, timestamp: str | None, now: int) -> Column:
+    # explicit field, null-safe fallback to fixed "now" (AvroToCQL.java:73-76)
+    if timestamp is not None:
+        return F.coalesce(F.col(timestamp).cast("long"), F.lit(now))
+    return F.lit(now)
+
+
+def _ttl_col(df: DataFrame, ttl: str | None) -> Column:
+    if ttl is not None:
+        return F.coalesce(F.col(ttl).cast("int"), F.lit(0))
+    return F.lit(0)
+
+
+def reshape_cql(
+    df: DataFrame,
+    rowkey: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    ignore: Sequence[str] = (),
+    now_ms: int | None = None,
+) -> DataFrame:
+    """P1: CQL insert form — value columns in schema order (rowkey included,
+    like the CQL INSERT column list) + writetime (µs) + ttl (s).
+
+    Types stay native; wire encoding happens at the sink boundary.
+    The rowkey column is additionally surfaced as `_rowkey` (string) for key
+    extraction without re-deriving the spec downstream.
+    """
+    now_us = (now_ms if now_ms is not None else int(time.time() * 1000)) * 1000
+    rk = _resolve_rowkey(df.columns, rowkey)
+    values = _value_columns(df.columns, timestamp, ttl, ignore)
+    return df.select(
+        F.col(rk).cast("string").alias("_rowkey"),
+        *[F.col(c) for c in values],
+        _ts_col(df, timestamp, now_us).alias("writetime"),
+        _ttl_col(df, ttl).alias("ttl"),
+    )
+
+
+def reshape_thrift(
+    df: DataFrame,
+    rowkey: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    ignore: Sequence[str] = (),
+    now_ms: int | None = None,
+) -> DataFrame:
+    """P2/P6: Thrift mutation form — (key, mutations: array<struct<name,value,ts,ttl>>).
+
+    Unpivots each wide row into one Mutation per non-special column
+    (AvroToThrift.java:81-89). Values are cast to string at this logical layer;
+    the sink encodes wire bytes. Thrift timestamps are MILLIseconds
+    (AvroToThrift.java:69) — a deliberate ms-vs-µs asymmetry with CQL.
+    """
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    rk = _resolve_rowkey(df.columns, rowkey)
+    values = [c for c in _value_columns(df.columns, timestamp, ttl, ignore) if c != rk]
+    ts = _ts_col(df, timestamp, now)
+    ttlc = _ttl_col(df, ttl)
+    mutations = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("name"),
+                F.col(c).cast("string").alias("value"),
+                ts.alias("ts"),
+                ttlc.alias("ttl"),
+            )
+            for c in values
+        ]
+    )
+    return df.select(F.col(rk).cast("string").alias("key"), mutations.alias("mutations"))
+
+
+def melt_to_mutations(
+    df: DataFrame,
+    rowkey: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    ignore: Sequence[str] = (),
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Row-per-mutation view of `reshape_thrift` (key, name, value, ts, ttl).
+
+    Equivalent to exploding the mutations array but expressed as a plan-time
+    unpivot (`stack`) so Catalyst sees a single generate — and the oracle can
+    express it as UNION ALL / UNPIVOT.
+    """
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    rk = _resolve_rowkey(df.columns, rowkey)
+    values = [c for c in _value_columns(df.columns, timestamp, ttl, ignore) if c != rk]
+    ts = _ts_col(df, timestamp, now)
+    ttlc = _ttl_col(df, ttl)
+    stack_args: list[Column] = []
+    for c in values:
+        stack_args.append(F.lit(c))
+        stack_args.append(F.col(c).cast("string"))
+    return df.select(
+        F.col(rk).cast("string").alias("key"),
+        F.stack(F.lit(len(values)), *stack_args).alias("name", "value"),
+        ts.alias("ts"),
+        ttlc.alias("ttl"),
+    )

@@ -1,0 +1,64 @@
+"""End-to-end bulk-load pipeline — the reference's single dataflow, Spark-first.
+
+    scan -> reshape (P1/P2) -> key-extract (K1) -> token shuffle + sort (G1-G3) -> sink (W1/W2)
+
+Canonical plan in the reference: Hdfs2Cass.java:107-128. Here it is one lazy
+DataFrame lineage; Catalyst fuses the map-side work into a single stage (the
+Crunch planner's DoFn fusion, but with whole-stage codegen), the one shuffle is
+the token routing, and the sink write is the action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..config import CassandraParams, TargetInfo
+from ..operators.partitioning import route_to_buckets
+from ..operators.reshape import reshape_cql, reshape_thrift
+from .simulated import write_simulated_sstables
+
+
+def bulk_load(
+    df: DataFrame,
+    output_uri: str,
+    rowkey: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    ignore: Sequence[str] = (),
+    target: TargetInfo | None = None,
+    simulated_path: str | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Run the full reference dataflow on any DataFrame (the library-embedding
+    surface, SURVEY.md §3.3). Returns the routed DataFrame; if
+    `simulated_path` is given, also writes the simulated-SSTable sink.
+
+    Speculative execution stays disabled at the session level (the sink is
+    side-effecting; Hdfs2Cass.java:100-101).
+    """
+    params = CassandraParams.parse(output_uri)
+    n = params.num_partitions(target)
+    if params.columnnames:
+        missing = [c for c in params.columnnames if c not in df.columns]
+        if missing:
+            raise ValueError(f"columnnames= not in input: {missing}")
+        df = df.select(*params.columnnames)
+
+    if params.protocol == "cql":
+        reshaped = reshape_cql(df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
+        key_col = "_rowkey"
+    else:
+        reshaped = reshape_thrift(df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
+        key_col = "key"
+
+    routed = route_to_buckets(
+        reshaped,
+        num_partitions=n,
+        key_col=key_col,
+        distribute_randomly=params.distribute_randomly,
+    )
+    if simulated_path is not None:
+        write_simulated_sstables(routed, simulated_path)
+    return routed

@@ -1,0 +1,55 @@
+"""Fixture table loaders.
+
+Mirrors the reference's source surface (S1/S2, SURVEY.md §2.1:
+/root/reference/src/main/java/com/spotify/hdfs2cass/Hdfs2Cass.java:107-108 reads a
+list of Avro paths; multiple --input paths are concatenated by the source). Here the
+fixtures are parquet; ``load_table`` accepts one dir or many (union-by-the-source,
+the reference's only union-like behavior).
+
+The ``events`` table carries INT64 TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as LongType
+nanoseconds, which we convert to TimestampType via integer-division truncation to
+microseconds — the same truncation DuckDB applies when casting ns->µs, so the
+oracle sees identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str | list[str], name: str) -> DataFrame:
+    dirs = [sf_dir] if isinstance(sf_dir, str) else list(sf_dir)
+    paths = [f"{d.rstrip('/')}/{name}.parquet" for d in dirs]
+    df = spark.read.parquet(*paths)
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # ns-since-epoch long -> µs timestamp. Integer `div`, not `/`: float division
+        # loses precision above 2^53 and epoch-ns is ~1.7e18. Truncation matches
+        # DuckDB's ns->µs cast.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (used by SQL-form queries)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

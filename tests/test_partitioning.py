@@ -1,0 +1,145 @@
+"""Token routing tests (K1, G1-G3) + the end-to-end bulk-load pipeline."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.functions.murmur3 import MIN_TOKEN, cassandra_token
+from hdfs2cass_spark.operators.partitioning import (
+    bucket_expr,
+    route_to_buckets,
+    shuffled_bucket_map,
+    with_bucket,
+    with_token,
+)
+from hdfs2cass_spark.sinks.pipeline import bulk_load
+
+
+def test_with_token_matches_python(spark):
+    df = spark.createDataFrame([Row(k="foo"), Row(k="bar"), Row(k="baz"), Row(k="")])
+    got = {r["k"]: r["token"] for r in with_token(df, "k").collect()}
+    assert got["foo"] == -2129773440516405919
+    assert got["bar"] == -7911037993560119804
+    assert got["baz"] == 8295379539955784970
+    assert got[""] == MIN_TOKEN
+
+
+def test_bucket_expr_covers_ring(spark):
+    # MIN token -> bucket 0; MAX token -> bucket n-1; exact fixed boundaries
+    df = spark.createDataFrame(
+        [Row(token=MIN_TOKEN), Row(token=-1), Row(token=0), Row(token=2**63 - 1)]
+    )
+    out = df.select(bucket_expr("token", 8).alias("b")).collect()
+    bs = [r["b"] for r in out]
+    assert bs[0] == 0
+    assert bs[-1] == 7
+    assert all(0 <= b < 8 for b in bs)
+
+
+def test_shuffled_bucket_map_is_permutation():
+    m = shuffled_bucket_map(16, seed=42)
+    assert sorted(m) == list(range(16))
+    assert m == shuffled_bucket_map(16, seed=42)  # deterministic
+
+
+def test_route_sorts_within_partitions(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = cust.select(F.col("c_custkey").cast("string").alias("k"), "c_name")
+    routed = route_to_buckets(df, 4, key_col="k", shuffle_seed=None)
+
+    def check(it):
+        rows = list(it)
+        toks = [(r["bucket"], r["token"]) for r in rows]
+        assert toks == sorted(toks)
+        # all rows of one bucket are contiguous in one partition
+        return iter([len(rows)])
+
+    counts = routed.rdd.mapPartitions(check).collect()
+    assert sum(counts) == cust.count()
+
+
+def test_route_tokens_are_correct(spark):
+    df = spark.createDataFrame([Row(k=f"key{i}") for i in range(50)])
+    routed = route_to_buckets(df, 4, key_col="k", shuffle_seed=None)
+    for r in routed.collect():
+        assert r["token"] == cassandra_token(r["k"])
+
+
+def test_bulk_load_end_to_end(spark, sf_dir, tmp_path):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "sstables")
+    routed = bulk_load(
+        cust,
+        "cql://localhost/ks/customer?reducers=4",
+        rowkey="c_custkey",
+        now_ms=42,
+        simulated_path=out,
+    )
+    dirs = sorted(glob.glob(os.path.join(out, "bucket=*")))
+    assert 1 <= len(dirs) <= 4
+    total = 0
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        t = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(d)
+        toks = t.column("token").to_pylist()
+        assert toks == sorted(toks)  # append-only order inside each bucket
+        total += t.num_rows
+    assert total == cust.count()
+    assert routed.columns[0] == "_rowkey"
+
+
+def test_bulk_load_distribute_randomly(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    routed = bulk_load(
+        cust,
+        "cql://localhost/ks/customer?reducers=4&distributerandomly",
+        rowkey="c_custkey",
+        now_ms=42,
+    )
+    # escape hatch: no token/bucket columns, plain round-robin
+    assert "token" not in routed.columns
+    assert routed.rdd.getNumPartitions() == 4
+
+
+def test_uri_dsl():
+    from hdfs2cass_spark.config import CassandraParams
+
+    p = CassandraParams.parse(
+        "thrift://host.example.net:9161/ks/tbl?reducers=5&columnnames=a,b"
+        "&streamthrottlembits=100&distributerandomly&rpcport=9160"
+    )
+    assert (p.protocol, p.host, p.port) == ("thrift", "host.example.net", 9161)
+    assert (p.keyspace, p.table) == ("ks", "tbl")
+    assert p.reducers == 5
+    assert p.columnnames == ["a", "b"]
+    assert p.streamthrottlembits == 100
+    assert p.distribute_randomly
+    assert p.rpcport == 9160
+
+
+def test_uri_dsl_deprecated_and_errors():
+    import warnings
+
+    from hdfs2cass_spark.config import CassandraParams
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CassandraParams.parse("cql://h/ks/t?mappers=3")
+        assert any("deprecated" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        CassandraParams.parse("http://h/ks/t")
+    with pytest.raises(ValueError):
+        CassandraParams.parse("cql://h/onlyks")
+
+
+def test_default_reducers_is_node_count():
+    from hdfs2cass_spark.config import CassandraParams, TargetInfo
+
+    p = CassandraParams.parse("cql://h/ks/t")
+    t = TargetInfo("ks", "t", ["a"], ["a"], num_nodes=7)
+    assert p.num_partitions(t) == 7  # CassandraParams.java:111-115
+    assert CassandraParams.parse("cql://h/ks/t?reducers=3").num_partitions(t) == 3
