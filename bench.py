@@ -1,0 +1,61 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_rank_customers",
+    "tumbling_window_events",
+    "dedup_exact_documents",
+    "minhash_lsh_pairs",
+    "embedding_topk_cosine",
+    "token_route_customer",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hdfs2cass_spark.plans import CATALOG
+    from hdfs2cass_spark.session import get_session
+
+    spark = get_session("hdfs2cass_spark-bench")
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = CATALOG[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # noop write materializes every output column (count() would let
+        # Catalyst prune the aggregates away)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    result = {
+        "metric": "headline-queries-total-sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

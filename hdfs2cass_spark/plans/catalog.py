@@ -1,0 +1,680 @@
+"""Relational + reference-surface declared queries.
+
+Reference surface (SURVEY.md §2.1): reshape P1/P2, legacy parse P3, token
+routing G1-G3 — each as a named query. Analytics surface (SURVEY.md §7 phase 3):
+filters, all join families, hash/sort aggregations, rollup/cube/grouping sets,
+windows, sorts/top-k, set ops, scalar/date/json functions — all stock Catalyst.
+
+Scale notes per query are in the docstrings; the common patterns:
+  - dimension joins are broadcast() explicitly (region/nation/supplier are tiny
+    at any SF; fact tables shuffle only when the key demands it)
+  - aggregations are partial (map-side combine) by construction via groupBy
+  - filters sit directly on the scan so Catalyst pushes them into parquet
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.legacy import format_legacy_lines, parse_legacy_lines
+from ..operators.partitioning import with_bucket, with_token
+from ..operators.reshape import melt_to_mutations, reshape_cql
+from ..sources.readers import load_table
+from .registry import declare
+
+NOW_MS = 42  # fixed clock for reshape queries (reference tests pin millis=42)
+
+
+def _dec(c, prec: int = 25, scale: int = 6):
+    """Exact-accumulation cast: double -> decimal (see registry docstring)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Reference surface
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "cql_reshape_customer",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS _rowkey,
+           c_custkey, c_name, c_nationkey, c_acctbal,
+           CAST(42000 AS BIGINT) AS writetime,
+           CAST(0 AS INTEGER) AS ttl
+    FROM customer
+    """,
+    doc="P1 AvroToCQL semantics: rowkey + values in schema order + writetime/ttl "
+    "defaults under a fixed clock; c_mktsegment dropped via ignore.",
+)
+def cql_reshape_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return reshape_cql(cust, rowkey="c_custkey", ignore=["c_mktsegment"], now_ms=NOW_MS)
+
+
+@declare(
+    "thrift_melt_nation",
+    oracle="""
+    SELECT CAST(n_name AS VARCHAR) AS key, 'n_nationkey' AS name,
+           CAST(n_nationkey AS VARCHAR) AS value,
+           CAST(42 AS BIGINT) AS ts, CAST(0 AS INTEGER) AS ttl
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_name AS VARCHAR), 'n_regionkey',
+           CAST(n_regionkey AS VARCHAR), CAST(42 AS BIGINT), CAST(0 AS INTEGER)
+    FROM nation
+    """,
+    doc="P2 AvroToThrift semantics: wide row unpivoted to one mutation per "
+    "non-key column (ms timestamps).",
+)
+def thrift_melt_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return melt_to_mutations(nation, rowkey="n_name", now_ms=NOW_MS)
+
+
+@declare(
+    "legacy_roundtrip_part",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS key,
+           'p_name' AS colname,
+           CAST(1000 + p_partkey AS BIGINT) AS timestamp,
+           CAST(p_size AS INTEGER) AS ttl,
+           p_name AS value
+    FROM part
+    """,
+    doc="P3-P5: v3 legacy lines built from `part`, parsed back in strict mode — "
+    "round-trip equals the direct projection.",
+)
+def legacy_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        F.col("p_partkey").cast("string").alias("k"),
+        F.lit("p_name").alias("c"),
+        (F.lit(1000) + F.col("p_partkey")).cast("long").alias("ts"),
+        F.col("p_size").alias("ttl"),
+        F.col("p_name").alias("v"),
+    )
+    lines = format_legacy_lines(staged, key="k", colname="c", value="v", timestamp="ts", ttl="ttl")
+    return parse_legacy_lines(lines, mode="strict")
+
+
+@declare(
+    "token_route_customer",
+    oracle=None,  # Cassandra Murmur3 is not expressible in DuckDB SQL; golden-tested in tests/test_murmur3.py
+    doc="K1+G1/G2: partition-key token + exact ring-range bucket for every "
+    "customer row (8 buckets, unshuffled mapping).",
+)
+def token_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.select(F.col("c_custkey").cast("string").alias("rowkey"))
+    df = with_token(df, "rowkey")
+    return with_bucket(df, 8, shuffle_seed=None).select("rowkey", "token", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> pushed filter -> hash agg with map-side "
+    "partials. One shuffle on the (tiny-cardinality) group key.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declare(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dimension filter broadcast into two fact "
+    "joins, agg, global top-k (sorted limit, no full sort at scale).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-06-01 00:00:00'")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-06-01 00:00:00'")
+    )
+    return (
+        l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: five-way join; all dimensions broadcast, single "
+    "shuffle chain on the fact keys.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("r_name", F.col("revenue").desc(), "n_name")
+    )
+
+
+@declare(
+    "rollup_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy aggregation (status -> status+priority -> grand total).",
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@declare(
+    "cube_lineitem_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation over both grouping dimensions.",
+)
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@declare(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_year), ())
+    """,
+    doc="Explicit GROUPING SETS (via Spark SQL — same Catalyst Expand as "
+    "rollup/cube).",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (CAST(year(o_orderdate) AS INT)), ())
+        """
+    )
+
+
+@declare(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact distinct aggregation (two-phase partial/final under AQE).",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declare(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines by design; exact twin is distinct_users_per_type
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct "
+    "counts; rows-only check, exact twin above.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join families
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "join_region_nation_counts",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="Broadcast hash join of two dimensions (no shuffle of either side "
+    "beyond the tiny broadcast).",
+)
+def join_region_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+@declare(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left semi join (EXISTS): no row multiplication, orders side reduced "
+    "to its join keys.",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join (NOT EXISTS).",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    doc="Left outer join preserving customers with zero orders (COUNT of "
+    "nullable key = 0).",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'both' AS tag, x FROM
+      (SELECT c_nationkey AS x FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT 'customer_only' AS tag, x FROM
+      (SELECT c_nationkey AS x FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
+    ORDER BY tag, x
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION ALL in one result.",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("x"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("x"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (exceptAll would keep higher-multiplicity keys)
+    only = c.subtract(s).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only).select("tag", "x").orderBy("tag", "x")
+
+
+# ---------------------------------------------------------------------------
+# Windows, sorts, top-k
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "window_rank_customers",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+      FROM customer) t
+    WHERE rn <= 3 ORDER BY c_nationkey, rn
+    """,
+    doc="Window ranking: top-3 customers per nation by balance "
+    "(row_number with unique tiebreak + rank).",
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    wr = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@declare(
+    "window_lag_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="LAG over an ordered per-customer window; delta of identical doubles "
+    "is bit-deterministic.",
+)
+def window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@declare(
+    "window_moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Sliding row-frame moving average (exact decimal sum / count).",
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@declare(
+    "topk_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (heap per partition + "
+    "merge), never a full global sort.",
+)
+def topk_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "scalar_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           abs(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod,
+           round(p_retailprice, 1) AS price_rounded,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+    FROM part ORDER BY p_partkey
+    """,
+    doc="String/math scalar surface — all whole-stage-codegen built-ins.",
+)
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round("p_retailprice", 1).alias("price_rounded"),
+        F.when(F.col("p_size") > 25, "big").otherwise("small").alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+@declare(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Date/time scalar surface (outputs as DATE/INT to stay tz-neutral).",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@declare(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events ORDER BY event_id
+    """,
+    doc="JSON path extraction from the string props column.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    ).orderBy("event_id")
+
+
+@declare(
+    "tumbling_window_events",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Tumbling 1h event-time window — the batch twin of the Structured "
+    "Streaming ingest (streaming/ingest.py computes the identical frame; "
+    "tests assert batch==streaming).",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )

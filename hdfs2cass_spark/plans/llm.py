@@ -1,0 +1,606 @@
+"""LLM-data-pipeline declared queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7 phase 4).
+
+Cross-engine determinism: every hash used here is derived from md5 (identical
+in Spark and DuckDB) truncated to 60 bits — Spark
+``conv(substr(md5(x),1,15),16,10)`` == DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``.
+No engine-native hash (xxhash64 / hash()) appears in any oracle-checked query.
+
+Scale design (the point of these operators at 100 TB):
+  - MinHash-LSH: candidate pairs come from banded signature equality, never an
+    all-pairs join. Cost ~ O(docs x bands) shuffle + per-bucket joins.
+  - n-gram Jaccard: shingles with document frequency > DF_CAP are dropped
+    before the pair join (a frequent-shingle join is the classic quadratic
+    blowup); similarity is computed on the pruned shingle space.
+  - brute-force cosine is the *baseline* (broadcastable query set x full scan);
+    the LSH variants are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import declare
+
+# --- shared expression fragments (Spark SQL expr string / DuckDB SQL string) ---
+
+W_SPARK = r"split(trim(text), '\\s+')"
+W_DUCK = r"str_split_regex(trim(text), '\s+')"
+
+# k=3 word shingles over a pre-materialized words column `ws` (1-indexed
+# element access in both engines). IMPORTANT: the words array must be a real
+# column, not the split() expression inlined — Catalyst does not CSE inside
+# lambda bodies, so an inlined split re-tokenizes the document once per
+# shingle element (O(words^2) per doc; measured 10x slowdown at sf0.1).
+SH_ON_WS_SPARK = (
+    "CASE WHEN size(ws) >= 3 THEN "
+    "transform(sequence(1, size(ws) - 2), i -> "
+    "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, s): distinct 3-word shingles, words materialized once.
+
+    The repartition matters: a compact documents file scans as few input
+    splits, but explode amplifies each row ~words-fold and the downstream
+    hashing is the expensive part — spread rows across the cluster BEFORE the
+    explode or one task does all the work.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .distinct()
+    )
+SH_DUCK = (
+    f"CASE WHEN len({W_DUCK}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({W_DUCK}) - 2), i -> "
+    f"{W_DUCK}[i] || ' ' || {W_DUCK}[i + 1] || ' ' || {W_DUCK}[i + 2]) "
+    f"ELSE []::VARCHAR[] END"
+)
+
+N_HASHES = 16  # minhash signature length
+N_BANDS = 4  # LSH bands (4 rows per band)
+SIMHASH_BITS = 16
+DF_CAP = 50  # shingle document-frequency cap for the jaccard pair join
+
+
+def hash60_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5(CAST({expr} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hash60_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    """,
+    doc="Exact dedup: content-hash groupBy; keeper = lowest doc_id. "
+    "At 100 TB this is one shuffle on a 128-bit hash — no text comparison.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .orderBy("text_hash")
+    )
+
+
+@declare(
+    "dedup_normalized_keep_first",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ORDER BY doc_id
+    """,
+    doc="Normalized exact dedup (lowercase + whitespace collapse) returning "
+    "the kept doc ids.",
+)
+def dedup_normalized_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.groupBy(F.md5(norm.cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({W_DUCK}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + chars + a BPE-ish chars/4 "
+    "approximation.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({W_SPARK})").cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+STOPWORDS = "('the', 'a', 'and', 'of', 'to')"
+
+
+@declare(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({W_DUCK}) AS INTEGER) AS n_words,
+           CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}) AS uniq_ratio,
+           CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
+             / len({W_DUCK}) AS stop_ratio,
+           round(0.6 * (CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}))
+               + 0.4 * (1.0 - CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
+                              / len({W_DUCK})), 6) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Quality scoring: vocabulary-uniqueness and stopword-density heuristic "
+    "(pure column arithmetic, trivially 100 TB-parallel).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({W_SPARK})")
+    n_uniq = F.expr(f"size(array_distinct({W_SPARK}))")
+    n_stop = F.expr(f"size(filter({W_SPARK}, w -> w IN {STOPWORDS}))")
+    uniq_ratio = n_uniq.cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "des", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _lang_scores_sql(words_expr: str, filt: str, size_fn: str) -> dict[str, str]:
+    return {
+        lang: f"CAST({size_fn}({filt}({words_expr}, w -> w IN {tuple(sw)!r})) AS INTEGER)"
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+_PRED_CASE = (
+    "CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en' "
+    "WHEN s_es >= s_fr AND s_es >= s_de THEN 'es' "
+    "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END"
+)
+
+
+@declare(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['en']} AS s_en,
+             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['es']} AS s_es,
+             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['fr']} AS s_fr,
+             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['de']} AS s_de
+      FROM documents)
+    SELECT doc_id, s_en, s_es, s_fr, s_de,
+           {_PRED_CASE} AS pred_lang,
+           ({_PRED_CASE}) = lang AS matches_label
+    FROM scored ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: per-language stopword hit counts, argmax with "
+    "fixed priority. A deterministic classifier, not a model.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores_sql(W_SPARK, "filter", "size")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[F.expr(scores[lang]).alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+    )
+    pred = F.expr(_PRED_CASE)
+    return scored.select(
+        "doc_id",
+        "s_en",
+        "s_es",
+        "s_fr",
+        "s_de",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("matches_label"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Document fingerprint: polynomial rolling hash over characters "
+    "(mod 1e9+7 to keep exact int64 arithmetic in both engines).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t),
+    rare AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+    rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"n-gram (3-word shingle) Jaccard near-dup pairs. Shingles with doc "
+    f"frequency > {DF_CAP} are pruned before the pair join — the standard "
+    f"guard against the quadratic frequent-shingle blowup at scale; jaccard "
+    f"is over the pruned shingle space.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    rare = sh.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
+    rsh = sh.join(rare, "s")
+    n = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rsh.alias("a")
+    b = rsh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): min over shingles of 16 seeded md5-derived hashes,
+    computed in ONE groupBy (no 16x explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+# build the oracle SQL for minhash queries programmatically
+_MH_MINS = ",\n           ".join(
+    "MIN({h}) AS mh{i}".format(h=hash60_duck("'%d:' || s" % i), i=i) for i in range(N_HASHES)
+)
+_MH_CTE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t),
+    m AS (
+      SELECT doc_id,
+           {_MH_MINS}
+      FROM sh GROUP BY doc_id)
+"""
+_MH_UNPIVOT = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {i} AS h, mh{i} AS minhash FROM m" for i in range(N_HASHES)
+)
+
+
+@declare(
+    "minhash_signatures",
+    oracle=_MH_CTE + _MH_UNPIVOT + "\n    ORDER BY doc_id, h",
+    doc=f"MinHash signatures: {N_HASHES} md5-seeded hash functions min-folded "
+    "over distinct 3-word shingles; emitted exploded (doc_id, h, minhash).",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _minhash_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(N_HASHES))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_HASHES}, {stack_args}) AS (h, minhash)")
+    ).orderBy("doc_id", "h")
+
+
+_R = N_HASHES // N_BANDS  # rows per band
+_BANDS_SQL = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bkey FROM m".format(
+        b=b, cols=", ".join(f"mh{b * _R + j}" for j in range(_R))
+    )
+    for b in range(N_BANDS)
+)
+
+
+@declare(
+    "minhash_lsh_pairs",
+    oracle=_MH_CTE
+    + f""",
+    bands AS (
+{_BANDS_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+    doc=f"MinHash-LSH candidate pairs: {N_BANDS} bands x {_R} rows; docs "
+    "sharing any full band signature become candidates. The scale path for "
+    "near-dup at 100 TB (shuffle on band keys, no all-pairs join).",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode bands from ONE pass over the signatures (a per-band union would
+    # recompute the minhash aggregation N_BANDS times), and persist the tiny
+    # signature-derived band table so the self-join doesn't recompute it either
+    wide = _minhash_wide(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    allb = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+    allb = allb.persist()
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_SUMS_DUCK = ",\n             ".join(
+    f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+
+@declare(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id, {hash60_duck('w')} AS wh FROM (
+        SELECT doc_id, unnest({W_DUCK}) AS w FROM documents) t),
+    bits AS (
+      SELECT doc_id,
+             {_SIMHASH_SUMS_DUCK}
+      FROM wd GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+    doc=f"SimHash ({SIMHASH_BITS}-bit): per-bit majority vote over word hashes "
+    "(all occurrences). Near-dups differ in few bits.",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wd = d.select("doc_id", F.explode(F.expr(W_SPARK)).alias("w")).select(
+        "doc_id", F.expr(hash60_spark("w")).alias("wh")
+    )
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(wh, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = wd.groupBy("doc_id").agg(*sums)
+    return bits.select("doc_id", F.expr(_SIMHASH_VAL).cast("bigint").alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM_SPARK = "sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+_DOT_DUCK = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+_NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+
+
+@declare(
+    "embedding_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q_id, vec_id,
+             round({_DOT_DUCK.format(a='qe', b='embedding')}
+               / ({_NORM_DUCK.format(a='qe')} * {_NORM_DUCK.format(a='embedding')}), 6) AS sim
+      FROM q CROSS JOIN embeddings WHERE vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims)
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
+    """,
+    doc="Brute-force cosine top-k (the correctness baseline for ANN): "
+    "broadcast 5 query vectors against the full scan; per-query heap via "
+    "row_number. At 100 TB the query side stays broadcast and the scan is "
+    "embarrassingly parallel.",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = F.round(
+        F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
+        / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
+        6,
+    )
+    ranked = pairs.select("q_id", "vec_id", sim.alias("sim")).withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk")
+    ).orderBy("q_id", "rnk")
+
+
+@declare(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_val
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+    GROUP BY label, i ORDER BY label, pos
+    """,
+    doc="Per-label centroid of the embedding column (vector aggregation via "
+    "positional explode). Values are 1e-6-quantized before summing so the "
+    "accumulation is exact int64 math — order-independent and engine-exact "
+    "(double->decimal casts round via string repr in Spark and diverge at "
+    "~1e-12 from DuckDB).",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v").cast("double") * 1000000).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(qv).cast("double") / F.lit(1000000.0) / F.count(F.lit(1))).alias("avg_val")
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "avg_val")
+        .orderBy("label", "pos")
+    )
+
+
+@declare(
+    "embedding_lsh_buckets",
+    oracle=None,  # random-hyperplane planes derived in Python; verified vs brute force in tests
+    doc="ANN scale path: 8-bit random-hyperplane LSH bucket per vector "
+    "(deterministic seeded planes). Near neighbors collide with high "
+    "probability; search cost drops from O(N) to O(N/256) per query.",
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    proj_cols = []
+    for p in range(8):
+        terms = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * ({planes[p][i]!r})"
+            for i in range(64)
+        )
+        proj_cols.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = F.expr(" + ".join(proj_cols)).cast("int")
+    return e.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_chunks,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_key
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Multimodal column plumbing: opaque binary payload (here: encoded "
+    "text standing in for image/audio bytes) + typed metadata. Real decode "
+    "is a mapInPandas stub in operators/multimodal.py.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("byte_len"),
+        F.ceil(F.octet_length(blob) / 256.0).cast("int").alias("n_chunks"),
+        F.expr(hash60_spark("text")).alias("content_key"),
+    ).orderBy("doc_id")

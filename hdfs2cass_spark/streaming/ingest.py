@@ -1,0 +1,93 @@
+"""Structured Streaming ingest over the events table.
+
+The reference is strictly batch (SURVEY.md §1.4) — this is the engine's
+extension surface: the same event-time aggregations the batch catalog declares
+(`tumbling_window_events`), expressed as a stream with watermarked late-data
+handling, plus a stateful sessionization operator.
+
+Design: file-source streams over the fixture parquet with `availableNow`
+triggers for tests (bounded, deterministic); on a real cluster the same code
+binds to Kafka/file sources unchanged. Watermark bounds state size — without
+it a 100 TB/day stream accumulates unbounded window state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over a directory of events parquet files (the file source
+    monitors a directory; tests point it at a tmp dir seeded with the fixture
+    file). Schema pinned; ns -> µs timestamps exactly like the batch loader so
+    stream and batch agree bit-for-bit."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `tumbling_window_events` query: 1h tumbling
+    event-time windows with a watermark for late data.
+
+    Output schema matches the batch query exactly (window_start_ms,
+    event_type, n_events, total_value) so tests can assert batch == stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Stateful sessionization: session windows per user with a gap timeout —
+    Spark's built-in session_window keeps per-key state bounded by the
+    watermark (the applyInPandasWithState escape hatch is only needed for
+    semantics session_window can't express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "user_id",
+            "n_events",
+            "first_event",
+        )
+    )

@@ -1,0 +1,76 @@
+"""Differential oracle tests: every catalog query with an oracle runs on Spark
+AND DuckDB at sf0.001; results must match exactly (column names, row multiset).
+
+This is a local twin of the driver's t2 correctness gate (BASELINE.md), kept in
+the suite so a mismatch is caught on every test run, not once per round.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from hdfs2cass_spark.plans import CATALOG
+from hdfs2cass_spark.sources.readers import TABLES
+
+ORACLE_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_val(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
+def _norm_rows(rows):
+    return sorted((tuple(_norm_val(v) for v in r) for r in rows), key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = CATALOG[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(q.oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    s, d = _norm_rows(spark_rows), _norm_rows(duck_rows)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b][:5]
+    assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = CATALOG[name]
+    sdf = q.fn(spark, sf_dir)
+    assert len(sdf.columns) > 0
+    assert sdf.count() >= 0
