@@ -678,3 +678,106 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_ms", "event_type")
     )
+
+
+@declare(
+    "counter_column_updates",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           'value_counter' AS column_name,
+           SUM(CAST(floor(value) AS BIGINT)) AS counter_delta,
+           COUNT(*) AS n_updates
+    FROM events GROUP BY CAST(user_id AS VARCHAR) ORDER BY key
+    """,
+    doc="W2 counter-column semantics (CrunchBulkRecordWriter.java:188-190): "
+    "counter mutations accumulate additively per key — expressed as the "
+    "pre-aggregated UPDATE ... SET c = c + ? delta the connector would write.",
+)
+def counter_column_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(
+            F.sum(F.floor("value").cast("bigint")).alias("counter_delta"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+        .select("key", F.lit("value_counter").alias("column_name"), "counter_delta", "n_updates")
+        .orderBy("key")
+    )
+
+
+@declare(
+    "composite_key_hex",
+    oracle="""
+    SELECT c_custkey,
+           upper(concat(
+             lpad(to_hex(length(c_name)), 4, '0'), hex(c_name), '00',
+             '0008', lpad(to_hex(c_custkey), 16, '0'), '00')) AS pk_hex
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="K1 composite partition keys: the [2-byte len][bytes][0x00] envelope "
+    "(CassandraRecordUtils.java:230-261) materialized as hex so the oracle "
+    "can check the exact wire layout for a (text, bigint) key pair.",
+)
+def composite_key_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pk_hex = F.upper(
+        F.concat(
+            F.lpad(F.hex(F.length("c_name")), 4, "0"),
+            F.hex(F.col("c_name")),
+            F.lit("00"),
+            F.lit("0008"),
+            F.lpad(F.hex(F.col("c_custkey")), 16, "0"),
+            F.lit("00"),
+        )
+    )
+    return c.select("c_custkey", pk_hex.alias("pk_hex")).orderBy("c_custkey")
+
+
+@declare(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation): order counts by priority x "
+    "status. Explicit value list — Spark's two-pass value discovery is a "
+    "driver-side collect you never want at 100 TB.",
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@declare(
+    "correlated_subquery_balance",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+    ORDER BY c_custkey
+    """,
+    doc="Correlated scalar subquery (customers above their nation's average "
+    "balance) — Catalyst decorrelates it into an aggregate + join.",
+)
+def correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer_cs c1
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+          FROM customer_cs c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )

@@ -553,27 +553,42 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_planes():
+    """8 deterministic random hyperplanes (seeded) shared by the Spark query
+    and the generated oracle SQL — both engines evaluate the identical
+    left-associated literal arithmetic, so the sign bits agree bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((8, 64))
+
+
+def _lsh_bucket_sql(elem_fmt: str) -> str:
+    planes = _lsh_planes()
+    proj_cols = []
+    for p in range(8):
+        terms = " + ".join(
+            f"CAST({elem_fmt.format(i=i + 1)} AS DOUBLE) * ({planes[p][i]!r})"
+            for i in range(64)
+        )
+        proj_cols.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(proj_cols)
+
+
 @declare(
     "embedding_lsh_buckets",
-    oracle=None,  # random-hyperplane planes derived in Python; verified vs brute force in tests
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST({_lsh_bucket_sql("embedding[{i}]")} AS INTEGER) AS bucket
+    FROM embeddings ORDER BY vec_id
+    """,
     doc="ANN scale path: 8-bit random-hyperplane LSH bucket per vector "
     "(deterministic seeded planes). Near neighbors collide with high "
     "probability; search cost drops from O(N) to O(N/256) per query.",
 )
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings")
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, 64))
-    proj_cols = []
-    for p in range(8):
-        terms = " + ".join(
-            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * ({planes[p][i]!r})"
-            for i in range(64)
-        )
-        proj_cols.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = F.expr(" + ".join(proj_cols)).cast("int")
+    bucket = F.expr(_lsh_bucket_sql("element_at(embedding, {i})")).cast("int")
     return e.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
 
 
