@@ -108,3 +108,44 @@ def encode_row_key(values: tuple, key_indexes: list[int]) -> bytes:
     CassandraParams.getKeyFn, CassandraParams.java:339-350)."""
     parts = [to_cassandra_bytes(values[i]) for i in key_indexes]
     return compose_partition_key(*parts)
+
+
+def schema_encoder(dtype) -> "callable":
+    """Type-directed encoder for one Spark column type — the analog of
+    Cassandra resolving a TypeSerializer per declared column, not per value
+    (CassandraClusterInfo fetches the table schema; serializers are bound to
+    column types). Value-type inference (`to_cassandra_bytes`) stays as the
+    fallback for untyped use.
+
+    Also repairs pandas' nullable-int-to-float64 coercion: an int column that
+    arrived as float via Arrow is encoded as the declared int width.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    def _null_safe(f):
+        def g(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return b""
+            return f(v)
+
+        return g
+
+    if isinstance(dtype, T.IntegerType):
+        return _null_safe(lambda v: struct.pack(">i", int(v)))
+    if isinstance(dtype, T.LongType):
+        return _null_safe(lambda v: struct.pack(">q", int(v)))
+    if isinstance(dtype, (T.ShortType, T.ByteType)):
+        return _null_safe(lambda v: struct.pack(">i", int(v)))
+    if isinstance(dtype, T.DoubleType):
+        return _null_safe(lambda v: struct.pack(">d", float(v)))
+    if isinstance(dtype, T.FloatType):
+        return _null_safe(lambda v: struct.pack(">f", float(v)))
+    if isinstance(dtype, T.BooleanType):
+        return _null_safe(lambda v: b"\x01" if v else b"\x00")
+    if isinstance(dtype, T.StringType):
+        return _null_safe(lambda v: str(v).encode("utf-8"))
+    if isinstance(dtype, T.BinaryType):
+        return _null_safe(bytes)
+    return _null_safe(to_cassandra_bytes)

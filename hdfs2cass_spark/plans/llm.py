@@ -619,3 +619,151 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.octet_length(blob) / 256.0).cast("int").alias("n_chunks"),
         F.expr(hash60_spark("text")).alias("content_key"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "clean_text_transform",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS clean_text,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS clean_hash
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Text normalization transform (lowercase, trim, whitespace collapse) "
+    "with a content hash — the canonical pre-dedup cleaning step.",
+)
+def clean_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.md5(clean.cast("binary")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+_JACCARD_VERIFY_SQL = f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@declare(
+    "dedup_near_duplicates",
+    oracle=_MH_CTE + f""",
+    bands AS (
+{_BANDS_SQL})""" + _JACCARD_VERIFY_SQL,
+    doc="The full near-dup dedup pipeline: MinHash-LSH candidate generation "
+    "-> exact Jaccard verification on the candidates only (never all pairs) "
+    "-> verified pairs with jaccard >= 0.5. This is the 100 TB dedup shape: "
+    "cost scales with candidates, not with docs^2.",
+)
+def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).persist()
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declare(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_lsh_bucket_sql("embedding[{i}]")} AS INTEGER) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           round({_DOT_DUCK.format(a='a.embedding', b='b2.embedding')}
+             / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='b2.embedding')}), 6) AS sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_DOT_DUCK.format(a='a.embedding', b='b2.embedding')}
+             / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='b2.embedding')}) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding near-dup pairs, LSH-scoped: cosine is evaluated only for "
+    "pairs sharing a hyperplane bucket (~1/256 of all pairs), the ANN "
+    "candidate-generation shape that survives 100 TB. Threshold 0.3 on "
+    "synthetic random vectors (max pairwise sim ~0.51).",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_lsh_bucket_sql("element_at(embedding, {i})")).cast("int").alias("bucket"),
+    )
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b2.embedding")) / (
+        F.expr(_NORM_SPARK.format(a="a.embedding")) * F.expr(_NORM_SPARK.format(a="b2.embedding"))
+    )
+    return (
+        a.join(b2, (F.col("a.bucket") == F.col("b2.bucket")) & (F.col("a.vec_id") < F.col("b2.vec_id")))
+        .filter(sim >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,82 @@
+"""Sink-boundary wire encoding: logical rows -> Cassandra insert byte form.
+
+The reference serializes every field to ByteBuffer in the map phase
+(CQLRecord.java:87-95, via CassandraRecordUtils.toByteBuffer) and binds the
+prepared statement ``INSERT ... VALUES (?, ...) USING TIMESTAMP ? AND TTL ?``
+with timestamp/ttl appended as the LAST TWO bound values
+(CQLRecord.java:49-52, CassandraClusterInfo.java:160-172).
+
+Spark-first placement: serialization happens at the *sink boundary only* —
+Catalyst keeps native types through reshape/route (pushdown, codegen, columnar
+parquet all stay available), and one Arrow-batched mapInPandas emits the exact
+wire bytes the SSTable writer would consume.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.serde import schema_encoder, to_cassandra_bytes
+
+WIRE_SCHEMA = StructType(
+    [
+        StructField("pk", BinaryType()),
+        StructField("token", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("values", ArrayType(BinaryType())),
+        StructField("writetime", LongType()),
+        StructField("ttl", IntegerType()),
+    ]
+)
+
+
+def encode_cql_wire(routed: DataFrame) -> DataFrame:
+    """Encode a routed reshape_cql output (`_rowkey`, value cols, writetime,
+    ttl, token, bucket) into bound-statement wire form.
+
+    `values` holds the serialized bind values in column order with writetime
+    and ttl appended last — exactly the reference's CQLRecord layout.
+    """
+    meta = {"_rowkey", "writetime", "ttl", "token", "bucket"}
+    value_cols = [c for c in routed.columns if c not in meta]
+    # encoders are bound to the DECLARED column types (like Cassandra's
+    # per-column TypeSerializers) — value-type inference would mis-encode
+    # nullable int columns, which Arrow->pandas hands over as float64
+    encoders = [schema_encoder(routed.schema[c].dataType) for c in value_cols]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = [pdf[c].to_numpy() for c in value_cols]
+            wt = pdf["writetime"].to_numpy()
+            ttl = pdf["ttl"].to_numpy()
+            # the USING TIMESTAMP ? AND TTL ? bind parameters are bigint/int —
+            # fixed widths, not value-inferred
+            values = [
+                [enc(col[i]) for enc, col in zip(encoders, cols)]
+                + [struct.pack(">q", int(wt[i])), struct.pack(">i", int(ttl[i]))]
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "pk": pdf["_rowkey"].map(lambda s: s.encode("utf-8") if s else b""),
+                    "token": pdf["token"],
+                    "bucket": pdf["bucket"],
+                    "values": values,
+                    "writetime": pdf["writetime"],
+                    "ttl": pdf["ttl"],
+                }
+            )
+
+    return routed.mapInPandas(batches, WIRE_SCHEMA)

@@ -53,3 +53,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (used by SQL-form queries)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_legacy_text(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S2: read legacy tab-separated lines from text files -> (line) rows, the
+    input shape operators/legacy.parse_legacy_lines consumes.
+
+    The reference reads these as Avro-wrapped ByteBuffers
+    (LegacyHdfs2Cass.java:88-89); plain text files are the Spark-native
+    equivalent of the same byte stream.
+    """
+    p = [paths] if isinstance(paths, str) else list(paths)
+    return spark.read.text(p).withColumnRenamed("value", "line")
+
+
+def has_avro_support(spark: SparkSession) -> bool:
+    """The Avro source (S1) is an external Spark module; the pip pyspark
+    distribution may not bundle spark-avro. Callers use parquet/text when
+    absent — same dataflow, different container format."""
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+        return True  # pragma: no cover
+    except Exception as e:
+        return "FAILED_FIND_AVRO_DATA_SOURCE" not in str(e) and "Failed to find" not in str(e)

@@ -1,0 +1,52 @@
+"""Tests: skew-salting utilities and sink-boundary wire encoding."""
+
+import struct
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.functions.murmur3 import cassandra_token
+from hdfs2cass_spark.functions.serde import to_cassandra_bytes
+from hdfs2cass_spark.operators.skew import salted_count, salted_join
+from hdfs2cass_spark.sinks.pipeline import bulk_load
+from hdfs2cass_spark.sinks.wire import encode_cql_wire
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = sorted(tuple(r) for r in o.join(c, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(o, c, ["k"], n=4).collect())
+    assert plain == salted
+
+
+def test_salted_count_equals_plain(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["event_type"]: r["n_rows"] for r in salted_count(e, "event_type", n=4).collect()}
+    assert plain == salted
+
+
+def test_wire_encoding_matches_serde(spark):
+    df = spark.createDataFrame(
+        [Row(user_id="u1", plays=7, score=1.5), Row(user_id="u2", plays=None, score=None)]
+    )
+    routed = bulk_load(df, "cql://h/ks/t?reducers=2", rowkey="user_id", now_ms=42)
+    wire = {r["pk"]: r for r in encode_cql_wire(routed).collect()}
+
+    r1 = wire[b"u1"]
+    assert r1["token"] == cassandra_token(b"u1")
+    # values = [user_id, plays, score, writetime, ttl] in column order
+    assert r1["values"][0] == b"u1"
+    assert r1["values"][1] == struct.pack(">q", 7)  # LongType column -> 8-byte encoding
+    assert r1["values"][2] == struct.pack(">d", 1.5)
+    assert r1["values"][-2] == struct.pack(">q", 42000)  # µs writetime, always 8 bytes
+    assert r1["values"][-1] == struct.pack(">i", 0)  # ttl, always 4 bytes
+
+    r2 = wire[b"u2"]
+    assert r2["values"][1] == b""  # null -> empty buffer (CassandraRecordUtils.java:81-82)
