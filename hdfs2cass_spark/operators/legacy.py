@@ -115,3 +115,33 @@ def format_legacy_lines(
         cols += [F.lit("1"), F.col(key), F.col(colname)]
     cols.append(F.col(value))
     return df.select(F.concat_ws("\t", *[c.cast("string") for c in cols]).alias("line"))
+
+
+def legacy_to_cql(parsed: DataFrame) -> DataFrame:
+    """P4 LegacyHdfsToCQL (LegacyHdfsToCQL.java:31-51): parsed legacy rows ->
+    CQL insert shape (_rowkey + colname/value as the bound values + writetime
+    µs + ttl). Legacy timestamps are ms; CQL binds µs."""
+    return parsed.select(
+        F.col("key").alias("_rowkey"),
+        "key",
+        "colname",
+        "value",
+        (F.col("timestamp") * 1000).alias("writetime"),
+        F.col("ttl").cast("int").alias("ttl"),
+    )
+
+
+def legacy_to_thrift(parsed: DataFrame) -> DataFrame:
+    """P5 LegacyHdfsToThrift (LegacyHdfsToThrift.java:34-54): one Mutation per
+    parsed line (ms timestamps)."""
+    return parsed.select(
+        F.col("key"),
+        F.array(
+            F.struct(
+                F.col("colname").alias("name"),
+                F.col("value").alias("value"),
+                F.col("timestamp").alias("ts"),
+                F.col("ttl").cast("int").alias("ttl"),
+            )
+        ).alias("mutations"),
+    )

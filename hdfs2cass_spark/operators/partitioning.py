@@ -110,3 +110,49 @@ def route_to_buckets(
     return routed.repartition(num_partitions, F.col("bucket")).sortWithinPartitions(
         "bucket", "token", key_col
     )
+
+
+def binary_key_expr(df: DataFrame, cols: list[str]) -> Column:
+    """K1: partition-key bytes as a pure-Catalyst expression.
+
+    Single column -> raw bytes; multiple -> the composite envelope
+    [2-byte len][bytes][0x00] per component (CassandraRecordUtils.java:230-261,
+    differentially tested against functions.serde.compose_partition_key).
+
+    Integer components use Cassandra's fixed-width big-endian encoding built
+    from hex (two's-complement for negatives comes out of Spark's hex() on
+    longs; ints take the low 8 hex chars). All JVM-side — no Python in the
+    key path; the token UDF receives ready-made bytes.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    def comp(c: str) -> Column:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, (IntegerType, ShortType, ByteType)):
+            # low 32 bits, big-endian: hex() of the long value, last 8 chars
+            return F.unhex(F.substring(F.lpad(F.hex(col.cast("long")), 16, "0"), 9, 8))
+        if isinstance(dt, LongType):
+            return F.unhex(F.lpad(F.hex(col), 16, "0"))
+        if isinstance(dt, StringType):
+            return col.cast("binary")
+        return col.cast("binary")
+
+    parts = [comp(c) for c in cols]
+    if len(parts) == 1:
+        return parts[0]
+    enveloped = [
+        F.concat(
+            F.unhex(F.lpad(F.hex(F.octet_length(p)), 4, "0")),
+            p,
+            F.unhex(F.lit("00")),
+        )
+        for p in parts
+    ]
+    return F.concat(*enveloped)

@@ -157,3 +157,25 @@ def melt_to_mutations(
         ts.alias("ts"),
         ttlc.alias("ttl"),
     )
+
+
+CONVENTION_ROWKEY = "rowkey"
+CONVENTION_TIMESTAMP = "timestamp"
+CONVENTION_TTL = "ttl"
+
+
+def reshape_thrift_by_convention(df: DataFrame, now_ms: int | None = None) -> DataFrame:
+    """P6 `Thrift.byConvention` (Thrift.java:22-30): special fields are found
+    by the conventional names `rowkey`/`timestamp`/`ttl`; missing timestamp or
+    ttl fields are tolerated (the reference logs and falls back,
+    ThriftByFieldNamesFn.java:56-77)."""
+    cols = set(df.columns)
+    if CONVENTION_ROWKEY not in cols:
+        raise ValueError(f"byConvention requires a '{CONVENTION_ROWKEY}' column")
+    return reshape_thrift(
+        df,
+        rowkey=CONVENTION_ROWKEY,
+        timestamp=CONVENTION_TIMESTAMP if CONVENTION_TIMESTAMP in cols else None,
+        ttl=CONVENTION_TTL if CONVENTION_TTL in cols else None,
+        now_ms=now_ms,
+    )

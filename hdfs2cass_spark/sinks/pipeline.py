@@ -23,7 +23,7 @@ from .simulated import write_simulated_sstables
 def bulk_load(
     df: DataFrame,
     output_uri: str,
-    rowkey: str | None = None,
+    rowkey: str | list[str] | None = None,
     timestamp: str | None = None,
     ttl: str | None = None,
     ignore: Sequence[str] = (),
@@ -46,10 +46,28 @@ def bulk_load(
             raise ValueError(f"columnnames= not in input: {missing}")
         df = df.select(*params.columnnames)
 
+    composite = isinstance(rowkey, (list, tuple)) and len(rowkey) > 1
+    if isinstance(rowkey, (list, tuple)) and not composite:
+        rowkey = rowkey[0]
+
     if params.protocol == "cql":
-        reshaped = reshape_cql(df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
+        reshaped = reshape_cql(
+            df, rowkey[0] if composite else rowkey, timestamp, ttl, ignore, now_ms=now_ms
+        )
         key_col = "_rowkey"
+        if composite:
+            # K1 composite keys: length-prefixed envelope built JVM-side from
+            # the (still-typed) value columns; the token UDF gets raw bytes
+            from ..operators.partitioning import binary_key_expr
+
+            missing = [c for c in rowkey if c not in reshaped.columns]
+            if missing:
+                raise ValueError(f"composite rowkey columns not in reshape output: {missing}")
+            reshaped = reshaped.withColumn("_pk", binary_key_expr(reshaped, list(rowkey)))
+            key_col = "_pk"
     else:
+        if composite:
+            raise ValueError("composite rowkeys are a CQL-path feature (thrift keys are single ByteBuffers)")
         reshaped = reshape_thrift(df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
         key_col = "key"
 

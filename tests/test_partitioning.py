@@ -143,3 +143,75 @@ def test_default_reducers_is_node_count():
     t = TargetInfo("ks", "t", ["a"], ["a"], num_nodes=7)
     assert p.num_partitions(t) == 7  # CassandraParams.java:111-115
     assert CassandraParams.parse("cql://h/ks/t?reducers=3").num_partitions(t) == 3
+
+
+def test_binary_key_expr_matches_serde(spark, sf_dir):
+    """The pure-Catalyst composite key == the serde envelope, byte for byte.
+
+    Components are schema-typed (Cassandra's per-column-type serializer model):
+    a LongType column is always 8 bytes even for small values — so expectations
+    pack widths explicitly rather than via value-inferring to_cassandra_bytes.
+    """
+    import struct
+
+    from hdfs2cass_spark.functions.serde import compose_partition_key
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = c.select(
+        "c_name", "c_custkey", "c_nationkey",
+        binary_key_expr(c, ["c_name"]).alias("k1"),
+        binary_key_expr(c, ["c_name", "c_custkey", "c_nationkey"]).alias("k3"),
+    ).collect()
+    for r in out:
+        comps = (
+            r["c_name"].encode(),
+            struct.pack(">q", r["c_custkey"]),  # bigint column: 8 bytes
+            struct.pack(">i", r["c_nationkey"]),  # int column: 4 bytes
+        )
+        assert bytes(r["k1"]) == comps[0]
+        assert bytes(r["k3"]) == compose_partition_key(*comps)
+
+
+def test_binary_key_expr_negative_ints(spark):
+    import struct
+
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr
+
+    df = spark.createDataFrame(
+        [Row(a=-1, b=-(2**40))], schema="a int, b long"
+    )
+    r = df.select(
+        binary_key_expr(df, ["a", "b"]).alias("k"),
+    ).collect()[0]
+    expect = (
+        b"\x00\x04" + struct.pack(">i", -1) + b"\x00"
+        + b"\x00\x08" + struct.pack(">q", -(2**40)) + b"\x00"
+    )
+    assert bytes(r["k"]) == expect
+
+
+def test_bulk_load_composite_rowkey(spark, sf_dir):
+    import struct
+
+    from hdfs2cass_spark.functions.murmur3 import cassandra_token
+    from hdfs2cass_spark.functions.serde import compose_partition_key
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    routed = bulk_load(
+        cust, "cql://h/ks/t?reducers=4", rowkey=["c_name", "c_custkey"], now_ms=42
+    )
+    rows = routed.collect()
+    assert len(rows) == cust.count()
+    for r in rows[:30]:
+        expected_pk = compose_partition_key(
+            r["c_name"].encode(), struct.pack(">q", r["c_custkey"])
+        )
+        assert bytes(r["_pk"]) == expected_pk
+        assert r["token"] == cassandra_token(expected_pk)
+
+
+def test_bulk_load_thrift_composite_raises(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with pytest.raises(ValueError):
+        bulk_load(cust, "thrift://h/ks/t", rowkey=["c_name", "c_custkey"])

@@ -67,3 +67,47 @@ def test_melt_matches_thrift_explode(spark, songstreams):
     assert got[("u1", "song_id")] == "s1"
     assert got[("u2", "timestamp")] is None
     assert len(got) == 4
+
+
+def test_thrift_by_convention(spark):
+    from hdfs2cass_spark.operators.reshape import reshape_thrift_by_convention
+
+    df = spark.createDataFrame(
+        [Row(rowkey="k1", timestamp=99, ttl=5, song="s")]
+    )
+    out = reshape_thrift_by_convention(df, now_ms=NOW_MS).collect()[0]
+    muts = {m["name"]: m for m in out["mutations"]}
+    assert out["key"] == "k1"
+    assert set(muts) == {"song"}  # rowkey/timestamp/ttl consumed by convention
+    assert muts["song"]["ts"] == 99
+    assert muts["song"]["ttl"] == 5
+
+    # missing timestamp/ttl tolerated (ThriftByFieldNamesFn.java:56-77)
+    df2 = spark.createDataFrame([Row(rowkey="k2", song="s2")])
+    out2 = reshape_thrift_by_convention(df2, now_ms=NOW_MS).collect()[0]
+    assert {m["name"] for m in out2["mutations"]} == {"song"}
+    assert out2["mutations"][0]["ts"] == NOW_MS
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reshape_thrift_by_convention(spark.createDataFrame([Row(a=1)]))
+
+
+def test_legacy_to_cql_and_thrift(spark):
+    from hdfs2cass_spark.operators.legacy import (
+        legacy_to_cql,
+        legacy_to_thrift,
+        parse_legacy_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [Row(line="HdfsToCassandra\t3\tk\tcol\t100\t5\tv")]
+    )
+    parsed = parse_legacy_lines(lines, mode="strict")
+    cql = legacy_to_cql(parsed).collect()[0]
+    assert (cql["_rowkey"], cql["colname"], cql["value"]) == ("k", "col", "v")
+    assert cql["writetime"] == 100 * 1000  # ms -> µs
+    thrift = legacy_to_thrift(parsed).collect()[0]
+    assert thrift["mutations"][0]["name"] == "col"
+    assert thrift["mutations"][0]["ts"] == 100  # thrift stays ms
