@@ -56,10 +56,12 @@ def _value_columns(
 
 
 def _ts_col(df: DataFrame, timestamp: str | None, now: int) -> Column:
-    # explicit field, null-safe fallback to fixed "now" (AvroToCQL.java:73-76)
+    # explicit field, null-safe fallback to fixed "now" (AvroToCQL.java:73-76).
+    # The literal must be cast: a small fixed clock would otherwise type the
+    # writetime column as int and the output schema would depend on the value.
     if timestamp is not None:
-        return F.coalesce(F.col(timestamp).cast("long"), F.lit(now))
-    return F.lit(now)
+        return F.coalesce(F.col(timestamp).cast("long"), F.lit(now).cast("long"))
+    return F.lit(now).cast("long")
 
 
 def _ttl_col(df: DataFrame, ttl: str | None) -> Column:

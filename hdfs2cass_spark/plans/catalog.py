@@ -462,8 +462,8 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT c_custkey, c_nationkey, c_acctbal,
-             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
-             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
+             CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk
       FROM customer) t
     WHERE rn <= 3 ORDER BY c_nationkey, rn
     """,
@@ -685,7 +685,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS key,
            'value_counter' AS column_name,
-           SUM(CAST(floor(value) AS BIGINT)) AS counter_delta,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS counter_delta,
            COUNT(*) AS n_updates
     FROM events GROUP BY CAST(user_id AS VARCHAR) ORDER BY key
     """,
@@ -781,3 +781,84 @@ def correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@declare(
+    "percentiles_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           quantile_cont(c_acctbal, 0.5) AS median_bal,
+           quantile_cont(c_acctbal, 0.9) AS p90_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="Exact percentiles (linear interpolation — verified identical between "
+    "Spark percentile() and DuckDB quantile_cont). At 100 TB use "
+    "approx_percentile; the exact form is the correctness baseline.",
+)
+def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+            F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@declare(
+    "advanced_agg_functions",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS all_names,
+           arg_max(c_name, c_custkey) AS latest_name,
+           arg_min(c_name, c_custkey) AS first_name,
+           COUNT(*) FILTER (c_acctbal > 0) AS n_positive
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="Ordered string aggregation, arg_max/arg_min, filtered count — the "
+    "collect_list is bounded per group (names per nation), never a global "
+    "collect.",
+)
+def advanced_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("array_join(array_sort(collect_list(c_name)), ',')").alias("all_names"),
+            F.expr("max_by(c_name, c_custkey)").alias("latest_name"),
+            F.expr("min_by(c_name, c_custkey)").alias("first_name"),
+            F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@declare(
+    "array_map_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+           list_sort(list_distinct(str_split_regex(trim(text), '\\s+')))[1] AS first_word,
+           array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 1, 3), ' ') AS head3,
+           list_contains(str_split_regex(trim(text), '\\s+'), 'spark') AS has_spark
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Array function surface: sort/distinct/slice/contains/join over the "
+    "tokenized text (all JVM built-ins).",
+)
+def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr(r"split(trim(text), '\\s+')")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.element_at(F.array_sort(F.array_distinct(ws)), 1).alias("first_word"),
+        F.array_join(F.slice(ws, 1, 3), " ").alias("head3"),
+        F.array_contains(ws, "spark").alias("has_spark"),
+    ).orderBy("doc_id")

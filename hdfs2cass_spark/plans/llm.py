@@ -767,3 +767,97 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@declare(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS cval
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+      GROUP BY label, i),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    qdist AS (
+      SELECT q_id, label,
+             SUM(CAST(floor((CAST(qe[pos] AS DOUBLE) - cval) * (CAST(qe[pos] AS DOUBLE) - cval)
+                 * 1000000000000) AS BIGINT)) AS dist_q
+      FROM q CROSS JOIN cent GROUP BY q_id, label),
+    cells AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_q, label) AS cr
+        FROM qdist) t WHERE cr <= 2),
+    sims AS (
+      SELECT c.q_id, e.vec_id,
+             round({_DOT_DUCK.format(a='q.qe', b='e.embedding')}
+               / ({_NORM_DUCK.format(a='q.qe')} * {_NORM_DUCK.format(a='e.embedding')}), 6) AS sim
+      FROM cells c
+      JOIN embeddings e ON e.label = c.label
+      JOIN q ON q.q_id = c.q_id
+      WHERE e.vec_id <> c.q_id)
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims) t
+    WHERE rnk <= 3 ORDER BY q_id, rnk
+    """,
+    doc="IVF-style ANN: coarse cells (per-label quantized centroids — a "
+    "deterministic stand-in for k-means cells), nprobe=2 nearest cells per "
+    "query by quantized L2, exact cosine only within probed cells. The "
+    "centroid table is tiny (cells x dims) and broadcastable; scan cost per "
+    "query drops to the probed cells' share of the data. Distances accumulate "
+    "as quantized int64 so cell ranking is engine-exact.",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # cells: per-label quantized centroids (exact int accumulation)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v").cast("double") * 1000000).cast("bigint")).cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    qpos = q.select(
+        "q_id", F.posexplode("qe").alias("pos0", "qv")
+    ).select("q_id", (F.col("pos0") + 1).alias("pos"), F.col("qv").cast("double").alias("qv"))
+    diff = F.col("qv") - F.col("cval")
+    qdist = (
+        qpos.join(F.broadcast(cent), "pos")
+        .groupBy("q_id", "label")
+        .agg(F.sum(F.floor(diff * diff * F.lit(1000000000000.0)).cast("bigint")).alias("dist_q"))
+    )
+    cells = (
+        qdist.withColumn(
+            "cr", F.row_number().over(Window.partitionBy("q_id").orderBy("dist_q", "label"))
+        )
+        .filter(F.col("cr") <= 2)
+        .select("q_id", "label")
+    )
+    sim = F.round(
+        F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
+        / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
+        6,
+    )
+    sims = (
+        F.broadcast(cells.join(q, "q_id"))
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+    )
+    return (
+        sims.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id"))
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )

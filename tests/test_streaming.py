@@ -50,3 +50,33 @@ def test_sessionize_stream_runs(spark, events_dir):
     for r in rows:
         assert r["session_end_ms"] >= r["session_start_ms"]
         assert r["n_events"] >= 1
+
+
+def test_stream_bulk_load(spark, events_dir, tmp_path):
+    """The reference dataflow fed by a stream: per-micro-batch token-sorted
+    bucket files; total rows equal the batch source."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_bulk_load, stream_events
+
+    stream = stream_events(spark, events_dir)
+    q = stream_bulk_load(
+        stream,
+        "cql://h/ks/events?reducers=4",
+        sink_path=str(tmp_path / "sink"),
+        checkpoint=str(tmp_path / "ckpt"),
+        rowkey="event_id",
+        now_ms=42,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    total = 0
+    for d in sorted(glob.glob(str(tmp_path / "sink" / "bucket=*"))):
+        for f in glob.glob(d + "/*.parquet"):
+            toks = pq.read_table(f).column("token").to_pylist()
+            assert toks == sorted(toks)  # per-file (per-batch) append order
+            total += len(toks)
+    src = spark.read.parquet(f"{events_dir}/events.parquet")
+    assert total == src.count()
