@@ -861,3 +861,45 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
+
+
+@declare(
+    "minhash_lsh_pairs_fast",
+    oracle=None,  # engine-native xxhash64 by design — the md5 twin (minhash_lsh_pairs) is the oracle-checked one
+    doc="Production MinHash-LSH: identical pipeline to minhash_lsh_pairs but "
+    "hashed with JVM-native xxhash64 (no md5+hex round-trip) — the variant "
+    "you run at 100 TB. Kept alongside the md5 twin so the algorithm is "
+    "oracle-verified while the fast path stays benchmarked.",
+)
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+    allb = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    ).persist()
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

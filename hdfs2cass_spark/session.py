@@ -43,6 +43,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # larger Arrow batches amortize the per-batch numpy setup in the token
+        # UDF: 10k -> 64k batches doubled end-to-end bulk-load throughput
+        # (0.69 -> 1.41M rows/s on local[32], 5M-row stress run)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.speculation", "false")
         .config("spark.ui.enabled", "false")
