@@ -128,6 +128,14 @@ def schema_encoder(dtype) -> "callable":
         def g(v):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 return b""
+            if type(v).__module__.startswith(("numpy", "pandas")):
+                import pandas as pd
+
+                try:
+                    if pd.isna(v):  # covers NaT and numpy nan scalars
+                        return b""
+                except (TypeError, ValueError):
+                    pass  # arrays: isna is elementwise, not a null check
             return f(v)
 
         return g
@@ -148,4 +156,63 @@ def schema_encoder(dtype) -> "callable":
         return _null_safe(lambda v: str(v).encode("utf-8"))
     if isinstance(dtype, T.BinaryType):
         return _null_safe(bytes)
-    return _null_safe(to_cassandra_bytes)
+    if isinstance(dtype, T.TimestampType) or isinstance(dtype, getattr(T, "TimestampNTZType", ())):
+        # Arrow batches hand timestamps over as pandas.Timestamp/numpy.datetime64
+        def _ts(v):
+            import pandas as pd
+
+            return struct.pack(">q", int(pd.Timestamp(v).value // 1_000_000))  # ms
+
+        return _null_safe(_ts)
+    if isinstance(dtype, T.DecimalType):
+        return _null_safe(to_cassandra_bytes)
+    if isinstance(dtype, T.ArrayType):
+        elem = schema_encoder(dtype.elementType)
+
+        def _arr(v):
+            items = list(v)
+            out = [struct.pack(">H", len(items))]
+            for x in items:
+                eb = elem(x)
+                out.append(struct.pack(">H", len(eb)) + eb)
+            return b"".join(out)
+
+        return _null_safe(_arr)
+    if isinstance(dtype, T.MapType):
+        kenc = schema_encoder(dtype.keyType)
+        venc = schema_encoder(dtype.valueType)
+
+        def _map(v):
+            items = list(v.items()) if isinstance(v, dict) else list(v)  # Arrow: list of (k, v)
+            out = [struct.pack(">H", len(items))]
+            for k, val in items:
+                kb = kenc(k)
+                vb = venc(val)
+                out.append(struct.pack(">H", len(kb)) + kb)
+                out.append(struct.pack(">H", len(vb)) + vb)
+            return b"".join(out)
+
+        return _null_safe(_map)
+    if isinstance(dtype, T.StructType):
+        fields = [(f.name, schema_encoder(f.dataType)) for f in dtype.fields]
+
+        def _struct(v):
+            # nested records pack with the CompositeType envelope
+            # (CassandraRecordUtils.java:97-103 via compose)
+            getter = v.get if isinstance(v, dict) else (lambda name: v[name])
+            return compose_partition_key(*(enc(getter(name)) for name, enc in fields)) if len(
+                fields
+            ) > 1 else fields[0][1](getter(fields[0][0]))
+
+        return _null_safe(_struct)
+
+    def _fallback(v):
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        return to_cassandra_bytes(v)
+
+    return _null_safe(_fallback)

@@ -40,6 +40,10 @@ def bulk_load(
     """
     params = CassandraParams.parse(output_uri)
     n = params.num_partitions(target)
+    if rowkey is None and target is not None and target.partition_key_columns:
+        # M1: when target metadata is supplied, the partition key comes from
+        # the table schema (CassandraClusterInfo.java:91-108), not a flag
+        rowkey = list(target.partition_key_columns)
     if params.columnnames:
         missing = [c for c in params.columnnames if c not in df.columns]
         if missing:

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+These cover the non-Spark invariants cheaply (no session needed): the
+vectorized murmur3 == scalar spec for arbitrary byte keys, serialization
+round-trip envelopes, and bucket math covering the full ring.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdfs2cass_spark.functions.murmur3 import (
+    MAX_TOKEN,
+    MIN_TOKEN,
+    cassandra_token,
+)
+from hdfs2cass_spark.functions.murmur3_np import murmur3_tokens
+from hdfs2cass_spark.functions.serde import compose_partition_key, to_cassandra_bytes
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=50))
+def test_vectorized_tokens_match_scalar(keys):
+    assert list(murmur3_tokens(keys)) == [cassandra_token(k) for k in keys]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_token_in_range_and_deterministic(key):
+    t = cassandra_token(key)
+    assert MIN_TOKEN <= t <= MAX_TOKEN
+    assert t == cassandra_token(key)
+    if len(key) == 0:
+        assert t == MIN_TOKEN
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=100), min_size=2, max_size=5))
+def test_composite_envelope_is_parseable(components):
+    """The [2B len][bytes][0x00] envelope decodes back to the components."""
+    blob = compose_partition_key(*components)
+    out = []
+    i = 0
+    while i < len(blob):
+        n = int.from_bytes(blob[i : i + 2], "big")
+        out.append(blob[i + 2 : i + 2 + n])
+        assert blob[i + 2 + n] == 0
+        i += 3 + n
+    assert out == components
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=100))
+def test_string_serialization_roundtrip(s):
+    assert to_cassandra_bytes(s).decode("utf-8") == s
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_int_serialization_width(v):
+    b = to_cassandra_bytes(v)
+    assert len(b) == (4 if -(2**31) <= v < 2**31 else 8)
+    assert int.from_bytes(b, "big", signed=True) == v
+
+
+def test_bucket_covers_ring_exhaustively():
+    """Every token maps to exactly one bucket in [0, n) and boundaries align
+    with the ring arithmetic (pure-Python twin of bucket_expr)."""
+    for n in (1, 3, 8, 17, 256):
+        range_per = 2**64 // n + (1 if 2**64 % n else 0)
+        for tok in (MIN_TOKEN, MIN_TOKEN + 1, -1, 0, 1, MAX_TOKEN - 1, MAX_TOKEN):
+            b = (tok - MIN_TOKEN) // range_per
+            assert 0 <= b < n
