@@ -1,14 +1,23 @@
 """Skew handling: key salting for hot-key joins and aggregations.
 
-AQE's skew-join splitting (enabled in session.py) handles most sort-merge skew
-at runtime; salting is the explicit tool for the two cases AQE can't fix:
-hot keys in a *hash aggregation* (one reducer owns the hot group) and hot keys
-joining a *non-broadcastable* dimension.
+Measured reality (8M rows, 50% on one key, local[32]) — know when each tool
+applies:
+
+  - AQE skew-join splitting (on by default in session.py) is the FIRST-LINE
+    mechanism: skewed sort-merge join 5.1s -> 2.8s just by enabling it.
+  - Full-dim salted join was SLOWER (7.5s): replicating a 1M-row dimension
+    n-fold costs more than the skew saves. Salting a join only pays when the
+    replicated side is tiny relative to the hot key's row count — and if it's
+    that tiny, broadcast it instead.
+  - Simple counts/sums do NOT need salting at all: map-side partial
+    aggregation already collapses the hot key to one row per map task
+    (measured: no difference). Salting an aggregation only helps when the
+    partial state doesn't compress — collect_list/collect_set, exact
+    count-distinct on high-cardinality values, large percentile state.
 
 Pattern: explode the hot side's key space by a salt in [0, n); replicate the
 other side once per salt value; join/aggregate on (key, salt); fold the salt
-back out. Cost: dimension side inflates n-fold — choose n ~ the skew factor,
-not more.
+back out.
 """
 
 from __future__ import annotations
@@ -43,9 +52,11 @@ def salted_join(
 
 
 def salted_count(df: DataFrame, key: str, n: int = 8) -> DataFrame:
-    """Two-phase hot-key count: partial count on (key, salt), final on key.
-    (groupBy already does map-side partials; this additionally splits a single
-    hot key's *reduce* work across n tasks.)"""
+    """Two-phase aggregation on (key, salt) then key. For plain counts this is
+    a no-op perf-wise (map-side partials already collapse hot keys — measured);
+    the pattern matters when the aggregate's partial state doesn't compress
+    (collect_list, exact distinct, percentile sketches) — swap the inner agg
+    accordingly."""
     return (
         with_salt(df, n)
         .groupBy(key, "_salt")

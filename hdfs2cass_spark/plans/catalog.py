@@ -862,3 +862,121 @@ def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(ws, 1, 3), " ").alias("head3"),
         F.array_contains(ws, "spark").alias("has_spark"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "asof_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts AS error_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
+           ) AS last_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+    doc="As-of join (each error event matched to the user's most recent prior "
+    "click). Spark lacks a native as-of join; the scalable formulation is "
+    "union + running last_value over an event-time window — one shuffle on "
+    "user_id, no per-row subquery and no range cross-product. (The oracle "
+    "uses a correlated subquery — same semantics, DuckDB-friendly.)",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # running max of click timestamps per user in event-time order: rows
+    # preceding the current row = strictly-before thanks to the unbounded
+    # preceding .. -1 frame
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return (
+        enriched.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts").alias("error_ts"), "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+@declare(
+    "sessionize_events_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps)
+    SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+           COUNT(*) AS n_events,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_end_ms
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    doc="Batch sessionization (30-min gap): lag -> new-session flag -> running "
+    "sum as session number -> per-session aggregate. Two window passes + one "
+    "agg, all on the user_id partitioning — the batch twin of the streaming "
+    "session_window in streaming/ingest.py.",
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_millis(F.min("ts")).alias("session_start_ms"),
+            F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@declare(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Deterministic hash-based train/test split (80/20): membership is a "
+    "pure function of the id — stable across runs, machines and engine "
+    "versions, no sampling state. The standard split primitive for a "
+    "training-data pipeline.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(concat('split:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        F.when(h % 100 < 80, "train").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
