@@ -18,9 +18,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "window_rank_customers",
     "tumbling_window_events",
+    "asof_join_events",
+    "sessionize_events_batch",
     "dedup_exact_documents",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",
+    "dedup_near_duplicates",
     "embedding_topk_cosine",
+    "embedding_ivf_topk",
     "token_route_customer",
 ]
 

@@ -903,3 +903,65 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list -> (node, component)
+    where component = min node id in the component.
+
+    Iterative label propagation (alternating min): each round every node takes
+    the min label among itself and its neighbors; converges in O(diameter)
+    rounds. Each round is one shuffle (groupBy node); the loop is driver-side
+    but the data never leaves the cluster — the driver only checks a scalar
+    convergence count per round. Near-dup clusters have tiny diameters, so
+    this is 2-4 rounds in practice.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    comps = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(comps, sym.b == comps.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        updated = (
+            comps.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("_changed"),
+            )
+        ).persist()
+        changed = updated.filter(F.col("_changed")).count()
+        new_comps = updated.drop("_changed").persist()
+        comps.unpersist()
+        comps = new_comps
+        if changed == 0:
+            break
+    return comps.select("node", "comp")
+
+
+@declare(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; validated against a Python BFS in tests
+    doc="Near-dup clusters: LSH+Jaccard-verified pairs -> connected components "
+    "(iterative label propagation) -> (doc_id, cluster keeper = min doc_id). "
+    "The final step of the dedup pipeline: keep one doc per cluster, drop the "
+    "rest. Driver sees only a scalar per round; data stays distributed.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_near_duplicates(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("keeper")
+    ).orderBy("doc_id")
