@@ -67,7 +67,7 @@ SH_DUCK = (
 
 N_HASHES = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (4 rows per band)
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32  # 16 saturated on shared-vocab docs (28k pairs at hamming<=3); 32 discriminates
 DF_CAP = 50  # shingle document-frequency cap for the jaccard pair join
 
 
@@ -965,3 +965,118 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("keeper")
     ).orderBy("doc_id")
+
+
+_SIMHASH_CTE = f"""
+    WITH wd AS (
+      SELECT doc_id, {hash60_duck('w')} AS wh FROM (
+        SELECT doc_id, unnest({W_DUCK}) AS w FROM documents) t),
+    bits AS (
+      SELECT doc_id,
+             {_SIMHASH_SUMS_DUCK}
+      FROM wd GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+@declare(
+    "simhash_near_dup_pairs",
+    oracle=_SIMHASH_CTE + """,
+    bands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bval
+      FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.simhash AS sh_a, b2.simhash AS sh_b
+      FROM bands a JOIN bands b2
+        ON a.band = b2.band AND a.bval = b2.bval AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup pairs via Hamming-LSH: 32-bit simhash split into 4 "
+    "bands of 8 bits; docs sharing any band value become candidates (any "
+    "pair within Hamming distance 3 must share a band — pigeonhole); verify "
+    "with bit_count(xor). No all-pairs comparison anywhere.",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_fingerprint(spark, sf_dir).persist()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("bval", F.expr("(simhash >> (band * 8)) & 255"))
+    a = bands.alias("a")
+    b2 = bands.alias("b2")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b2.band"))
+            & (F.col("a.bval") == F.col("b2.bval"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b2.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        cand.filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declare(
+    "corpus_selection",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text,
+             CAST(len({W_DUCK}) AS INTEGER) AS n_tokens,
+             round(0.6 * (CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}))
+                 + 0.4 * (1.0 - CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
+                                / len({W_DUCK})), 6) AS quality
+      FROM documents),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM q
+    JOIN keepers k ON k.doc_id = q.doc_id
+    WHERE q.quality >= 0.55
+      AND ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+    ORDER BY q.doc_id
+    """,
+    doc="Capstone training-corpus selection: exact-dedup keepers ∩ quality "
+    "filter ∩ deterministic train split, in one declarative pipeline — the "
+    "shape of a production pretraining-data job (each stage is a pushed-down "
+    "filter or a hash groupBy; nothing quadratic, nothing driver-side).",
+)
+def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({W_SPARK})")
+    n_uniq = F.expr(f"size(array_distinct({W_SPARK}))")
+    n_stop = F.expr(f"size(filter({W_SPARK}, w -> w IN {STOPWORDS}))")
+    quality = F.round(
+        0.6 * (n_uniq.cast("double") / n_words) + 0.4 * (1.0 - n_stop.cast("double") / n_words),
+        6,
+    )
+    scored = d.select("doc_id", n_words.cast("int").alias("n_tokens"), quality.alias("quality"))
+    keepers = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    split_hash = F.expr(
+        "CAST(conv(substr(md5(CAST(concat('split:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        scored.join(keepers, "doc_id")
+        .filter((F.col("quality") >= 0.55) & (split_hash % 100 < 80))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )

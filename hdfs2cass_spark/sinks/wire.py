@@ -80,3 +80,58 @@ def encode_cql_wire(routed: DataFrame) -> DataFrame:
             )
 
     return routed.mapInPandas(batches, WIRE_SCHEMA)
+
+
+THRIFT_WIRE_SCHEMA = StructType(
+    [
+        StructField("pk", BinaryType()),
+        StructField("token", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField(
+            "mutations",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", BinaryType()),
+                        StructField("value", BinaryType()),
+                        StructField("ts", LongType()),
+                        StructField("ttl", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def encode_thrift_wire(routed: DataFrame) -> DataFrame:
+    """W2: routed reshape_thrift output (key, mutations, token, bucket) ->
+    wire form: one Mutation per column with name/value as Cassandra bytes,
+    ms timestamp and ttl carried through (CrunchBulkRecordWriter.java:163-209;
+    expiring columns keep their ttl, the writer computes expiry from it)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_muts = []
+            for muts in pdf["mutations"]:
+                out_muts.append(
+                    [
+                        {
+                            "name": str(m["name"]).encode("utf-8"),
+                            "value": b"" if m["value"] is None else str(m["value"]).encode("utf-8"),
+                            "ts": int(m["ts"]),
+                            "ttl": int(m["ttl"]),
+                        }
+                        for m in muts
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "pk": pdf["key"].map(lambda s: s.encode("utf-8") if s else b""),
+                    "token": pdf["token"],
+                    "bucket": pdf["bucket"],
+                    "mutations": out_muts,
+                }
+            )
+
+    return routed.mapInPandas(batches, THRIFT_WIRE_SCHEMA)

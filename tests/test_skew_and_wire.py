@@ -50,3 +50,20 @@ def test_wire_encoding_matches_serde(spark):
 
     r2 = wire[b"u2"]
     assert r2["values"][1] == b""  # null -> empty buffer (CassandraRecordUtils.java:81-82)
+
+
+def test_thrift_wire_encoding(spark):
+    from hdfs2cass_spark.sinks.wire import encode_thrift_wire
+
+    df = spark.createDataFrame(
+        [("u1", 7, None)], schema="user_id string, plays int, score double"
+    )
+    routed = bulk_load(df, "thrift://h/ks/t?reducers=2", rowkey="user_id", now_ms=42)
+    out = encode_thrift_wire(routed).collect()[0]
+    assert bytes(out["pk"]) == b"u1"
+    assert out["token"] == cassandra_token(b"u1")
+    muts = {bytes(m["name"]): m for m in out["mutations"]}
+    assert set(muts) == {b"plays", b"score"}
+    assert bytes(muts[b"plays"]["value"]) == b"7"
+    assert bytes(muts[b"score"]["value"]) == b""  # null -> empty
+    assert muts[b"plays"]["ts"] == 42  # thrift: ms
