@@ -1080,3 +1080,113 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id, unnest({W_DUCK}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wd GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM wd GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+    SELECT doc_id, w, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, w, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF top-3 terms per document: term frequency x ln(N/df). The df "
+    "table is vocabulary-sized (tiny, broadcastable); the tf explode is the "
+    "only big intermediate and carries no text, just (doc, word, count).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wd = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.explode(F.expr(W_SPARK)).alias("w")
+    )
+    tf = wd.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wd.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # plan-time scalar (count of a parquet footer — cheap)
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "w", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@declare(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(floor(p_retailprice / 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+    doc="Fixed-width histogram (declarative binning — no data-dependent "
+    "boundaries, so no extra pass to compute min/max).",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.floor(F.col("p_retailprice") / 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).cast("double").alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declare(
+    "edit_distance_verify",
+    oracle=_MH_CTE + f""",
+    bands AS (
+{_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INTEGER) AS edit80
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Edit-distance verification on LSH candidates only (levenshtein is "
+    "O(len^2) per pair — affordable exactly because candidates, not all "
+    "pairs, reach it; prefixes cap the quadratic term).",
+)
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("edit80"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
