@@ -33,7 +33,29 @@ TABLES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs this engine depends on.
+
+    The driver's correctness gate passes its OWN SparkSession into
+    ``queries()`` — it won't have our session factory's build-time configs.
+    These three are runtime-settable SQL confs, so set them defensively on
+    every load: ns-timestamp parquet support (events would otherwise fail with
+    PARQUET_TYPE_ILLEGAL), UTC (deterministic vs the oracle), Arrow for the
+    pandas-UDF paths.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some deployment: keep going with defaults
+
+
 def load_table(spark: SparkSession, sf_dir: str | list[str], name: str) -> DataFrame:
+    ensure_session_confs(spark)
     dirs = [sf_dir] if isinstance(sf_dir, str) else list(sf_dir)
     paths = [f"{d.rstrip('/')}/{name}.parquet" for d in dirs]
     df = spark.read.parquet(*paths)
