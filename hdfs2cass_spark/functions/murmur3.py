@@ -144,7 +144,13 @@ def token_pandas_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
+    from . import murmur3_np as _np_mod
     from .murmur3_np import murmur3_tokens
+    from .shippable import pickle_by_value
+
+    # workers may not have this package on PYTHONPATH — embed the module code
+    # in the UDF pickle instead of referencing it by import
+    pickle_by_value(_np_mod)
 
     def _tok(keys: pd.Series) -> pd.Series:
         vals = [

@@ -28,7 +28,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions import serde as _serde_mod
 from ..functions.serde import schema_encoder, to_cassandra_bytes
+from ..functions.shippable import pickle_by_value
+
+# the encoder closures reference functions.serde — ship it by value so
+# executors without this package on PYTHONPATH can still run the UDFs
+pickle_by_value(_serde_mod)
 
 WIRE_SCHEMA = StructType(
     [
