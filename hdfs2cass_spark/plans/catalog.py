@@ -980,3 +980,49 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(h % 100 < 80, "train").otherwise("test").alias("split"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "regexp_functions_customer",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
+           CAST(regexp_matches(c_name, '^Customer#') AS BOOLEAN) AS well_formed,
+           regexp_replace(c_name, '0+', '*', 'g') AS squeezed
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="Regex scalar surface: extract/match/replace (patterns kept in the "
+    "RE2∩Java-regex common subset so engines agree).",
+)
+def regexp_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("id_digits"),
+        F.col("c_name").rlike("^Customer#").alias("well_formed"),
+        F.regexp_replace("c_name", "0+", "*").alias("squeezed"),
+    ).orderBy("c_custkey")
+
+
+@declare(
+    "boolean_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_large,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Boolean aggregate surface (every/some as bool_and/bool_or).",
+)
+def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_totalprice > 400000)").alias("any_large"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
