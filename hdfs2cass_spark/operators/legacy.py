@@ -49,23 +49,26 @@ def parse_legacy_lines(
 
     parts = F.split(F.col(line_col), "\t")
     n = F.size(parts)
-    prefix = F.element_at(parts, 1)
-    version = F.element_at(parts, 2).cast("int")
+    # try_element_at / try_cast, not element_at / cast: under ANSI mode an
+    # out-of-bounds index or non-numeric field would throw even in permissive
+    # mode (both fuzz-caught — short lines and junk version fields)
+    prefix = F.try_element_at(parts, F.lit(1))
+    version = F.try_element_at(parts, F.lit(2)).try_cast("int")
     well_formed = (
         (prefix == PREFIX)
         & version.isNotNull()
         & _nfields_ok(n, version)
     )
-    key = F.element_at(parts, 3)
-    colname = F.element_at(parts, 4)
-    ts_raw = F.when(version == 2, F.element_at(parts, 5)).when(
-        version == 3, F.element_at(parts, 5)
+    key = F.try_element_at(parts, F.lit(3))
+    colname = F.try_element_at(parts, F.lit(4))
+    ts_raw = F.when(version == 2, F.try_element_at(parts, F.lit(5))).when(
+        version == 3, F.try_element_at(parts, F.lit(5))
     )
-    ttl_raw = F.when(version == 3, F.element_at(parts, 6))
+    ttl_raw = F.when(version == 3, F.try_element_at(parts, F.lit(6)))
     value = (
-        F.when(version == 1, F.element_at(parts, 5))
-        .when(version == 2, F.element_at(parts, 6))
-        .when(version == 3, F.element_at(parts, 7))
+        F.when(version == 1, F.try_element_at(parts, F.lit(5)))
+        .when(version == 2, F.try_element_at(parts, F.lit(6)))
+        .when(version == 3, F.try_element_at(parts, F.lit(7)))
     )
     # try_cast: non-numeric -> NULL (then strict raises / permissive drops)
     ts = ts_raw.try_cast("long")

@@ -80,3 +80,68 @@ def test_stream_bulk_load(spark, events_dir, tmp_path):
             total += len(toks)
     src = spark.read.parquet(f"{events_dir}/events.parquet")
     assert total == src.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1h watermark: an event arriving
+    two micro-batches after the stream's clock passed it is dropped; windows
+    newer than the final watermark stay open (not emitted).
+
+    Note the deliberate batch structure: Spark applies the watermark computed
+    from batch N-1 when filtering batch N, so the late event must arrive at
+    least two batches after the clock advanced — arriving in the very next
+    batch it would still be accepted (observed, and part of the contract)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming.ingest import stream_events
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, src / name)
+
+    H = 3600 * 10**9
+    base = 1704067200 * 10**9  # 2024-01-01T00:00Z
+    write_batch("0.parquet", [(1, base + 10 * H), (2, base + 10 * H + 60 * 10**9)])
+    _time.sleep(1.1)  # file source orders micro-batches by modification time
+    write_batch("1.parquet", [(3, base + 13 * H)])  # advances watermark to 12:00
+    _time.sleep(1.1)
+    write_batch("2.parquet", [(4, base + 3 * H), (5, base + 14 * H)])  # 3h: 9h late
+
+    from pyspark.sql import functions as F
+
+    events = stream_events(spark, str(src))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    base_ms, h_ms = 1704067200 * 1000, 3600 * 1000
+    assert got.get(base_ms + 10 * h_ms) == 2  # finalized on-time window
+    assert (base_ms + 3 * h_ms) not in got  # 9h-late event dropped by watermark
+    assert (base_ms + 13 * h_ms) not in got  # newer than final watermark: still open
+    assert (base_ms + 14 * h_ms) not in got
