@@ -27,6 +27,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_ivf_topk",
     "token_route_customer",
+    "bulk_route_lineitem",
 ]
 
 

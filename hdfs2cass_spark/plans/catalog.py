@@ -1026,3 +1026,24 @@ def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@declare(
+    "bulk_route_lineitem",
+    oracle=None,  # Cassandra murmur3 routing — not SQL-expressible; end-state checked in tests
+    doc="The full bulk-load dataflow on the largest fixture table: reshape "
+    "(composite rowkey l_orderkey+l_linenumber) -> token -> ring bucket -> "
+    "single shuffle -> in-partition token sort. The headline throughput "
+    "number for the reference-parity path.",
+)
+def bulk_route_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.pipeline import bulk_load
+
+    l = load_table(spark, sf_dir, "lineitem")
+    routed = bulk_load(
+        l,
+        "cql://h/ks/lineitem?reducers=16",
+        rowkey=["l_orderkey", "l_linenumber"],
+        now_ms=NOW_MS,
+    )
+    return routed.select("_pk", "token", "bucket", "writetime", "ttl")
