@@ -17,6 +17,8 @@ All pure Catalyst expressions (split/element_at/when) — no UDFs.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,13 +41,15 @@ def parse_legacy_lines(
 ) -> DataFrame:
     """Parse legacy lines into (key, colname, timestamp, ttl, value).
 
-    v1 rows get timestamp = now_ms (caller-pinned for determinism; the
-    reference stamps DateTimeUtils.currentTimeMillis, LegacyHdfsToThrift.java);
-    ttl defaults to 0.
+    v1 rows get timestamp = now_ms — pin it for determinism in tests; when not
+    supplied it defaults to the current wall clock, matching the reference's
+    DateTimeUtils.currentTimeMillis stamp (LegacyHdfsToThrift.java). A 0
+    default would write writetime=0 rows that any later write silently
+    overwrites. ttl defaults to 0.
     """
     if mode not in ("strict", "permissive"):
         raise ValueError(f"mode must be strict|permissive, got {mode!r}")
-    now = F.lit(now_ms if now_ms is not None else 0).cast("long")
+    now = F.lit(now_ms if now_ms is not None else int(time.time() * 1000)).cast("long")
 
     parts = F.split(F.col(line_col), "\t")
     n = F.size(parts)
@@ -123,13 +127,19 @@ def format_legacy_lines(
 def legacy_to_cql(parsed: DataFrame) -> DataFrame:
     """P4 LegacyHdfsToCQL (LegacyHdfsToCQL.java:31-51): parsed legacy rows ->
     CQL insert shape (_rowkey + colname/value as the bound values + writetime
-    µs + ttl). Legacy timestamps are ms; CQL binds µs."""
+    + ttl).
+
+    The parsed ms timestamp is bound VERBATIM as the USING TIMESTAMP value —
+    the reference passes it unchanged into CQLRecord.create
+    (LegacyHdfsToCQL.java:44-49); scaling it to µs here would make these rows
+    win conflict resolution against reference-loaded data by 1000x.
+    """
     return parsed.select(
         F.col("key").alias("_rowkey"),
         "key",
         "colname",
         "value",
-        (F.col("timestamp") * 1000).alias("writetime"),
+        F.col("timestamp").alias("writetime"),
         F.col("ttl").cast("int").alias("ttl"),
     )
 

@@ -89,12 +89,35 @@ def with_bucket(
     return df.withColumn(bucket_col, b)
 
 
+def with_md5_token_bucket(
+    df: DataFrame,
+    key_col: str,
+    num_buckets: int,
+    shuffle_seed: int | None = 42,
+) -> DataFrame:
+    """G2 RandomPartitioner branch: MD5 BigIntegerToken + bucket in one UDF
+    pass (tokens are 128-bit — carried as sortable zero-padded strings)."""
+    from ..functions.md5token import md5_token_bucket_udf
+
+    tb = md5_token_bucket_udf(num_buckets)
+    out = df.withColumn("_tb", tb(F.col(key_col))).select(
+        "*", F.col("_tb.token").alias("token"), F.col("_tb.bucket").alias("bucket")
+    ).drop("_tb")
+    if shuffle_seed is not None:
+        mapping = shuffled_bucket_map(num_buckets, shuffle_seed)
+        out = out.withColumn(
+            "bucket", F.element_at(F.array(*[F.lit(p) for p in mapping]), F.col("bucket") + 1)
+        )
+    return out
+
+
 def route_to_buckets(
     df: DataFrame,
     num_partitions: int,
     key_col: str,
     distribute_randomly: bool = False,
     shuffle_seed: int | None = 42,
+    partitioner: str | None = None,
 ) -> DataFrame:
     """G1-G3 composed: token -> bucket -> shuffle -> in-partition token sort.
 
@@ -102,11 +125,20 @@ def route_to_buckets(
     (bucket, token, key) order, i.e. decorated-key order within each bucket —
     the exact contract CassandraKeyComparator.java:32-35 establishes so the
     SSTable writer can append without re-sorting.
+
+    `partitioner` selects the token branch exactly like
+    CassandraPartitioner.java:63-68: the Murmur3 LongToken path (default) or
+    the RandomPartitioner MD5/BigIntegerToken path.
     """
+    from ..config import RANDOM
+
     if distribute_randomly:
         return df.repartition(num_partitions)
-    routed = with_token(df, key_col)
-    routed = with_bucket(routed, num_partitions, shuffle_seed=shuffle_seed)
+    if partitioner == RANDOM:
+        routed = with_md5_token_bucket(df, key_col, num_partitions, shuffle_seed)
+    else:
+        routed = with_token(df, key_col)
+        routed = with_bucket(routed, num_partitions, shuffle_seed=shuffle_seed)
     return routed.repartition(num_partitions, F.col("bucket")).sortWithinPartitions(
         "bucket", "token", key_col
     )
@@ -147,9 +179,20 @@ def binary_key_expr(df: DataFrame, cols: list[str]) -> Column:
     parts = [comp(c) for c in cols]
     if len(parts) == 1:
         return parts[0]
+    # lpad TRUNCATES strings longer than the target — a component over 65535
+    # bytes would silently emit a corrupted 2-byte length. Fail loudly instead
+    # (compose_partition_key, the Python twin, raises ValueError the same way).
     enveloped = [
         F.concat(
-            F.unhex(F.lpad(F.hex(F.octet_length(p)), 4, "0")),
+            F.when(
+                F.octet_length(p) > 65535,
+                F.raise_error(
+                    F.concat(
+                        F.lit("composite key component exceeds 65535 bytes: "),
+                        F.octet_length(p).cast("string"),
+                    )
+                ).cast("binary"),
+            ).otherwise(F.unhex(F.lpad(F.hex(F.octet_length(p)), 4, "0"))),
             p,
             F.unhex(F.lit("00")),
         )

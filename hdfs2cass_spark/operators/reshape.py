@@ -42,6 +42,12 @@ def _resolve_rowkey(columns: list[str], rowkey: str | None) -> str:
     return "rowkey" if "rowkey" in columns else columns[0]
 
 
+def resolve_rowkey(columns: list[str], rowkey: str | None) -> str:
+    """Public rowkey resolution (Hdfs2Cass.java:50-51): explicit flag, else the
+    field literally named 'rowkey', else field 0."""
+    return _resolve_rowkey(columns, rowkey)
+
+
 def _value_columns(
     columns: list[str],
     timestamp: str | None,
@@ -77,22 +83,26 @@ def reshape_cql(
     ttl: str | None = None,
     ignore: Sequence[str] = (),
     now_ms: int | None = None,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """P1: CQL insert form — value columns in schema order (rowkey included,
     like the CQL INSERT column list) + writetime (µs) + ttl (s).
 
     Types stay native; wire encoding happens at the sink boundary.
     The rowkey column is additionally surfaced as `_rowkey` (string) for key
-    extraction without re-deriving the spec downstream.
+    extraction without re-deriving the spec downstream. `passthrough` columns
+    (e.g. a precomputed `_pk` binary key) are excluded from the value list and
+    appended verbatim at the end.
     """
     now_us = (now_ms if now_ms is not None else int(time.time() * 1000)) * 1000
     rk = _resolve_rowkey(df.columns, rowkey)
-    values = _value_columns(df.columns, timestamp, ttl, ignore)
+    values = _value_columns(df.columns, timestamp, ttl, tuple(ignore) + tuple(passthrough))
     return df.select(
         F.col(rk).cast("string").alias("_rowkey"),
         *[F.col(c) for c in values],
         _ts_col(df, timestamp, now_us).alias("writetime"),
         _ttl_col(df, ttl).alias("ttl"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -103,6 +113,7 @@ def reshape_thrift(
     ttl: str | None = None,
     ignore: Sequence[str] = (),
     now_ms: int | None = None,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """P2/P6: Thrift mutation form — (key, mutations: array<struct<name,value,ts,ttl>>).
 
@@ -110,10 +121,16 @@ def reshape_thrift(
     (AvroToThrift.java:81-89). Values are cast to string at this logical layer;
     the sink encodes wire bytes. Thrift timestamps are MILLIseconds
     (AvroToThrift.java:69) — a deliberate ms-vs-µs asymmetry with CQL.
+    `passthrough` columns are excluded from the mutation list and appended
+    verbatim at the end.
     """
     now = now_ms if now_ms is not None else int(time.time() * 1000)
     rk = _resolve_rowkey(df.columns, rowkey)
-    values = [c for c in _value_columns(df.columns, timestamp, ttl, ignore) if c != rk]
+    values = [
+        c
+        for c in _value_columns(df.columns, timestamp, ttl, tuple(ignore) + tuple(passthrough))
+        if c != rk
+    ]
     ts = _ts_col(df, timestamp, now)
     ttlc = _ttl_col(df, ttl)
     mutations = F.array(
@@ -127,7 +144,11 @@ def reshape_thrift(
             for c in values
         ]
     )
-    return df.select(F.col(rk).cast("string").alias("key"), mutations.alias("mutations"))
+    return df.select(
+        F.col(rk).cast("string").alias("key"),
+        mutations.alias("mutations"),
+        *[F.col(c) for c in passthrough],
+    )
 
 
 def melt_to_mutations(

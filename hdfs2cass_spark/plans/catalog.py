@@ -101,17 +101,67 @@ def legacy_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_legacy_lines(lines, mode="strict")
 
 
+# Cassandra token functions are not expressible in DuckDB SQL; the oracle JOINs
+# golden-token fixtures computed once by the golden-tested Python murmur3/md5
+# implementations (scripts/gen_token_fixtures.py; constants from the
+# reference's CassandraKeyComparatorTest.java:53-67).
+FIXTURES = "/root/repo/fixtures"
+# murmur3 ring [−2^63, 2^63): 8 buckets -> range 2^61; 16 -> 2^60 (exact, no
+# remainder). DuckDB needs HUGEINT for the +2^63 rescale.
+_M3_BUCKET8 = (
+    "CAST((CAST(f.token AS HUGEINT) + 9223372036854775808) // 2305843009213693952 AS INTEGER)"
+)
+
+
 @declare(
     "token_route_customer",
-    oracle=None,  # Cassandra Murmur3 is not expressible in DuckDB SQL; golden-tested in tests/test_murmur3.py
-    doc="K1+G1/G2: partition-key token + exact ring-range bucket for every "
-    "customer row (8 buckets, unshuffled mapping).",
+    oracle=f"""
+    SELECT c.c_custkey, f.token, {_M3_BUCKET8} AS bucket
+    FROM customer c
+    JOIN read_parquet('{FIXTURES}/tokens_customer.parquet') f USING (c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    doc="K1+G1/G2: Murmur3 token of the TYPED partition key (8-byte big-endian "
+    "bigint — CassandraRecordUtils.toByteBuffer) + exact ring-range bucket "
+    "(8 buckets, unshuffled mapping). Oracle = golden-token fixture join.",
 )
 def token_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import binary_key_expr
+
     cust = load_table(spark, sf_dir, "customer")
-    df = cust.select(F.col("c_custkey").cast("string").alias("rowkey"))
-    df = with_token(df, "rowkey")
-    return with_bucket(df, 8, shuffle_seed=None).select("rowkey", "token", "bucket")
+    df = cust.select("c_custkey", binary_key_expr(cust, ["c_custkey"]).alias("_pk"))
+    df = with_token(df, "_pk")
+    return (
+        with_bucket(df, 8, shuffle_seed=None)
+        .select("c_custkey", "token", "bucket")
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "md5_route_customer",
+    oracle=f"""
+    SELECT c.c_custkey, f.md5_token, CAST(f.md5_bucket8 AS INTEGER) AS md5_bucket
+    FROM customer c
+    JOIN read_parquet('{FIXTURES}/tokens_customer.parquet') f USING (c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    doc="G2 RandomPartitioner branch (CassandraPartitioner.java:63-65): MD5 "
+    "BigIntegerToken = abs(BigInteger(md5(typed key))), ring [0, 2^127), "
+    "bucket = token div rangePerReducer. 128-bit tokens ride as zero-padded "
+    "sortable strings. Oracle = golden-token fixture join.",
+)
+def md5_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import binary_key_expr, with_md5_token_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.select("c_custkey", binary_key_expr(cust, ["c_custkey"]).alias("_pk"))
+    routed = with_md5_token_bucket(df, "_pk", 8, shuffle_seed=None)
+    return routed.select(
+        "c_custkey",
+        F.col("token").alias("md5_token"),
+        F.col("bucket").alias("md5_bucket"),
+    ).orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------

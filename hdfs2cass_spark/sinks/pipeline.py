@@ -54,32 +54,44 @@ def bulk_load(
     if isinstance(rowkey, (list, tuple)) and not composite:
         rowkey = rowkey[0]
 
+    # K1: the token is ALWAYS computed over the typed Cassandra encoding of the
+    # key column(s) (CassandraRecordUtils.toByteBuffer via CassandraParams
+    # .getKeyFn — e.g. 8-byte big-endian for a bigint), never its string form.
+    # A stringified bigint key would hash to a different ring position than the
+    # live cluster's. `_pk` carries those bytes; `_rowkey`/`key` stay as
+    # human-readable display columns.
+    from ..operators.partitioning import binary_key_expr
+    from ..operators.reshape import resolve_rowkey
+
+    key_cols = list(rowkey) if composite else [resolve_rowkey(df.columns, rowkey)]
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"rowkey columns not in input: {missing}")
+    keyed = df.withColumn("_pk", binary_key_expr(df, key_cols))
+
     if params.protocol == "cql":
         reshaped = reshape_cql(
-            df, rowkey[0] if composite else rowkey, timestamp, ttl, ignore, now_ms=now_ms
+            keyed,
+            key_cols[0],
+            timestamp,
+            ttl,
+            ignore,
+            now_ms=now_ms,
+            passthrough=["_pk"],
         )
-        key_col = "_rowkey"
-        if composite:
-            # K1 composite keys: length-prefixed envelope built JVM-side from
-            # the (still-typed) value columns; the token UDF gets raw bytes
-            from ..operators.partitioning import binary_key_expr
-
-            missing = [c for c in rowkey if c not in reshaped.columns]
-            if missing:
-                raise ValueError(f"composite rowkey columns not in reshape output: {missing}")
-            reshaped = reshaped.withColumn("_pk", binary_key_expr(reshaped, list(rowkey)))
-            key_col = "_pk"
     else:
         if composite:
             raise ValueError("composite rowkeys are a CQL-path feature (thrift keys are single ByteBuffers)")
-        reshaped = reshape_thrift(df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
-        key_col = "key"
+        reshaped = reshape_thrift(
+            keyed, key_cols[0], timestamp, ttl, ignore, now_ms=now_ms, passthrough=["_pk"]
+        )
 
     routed = route_to_buckets(
         reshaped,
         num_partitions=n,
-        key_col=key_col,
+        key_col="_pk",
         distribute_randomly=params.distribute_randomly,
+        partitioner=target.partitioner if target is not None else None,
     )
     if simulated_path is not None:
         write_simulated_sstables(routed, simulated_path)

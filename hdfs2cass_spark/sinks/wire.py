@@ -55,8 +55,9 @@ def encode_cql_wire(routed: DataFrame) -> DataFrame:
     `values` holds the serialized bind values in column order with writetime
     and ttl appended last — exactly the reference's CQLRecord layout.
     """
-    meta = {"_rowkey", "writetime", "ttl", "token", "bucket"}
+    meta = {"_rowkey", "_pk", "writetime", "ttl", "token", "bucket"}
     value_cols = [c for c in routed.columns if c not in meta]
+    has_pk = "_pk" in routed.columns
     # encoders are bound to the DECLARED column types (like Cassandra's
     # per-column TypeSerializers) — value-type inference would mis-encode
     # nullable int columns, which Arrow->pandas hands over as float64
@@ -74,9 +75,16 @@ def encode_cql_wire(routed: DataFrame) -> DataFrame:
                 + [struct.pack(">q", int(wt[i])), struct.pack(">i", int(ttl[i]))]
                 for i in range(len(pdf))
             ]
+            # pk = the typed partition-key bytes when the pipeline provides
+            # them (_pk — single-column typed encoding or composite envelope);
+            # utf-8 of the display rowkey only for bare reshape outputs
+            if has_pk:
+                pk = pdf["_pk"].map(lambda b: bytes(b) if b is not None else b"")
+            else:
+                pk = pdf["_rowkey"].map(lambda s: s.encode("utf-8") if s else b"")
             yield pd.DataFrame(
                 {
-                    "pk": pdf["_rowkey"].map(lambda s: s.encode("utf-8") if s else b""),
+                    "pk": pk,
                     "token": pdf["token"],
                     "bucket": pdf["bucket"],
                     "values": values,
@@ -116,6 +124,8 @@ def encode_thrift_wire(routed: DataFrame) -> DataFrame:
     ms timestamp and ttl carried through (CrunchBulkRecordWriter.java:163-209;
     expiring columns keep their ttl, the writer computes expiry from it)."""
 
+    has_pk = "_pk" in routed.columns
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_muts = []
@@ -131,9 +141,13 @@ def encode_thrift_wire(routed: DataFrame) -> DataFrame:
                         for m in muts
                     ]
                 )
+            if has_pk:
+                pk = pdf["_pk"].map(lambda b: bytes(b) if b is not None else b"")
+            else:
+                pk = pdf["key"].map(lambda s: s.encode("utf-8") if s else b"")
             yield pd.DataFrame(
                 {
-                    "pk": pdf["key"].map(lambda s: s.encode("utf-8") if s else b""),
+                    "pk": pk,
                     "token": pdf["token"],
                     "bucket": pdf["bucket"],
                     "mutations": out_muts,

@@ -215,3 +215,63 @@ def test_bulk_load_thrift_composite_raises(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     with pytest.raises(ValueError):
         bulk_load(cust, "thrift://h/ks/t", rowkey=["c_name", "c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# RandomPartitioner (MD5 / BigIntegerToken) branch — CassandraPartitioner.java:63-68
+# ---------------------------------------------------------------------------
+
+
+def test_md5_token_golden():
+    # abs(BigInteger(md5(key))): the digest as a SIGNED big-endian 128-bit int,
+    # then abs (FBUtilities.hashToBigInteger). Derivable from the published
+    # md5("foo") = acbd18db4cc2f85cedef654fccc4a4d8 (sign bit set -> 2^128 - x).
+    from hdfs2cass_spark.functions.md5token import md5_token
+
+    assert md5_token(b"foo") == 110673303387115207421586718101067225896
+    assert md5_token(b"bar") == 74047935693191174550601131226829771250
+    assert md5_token(b"baz") == 154185247982134792683269854420778577544
+    assert md5_token(b"") == 0  # empty key -> MINIMUM (RandomPartitioner.ZERO)
+    assert md5_token("foo") == md5_token(b"foo")  # str tokenized as utf-8
+
+
+def test_md5_route_buckets_and_sort(spark):
+    from hdfs2cass_spark.config import RANDOM
+    from hdfs2cass_spark.functions.md5token import md5_token, range_per_bucket_md5
+
+    df = spark.createDataFrame([Row(k=f"key{i}") for i in range(100)])
+    routed = route_to_buckets(df, 4, key_col="k", shuffle_seed=None, partitioner=RANDOM)
+    rows = routed.collect()
+    rng = range_per_bucket_md5(4)
+    for r in rows:
+        t = md5_token(r["k"])
+        assert int(r["token"]) == t
+        assert len(r["token"]) == 39  # zero-padded -> lexicographic == numeric
+        assert r["bucket"] == t // rng
+    # in-partition (bucket, token) sort order holds per partition
+    parts = routed.select("bucket", "token").rdd.glom().collect()
+    for p in parts:
+        toks = [(r["bucket"], r["token"]) for r in p]
+        assert toks == sorted(toks)
+
+
+def test_bulk_load_random_partitioner_target(spark):
+    from hdfs2cass_spark.config import RANDOM, TargetInfo
+
+    df = spark.createDataFrame([Row(user_id=f"u{i}", plays=i) for i in range(50)])
+    target = TargetInfo(
+        keyspace="ks", table="t", columns=["user_id", "plays"],
+        partition_key_columns=["user_id"], partitioner=RANDOM, num_nodes=4,
+    )
+    routed = bulk_load(df, "cql://h/ks/t", rowkey="user_id", target=target, now_ms=42)
+    assert dict(routed.dtypes)["token"] == "string"  # 128-bit tokens ride as strings
+    assert routed.rdd.getNumPartitions() == 4  # reducers default = node count
+
+
+def test_composite_component_over_64k_raises(spark):
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr
+
+    df = spark.createDataFrame([Row(a="x" * 70000, b="y")])
+    expr = binary_key_expr(df, ["a", "b"])
+    with pytest.raises(Exception, match="65535"):
+        df.select(expr.alias("pk")).collect()

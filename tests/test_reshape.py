@@ -107,7 +107,9 @@ def test_legacy_to_cql_and_thrift(spark):
     parsed = parse_legacy_lines(lines, mode="strict")
     cql = legacy_to_cql(parsed).collect()[0]
     assert (cql["_rowkey"], cql["colname"], cql["value"]) == ("k", "col", "v")
-    assert cql["writetime"] == 100 * 1000  # ms -> µs
+    # the parsed ms value binds VERBATIM (LegacyHdfsToCQL.java:44-49 passes it
+    # unchanged into CQLRecord.create) — no ms->µs scaling
+    assert cql["writetime"] == 100
     thrift = legacy_to_thrift(parsed).collect()[0]
     assert thrift["mutations"][0]["name"] == "col"
     assert thrift["mutations"][0]["ts"] == 100  # thrift stays ms

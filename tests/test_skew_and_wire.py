@@ -67,3 +67,39 @@ def test_thrift_wire_encoding(spark):
     assert bytes(muts[b"plays"]["value"]) == b"7"
     assert bytes(muts[b"score"]["value"]) == b""  # null -> empty
     assert muts[b"plays"]["ts"] == 42  # thrift: ms
+
+
+def test_wire_encoding_composite_key(spark):
+    """Composite-key wire form: pk = the composite envelope bytes (_pk), and
+    the internal _pk column must NOT leak into the bind-values array."""
+    from hdfs2cass_spark.functions.serde import compose_partition_key
+
+    df = spark.createDataFrame(
+        [Row(order_id=7, line_no=2, qty=5)],
+        schema="order_id long, line_no int, qty int",
+    )
+    routed = bulk_load(
+        df, "cql://h/ks/t?reducers=2", rowkey=["order_id", "line_no"], now_ms=42
+    )
+    out = encode_cql_wire(routed).collect()[0]
+    import struct as _s
+    expected_pk = compose_partition_key(_s.pack(">q", 7), _s.pack(">i", 2))
+    assert bytes(out["pk"]) == expected_pk
+    assert out["token"] == cassandra_token(expected_pk)
+    # values = [order_id, line_no, qty] + [writetime, ttl] — no _pk, no _rowkey
+    assert len(out["values"]) == 5
+    assert out["values"][0] == struct.pack(">q", 7)
+    assert out["values"][1] == struct.pack(">i", 2)
+    assert out["values"][2] == struct.pack(">i", 5)
+
+
+def test_wire_encoding_typed_single_column_key(spark):
+    """A bigint single-column rowkey tokenizes over its typed 8-byte encoding,
+    not its string form (CassandraRecordUtils.toByteBuffer via getKeyFn)."""
+    df = spark.createDataFrame([Row(cust_id=42, name="x")], schema="cust_id long, name string")
+    routed = bulk_load(df, "cql://h/ks/t?reducers=2", rowkey="cust_id", now_ms=42)
+    out = encode_cql_wire(routed).collect()[0]
+    typed = struct.pack(">q", 42)
+    assert bytes(out["pk"]) == typed
+    assert out["token"] == cassandra_token(typed)
+    assert out["token"] != cassandra_token(b"42")  # the old string-form bug
