@@ -42,10 +42,9 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
-            try:
-                CATALOG[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-            except Exception:
-                pass
+            # a query that breaks at warm-up must FAIL the bench, not get
+            # silently timed cold (skews round-over-round comparisons)
+            CATALOG[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -60,11 +59,21 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # tracked throughput metric: the full bulk-load dataflow in rows/s
+    try:
+        import pyarrow.parquet as pq
+
+        bulk_rows = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+        bulk_rows_per_sec = round(bulk_rows / timings["bulk_route_lineitem"], 1)
+    except Exception:  # noqa: BLE001 — metadata read is best-effort decoration
+        bulk_rows_per_sec = None
+
     result = {
         "metric": "headline-queries-total-sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "bulk_load_rows_per_sec": bulk_rows_per_sec,
         "sf": sf_dir,
     }
     print(json.dumps(result))

@@ -22,6 +22,7 @@ import sys
 
 from .session import get_session
 from .sinks.pipeline import bulk_load
+from .sources.readers import read_records
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -41,9 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_session("hdfs2cass_spark.cli")
-    # pass the list, not *args: load()'s 2nd positional parameter is `format`,
-    # so splatting two paths would silently reinterpret the second as a format
-    df = spark.read.format(args.format).load(args.input)
+    # --format avro needs the external spark-avro module (read_records raises
+    # with the --packages coordinates when it's absent)
+    df = read_records(spark, args.input, fmt=args.format)
     routed = bulk_load(
         df,
         output_uri=args.output,

@@ -58,13 +58,25 @@ def md5_token_bucket_udf(num_buckets: int):
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     range_per = range_per_bucket_md5(num_buckets)
+    width = TOKEN_WIDTH
 
+    # self-contained closure: executors may not have this package on
+    # PYTHONPATH, so reference nothing from the module (locals pickle by value)
     def _tok(keys: pd.Series) -> pd.DataFrame:
+        import hashlib
+
         toks = []
         buckets = []
         for k in keys.to_numpy():
-            t = md5_token(k)
-            toks.append(str(t).zfill(TOKEN_WIDTH))
+            if k is None:
+                k = b""
+            if isinstance(k, str):
+                k = k.encode("utf-8")
+            if len(k) == 0:
+                t = 0
+            else:
+                t = abs(int.from_bytes(hashlib.md5(bytes(k)).digest(), "big", signed=True))
+            toks.append(str(t).zfill(width))
             buckets.append(t // range_per)
         return pd.DataFrame({"token": toks, "bucket": buckets})
 

@@ -312,25 +312,6 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "cube_lineitem_stats",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    doc="CUBE aggregation over both grouping dimensions.",
-)
-def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-    )
-
-
-@declare(
     "grouping_sets_sales",
     oracle="""
     SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -356,34 +337,27 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "distinct_users_per_type",
     oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+           TRUE AS approx_ok
     FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="Exact distinct aggregation (two-phase partial/final under AQE).",
+    doc="Exact distinct aggregation (two-phase partial/final under AQE) plus "
+    "the HyperLogLog++ sketch path verified against it: approx_ok asserts "
+    "approx_count_distinct(rsd=0.01) lands within 5% of the exact count "
+    "(sketch values themselves differ across engines by design, so the "
+    "oracle checks the error bound, not the sketch).",
 )
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return (
         e.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
+            exact.alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
         )
-        .orderBy("event_type")
-    )
-
-
-@declare(
-    "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines by design; exact twin is distinct_users_per_type
-    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct "
-    "counts; rows-only check, exact twin above.",
-)
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
         .orderBy("event_type")
     )
 
@@ -394,63 +368,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "join_region_nation_counts",
+    "semi_anti_join_customers",
     oracle="""
-    SELECT r_name, COUNT(*) AS n_nations
-    FROM nation JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name ORDER BY r_name
-    """,
-    doc="Broadcast hash join of two dimensions (no shuffle of either side "
-    "beyond the tiny broadcast).",
-)
-def join_region_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_nations"))
-        .orderBy("r_name")
-    )
-
-
-@declare(
-    "semi_join_customers_with_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'with_orders' AS tag, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
-    """,
-    doc="Left semi join (EXISTS): no row multiplication, orders side reduced "
-    "to its join keys.",
-)
-def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@declare(
-    "anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
+    ORDER BY tag, c_custkey
     """,
-    doc="Left anti join (NOT EXISTS).",
+    doc="Left semi + left anti join in one result (EXISTS / NOT EXISTS): no "
+    "row multiplication, the orders side reduced to its join keys; together "
+    "they partition the customer table.",
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("with_orders").alias("tag"), "c_custkey", "c_name")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("without_orders").alias("tag"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti).orderBy("tag", "c_custkey")
 
 
 @declare(
@@ -540,55 +482,41 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "window_lag_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-           o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
-    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
-    """,
-    doc="LAG over an ordered per-customer window; delta of identical doubles "
-    "is bit-deterministic.",
-)
-def window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_totalprice").over(w)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        prev.alias("prev_price"),
-        (F.col("o_totalprice") - prev).alias("price_delta"),
-    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
-
-
-@declare(
     "window_moving_avg_events",
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
-             / COUNT(*) OVER w AS moving_avg
+             / COUNT(*) OVER w AS moving_avg,
+           LAG(value) OVER o AS prev_value,
+           value - LAG(value) OVER o AS value_delta,
+           LEAD(value) OVER o AS next_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           o AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id
     """,
-    doc="Sliding row-frame moving average (exact decimal sum / count).",
+    doc="Window frame surface in one pass over the per-user event-time "
+    "ordering: sliding row-frame moving average (exact decimal sum / count) "
+    "+ LAG/LEAD offsets (delta of identical doubles is bit-deterministic). "
+    "Both window specs share one shuffle+sort on user_id.",
 )
 def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = o.rowsBetween(-3, 0)
+    prev = F.lag("value").over(o)
     return e.select(
         "event_id",
         "user_id",
         (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
             "moving_avg"
         ),
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("value_delta"),
+        F.lead("value").over(o).alias("next_value"),
     ).orderBy("user_id", "event_id")
 
 
@@ -627,10 +555,14 @@ def topk_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(p_size - 25) AS size_dist,
            p_size % 7 AS size_mod,
            round(p_retailprice, 1) AS price_rounded,
-           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(regexp_matches(p_brand, '^Brand#[0-9]+$') AS BOOLEAN) AS brand_well_formed,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
     FROM part ORDER BY p_partkey
     """,
-    doc="String/math scalar surface — all whole-stage-codegen built-ins.",
+    doc="String/math/regex scalar surface — all whole-stage-codegen built-ins "
+    "(regex patterns kept in the RE2∩Java common subset so engines agree).",
 )
 def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -645,6 +577,9 @@ def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") % 7).alias("size_mod"),
         F.round("p_retailprice", 1).alias("price_rounded"),
         F.when(F.col("p_size") > 25, "big").otherwise("small").alias("size_class"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_well_formed"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
     ).orderBy("p_partkey")
 
 
@@ -868,12 +803,14 @@ def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_agg(c_name, ',' ORDER BY c_name) AS all_names,
            arg_max(c_name, c_custkey) AS latest_name,
            arg_min(c_name, c_custkey) AS first_name,
-           COUNT(*) FILTER (c_acctbal > 0) AS n_positive
+           COUNT(*) FILTER (c_acctbal > 0) AS n_positive,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_rich
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
-    doc="Ordered string aggregation, arg_max/arg_min, filtered count — the "
-    "collect_list is bounded per group (names per nation), never a global "
-    "collect.",
+    doc="Ordered string aggregation, arg_max/arg_min, filtered count, boolean "
+    "aggregates (every/some) — the collect_list is bounded per group (names "
+    "per nation), never a global collect.",
 )
 def advanced_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -884,6 +821,8 @@ def advanced_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(c_name, c_custkey)").alias("latest_name"),
             F.expr("min_by(c_name, c_custkey)").alias("first_name"),
             F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
+            F.expr("bool_and(c_acctbal > -1000)").alias("all_above_floor"),
+            F.expr("bool_or(c_acctbal > 9000)").alias("any_rich"),
         )
         .orderBy("c_nationkey")
     )
@@ -1032,59 +971,36 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@declare(
-    "regexp_functions_customer",
-    oracle="""
-    SELECT c_custkey,
-           regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
-           CAST(regexp_matches(c_name, '^Customer#') AS BOOLEAN) AS well_formed,
-           regexp_replace(c_name, '0+', '*', 'g') AS squeezed
-    FROM customer ORDER BY c_custkey
-    """,
-    doc="Regex scalar surface: extract/match/replace (patterns kept in the "
-    "RE2∩Java-regex common subset so engines agree).",
-)
-def regexp_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.regexp_extract("c_name", "([0-9]+)", 1).alias("id_digits"),
-        F.col("c_name").rlike("^Customer#").alias("well_formed"),
-        F.regexp_replace("c_name", "0+", "*").alias("squeezed"),
-    ).orderBy("c_custkey")
+def _bulk_route_oracle() -> str:
+    """Fixture-join oracle for the full bulk-load dataflow: golden tokens for
+    the composite (l_orderkey, l_linenumber) envelope + the same seeded
+    bucket permutation route_to_buckets applies (shuffled_bucket_map(16, 42),
+    mirroring CassandraParams.java:319-328's reducer-list shuffle)."""
+    from ..operators.partitioning import shuffled_bucket_map
 
-
-@declare(
-    "boolean_aggregates",
-    oracle="""
-    SELECT o_orderstatus,
-           bool_and(o_totalprice > 0) AS all_positive,
-           bool_or(o_totalprice > 400000) AS any_large,
-           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    doc="Boolean aggregate surface (every/some as bool_and/bool_or).",
-)
-def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
-            F.expr("bool_or(o_totalprice > 400000)").alias("any_large"),
-            F.min("o_orderkey").cast("bigint").alias("first_key"),
-        )
-        .orderBy("o_orderstatus")
-    )
+    perm = shuffled_bucket_map(16, seed=42)
+    perm_sql = "[" + ", ".join(str(p) for p in perm) + "]"
+    raw = "(CAST(f.token AS HUGEINT) + 9223372036854775808) // 1152921504606846976"
+    return f"""
+    SELECT f.pk_hex, f.token,
+           CAST(({perm_sql})[CAST({raw} AS INTEGER) + 1] AS INTEGER) AS bucket,
+           CAST({NOW_MS * 1000} AS BIGINT) AS writetime,
+           CAST(0 AS INTEGER) AS ttl
+    FROM lineitem l
+    JOIN read_parquet('{FIXTURES}/tokens_lineitem.parquet') f
+      ON l.l_orderkey = f.l_orderkey AND l.l_linenumber = f.l_linenumber
+    ORDER BY f.pk_hex
+    """
 
 
 @declare(
     "bulk_route_lineitem",
-    oracle=None,  # Cassandra murmur3 routing — not SQL-expressible; end-state checked in tests
+    oracle=_bulk_route_oracle(),
     doc="The full bulk-load dataflow on the largest fixture table: reshape "
     "(composite rowkey l_orderkey+l_linenumber) -> token -> ring bucket -> "
     "single shuffle -> in-partition token sort. The headline throughput "
-    "number for the reference-parity path.",
+    "number for the reference-parity path. Oracle = golden-token fixture "
+    "join reproducing token, shuffled bucket, writetime and ttl.",
 )
 def bulk_route_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.pipeline import bulk_load
@@ -1096,4 +1012,6 @@ def bulk_route_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         rowkey=["l_orderkey", "l_linenumber"],
         now_ms=NOW_MS,
     )
-    return routed.select("_pk", "token", "bucket", "writetime", "ttl")
+    return routed.select(
+        F.hex(F.col("_pk")).alias("pk_hex"), "token", "bucket", "writetime", "ttl"
+    ).orderBy("pk_hex")

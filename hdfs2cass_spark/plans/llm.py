@@ -69,6 +69,11 @@ N_HASHES = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (4 rows per band)
 SIMHASH_BITS = 32  # 16 saturated on shared-vocab docs (28k pairs at hamming<=3); 32 discriminates
 DF_CAP = 50  # shingle document-frequency cap for the jaccard pair join
+# LSH band-bucket size cap: a degenerate corpus (thousands of identical docs)
+# puts them all in one band bucket and the pair expansion goes quadratic.
+# Buckets over the cap are dropped (the same guard DF_CAP applies to shingles);
+# a bucket of BAND_CAP docs yields at most ~BAND_CAP^2/2 pairs in one task.
+BAND_CAP = 100
 
 
 def hash60_spark(expr: str) -> str:
@@ -129,28 +134,6 @@ def dedup_normalized_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declare(
-    "text_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len({W_DUCK}) AS INTEGER) AS n_tokens,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Token counting: whitespace tokens + chars + a BPE-ish chars/4 "
-    "approximation.",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.expr(f"size({W_SPARK})").cast("int").alias("n_tokens"),
-        F.length("text").cast("int").alias("n_chars"),
-        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
 STOPWORDS = "('the', 'a', 'and', 'of', 'to')"
 
 
@@ -159,6 +142,8 @@ STOPWORDS = "('the', 'a', 'and', 'of', 'to')"
     oracle=f"""
     SELECT doc_id,
            CAST(len({W_DUCK}) AS INTEGER) AS n_words,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens,
            CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}) AS uniq_ratio,
            CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
              / len({W_DUCK}) AS stop_ratio,
@@ -167,8 +152,10 @@ STOPWORDS = "('the', 'a', 'and', 'of', 'to')"
                               / len({W_DUCK})), 6) AS quality
     FROM documents ORDER BY doc_id
     """,
-    doc="Quality scoring: vocabulary-uniqueness and stopword-density heuristic "
-    "(pure column arithmetic, trivially 100 TB-parallel).",
+    doc="Token counting + quality scoring in one pass: whitespace tokens, "
+    "chars, a BPE-ish chars/4 approximation, vocabulary-uniqueness and "
+    "stopword-density heuristic (pure column arithmetic, trivially "
+    "100 TB-parallel).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -180,6 +167,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),
         F.round(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 6).alias("quality"),
@@ -325,16 +314,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh15): min over shingles of 16 seeded md5-derived hashes,
-    computed in ONE groupBy (no 16x explode)."""
+def _shingle_sets(df: DataFrame) -> DataFrame:
+    """(doc_id, shset, n_sh): the distinct 3-word shingle ARRAY per document.
+
+    Pure column ops — no explode, no groupBy, NO SHUFFLE — so consumers can
+    recompute it freely instead of persisting (round-1 leaked `.persist()`
+    caches across the driver's 50-query sweep). Docs with no shingles
+    (< 3 words) are dropped, matching the exploded formulation's semantics.
+    """
+    return (
+        df.select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.expr(f"array_distinct({SH_ON_WS_SPARK})").alias("shset"))
+        .filter(F.size("shset") >= 1)
+        .select("doc_id", "shset", F.size("shset").alias("n_sh"))
+    )
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
+    """(doc_id, shset, n_sh, mh0..mh15): min over the shingle array of 16
+    seeded hashes — array_min(transform(...)) per signature row, no
+    explode+groupBy shuffle at all. `fast` switches md5-derived hashes (the
+    DuckDB-matchable oracle twin) for JVM-native xxhash64."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    aggs = [
-        F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    shs = _shingle_sets(d)
+    if fast:
+        mh = [f"xxhash64({i}, s)" for i in range(N_HASHES)]
+    else:
+        mh = [hash60_spark(f"concat('{i}:', s)") for i in range(N_HASHES)]
+    return shs.select(
+        "doc_id",
+        "shset",
+        "n_sh",
+        *[
+            F.expr(f"array_min(transform(shset, s -> {mh[i]}))").alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 # build the oracle SQL for minhash queries programmatically
@@ -350,23 +365,6 @@ _MH_CTE = f"""
            {_MH_MINS}
       FROM sh GROUP BY doc_id)
 """
-_MH_UNPIVOT = "\n    UNION ALL\n".join(
-    f"    SELECT doc_id, {i} AS h, mh{i} AS minhash FROM m" for i in range(N_HASHES)
-)
-
-
-@declare(
-    "minhash_signatures",
-    oracle=_MH_CTE + _MH_UNPIVOT + "\n    ORDER BY doc_id, h",
-    doc=f"MinHash signatures: {N_HASHES} md5-seeded hash functions min-folded "
-    "over distinct 3-word shingles; emitted exploded (doc_id, h, minhash).",
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _minhash_wide(spark, sf_dir)
-    stack_args = ", ".join(f"{i}, mh{i}" for i in range(N_HASHES))
-    return wide.select(
-        "doc_id", F.expr(f"stack({N_HASHES}, {stack_args}) AS (h, minhash)")
-    ).orderBy("doc_id", "h")
 
 
 _R = N_HASHES // N_BANDS  # rows per band
@@ -376,6 +374,59 @@ _BANDS_SQL = "\n      UNION ALL\n".join(
     )
     for b in range(N_BANDS)
 )
+# band buckets over BAND_CAP docs are dropped before pair expansion (both
+# engines), killing the degenerate-corpus quadratic
+_OKB_SQL = f"""
+    okb AS (
+      SELECT band, bkey FROM bands
+      GROUP BY band, bkey HAVING COUNT(*) BETWEEN 2 AND {BAND_CAP})"""
+_CAND_SQL = """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN okb ON okb.band = a.band AND okb.bkey = a.bkey
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+        AND a.doc_id < b.doc_id)"""
+
+
+def _band_structs() -> list:
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ]
+
+
+def _band_candidates(wide: DataFrame) -> DataFrame:
+    """LSH candidate pairs via IN-BUCKET expansion: group each (band, bkey)
+    bucket, cap its size at BAND_CAP, and expand the sorted doc list to
+    ordered pairs inside the bucket row.
+
+    Versus the round-1 band self-join: the band table is computed ONCE (no
+    persist needed, nothing leaks into the session cache), and a degenerate
+    bucket can't go quadratic — it's dropped by the cap, the same guard
+    DF_CAP applies to frequent shingles.
+    """
+    bands = wide.select("doc_id", F.explode(F.array(*_band_structs())).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bkey"
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= BAND_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 @declare(
@@ -384,45 +435,18 @@ _BANDS_SQL = "\n      UNION ALL\n".join(
     + f""",
     bands AS (
 {_BANDS_SQL}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+{_OKB_SQL},
+{_CAND_SQL}
+    SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
     """,
     doc=f"MinHash-LSH candidate pairs: {N_BANDS} bands x {_R} rows; docs "
     "sharing any full band signature become candidates. The scale path for "
-    "near-dup at 100 TB (shuffle on band keys, no all-pairs join).",
+    "near-dup at 100 TB: one shuffle on band keys, in-bucket pair expansion "
+    f"capped at {BAND_CAP} docs per bucket — never an all-pairs join.",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode bands from ONE pass over the signatures (a per-band union would
-    # recompute the minhash aggregation N_BANDS times), and persist the tiny
-    # signature-derived band table so the self-join doesn't recompute it either
     wide = _minhash_wide(spark, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ]
-    allb = wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
-    allb = allb.persist()
-    a = allb.alias("a")
-    b_ = allb.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return _band_candidates(wide).orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_SUMS_DUCK = ",\n             ".join(
@@ -434,23 +458,10 @@ _SIMHASH_VAL = " + ".join(
 )
 
 
-@declare(
-    "simhash_fingerprint",
-    oracle=f"""
-    WITH wd AS (
-      SELECT doc_id, {hash60_duck('w')} AS wh FROM (
-        SELECT doc_id, unnest({W_DUCK}) AS w FROM documents) t),
-    bits AS (
-      SELECT doc_id,
-             {_SIMHASH_SUMS_DUCK}
-      FROM wd GROUP BY doc_id)
-    SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
-    FROM bits ORDER BY doc_id
-    """,
-    doc=f"SimHash ({SIMHASH_BITS}-bit): per-bit majority vote over word hashes "
-    "(all occurrences). Near-dups differ in few bits.",
-)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit): per-bit majority vote over word hashes (all
+    occurrences). Near-dups differ in few bits. Oracle-verified transitively
+    through simhash_near_dup_pairs, which carries these fingerprints."""
     d = load_table(spark, sf_dir, "documents")
     wd = d.select("doc_id", F.explode(F.expr(W_SPARK)).alias("w")).select(
         "doc_id", F.expr(hash60_spark("w")).alias("wh")
@@ -498,9 +509,11 @@ _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {
     FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
     """,
     doc="Brute-force cosine top-k (the correctness baseline for ANN): "
-    "broadcast 5 query vectors against the full scan; per-query heap via "
-    "row_number. At 100 TB the query side stays broadcast and the scan is "
-    "embarrassingly parallel.",
+    "broadcast 5 query vectors against the full scan, similarities computed "
+    "JVM-side, then PARTIAL top-k per Arrow batch (a mapInPandas truncation "
+    "that emits at most k rows per query per batch) before the tiny global "
+    "merge. No stage ever funnels the whole corpus's similarities into one "
+    "task — the round-1 global row_number did exactly that.",
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -515,42 +528,26 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
         6,
     )
-    ranked = pairs.select("q_id", "vec_id", sim.alias("sim")).withColumn(
+    sims = pairs.select("q_id", "vec_id", sim.alias("sim"))
+
+    # map-side truncation: any global top-5 row is in its batch's top-5, and
+    # the (sim desc, vec_id asc) total order makes the cut deterministic
+    def batch_topk(it):
+        for pdf in it:
+            yield (
+                pdf.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+                .groupby("q_id", sort=False)
+                .head(5)
+            )
+
+    partial = sims.mapInPandas(batch_topk, sims.schema)
+    ranked = partial.withColumn(
         "rnk",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")),
     )
     return ranked.filter(F.col("rnk") <= 5).select(
         "q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk")
     ).orderBy("q_id", "rnk")
-
-
-@declare(
-    "embedding_label_centroids",
-    oracle="""
-    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-             / 1000000.0 / COUNT(*) AS avg_val
-    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-    GROUP BY label, i ORDER BY label, pos
-    """,
-    doc="Per-label centroid of the embedding column (vector aggregation via "
-    "positional explode). Values are 1e-6-quantized before summing so the "
-    "accumulation is exact int64 math — order-independent and engine-exact "
-    "(double->decimal casts round via string repr in Spark and diverge at "
-    "~1e-12 from DuckDB).",
-)
-def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = F.floor(F.col("v").cast("double") * 1000000).cast("bigint")
-    return (
-        e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (F.sum(qv).cast("double") / F.lit(1000000.0) / F.count(F.lit(1))).alias("avg_val")
-        )
-        .select("label", F.col("pos").cast("int").alias("pos"), "avg_val")
-        .orderBy("label", "pos")
-    )
 
 
 def _lsh_planes():
@@ -573,23 +570,6 @@ def _lsh_bucket_sql(elem_fmt: str) -> str:
         )
         proj_cols.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(proj_cols)
-
-
-@declare(
-    "embedding_lsh_buckets",
-    oracle=f"""
-    SELECT vec_id, label,
-           CAST({_lsh_bucket_sql("embedding[{i}]")} AS INTEGER) AS bucket
-    FROM embeddings ORDER BY vec_id
-    """,
-    doc="ANN scale path: 8-bit random-hyperplane LSH bucket per vector "
-    "(deterministic seeded planes). Near neighbors collide with high "
-    "probability; search cost drops from O(N) to O(N/256) per query.",
-)
-def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = F.expr(_lsh_bucket_sql("element_at(embedding, {i})")).cast("int")
-    return e.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -621,32 +601,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@declare(
-    "clean_text_transform",
-    oracle="""
-    SELECT doc_id,
-           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS clean_text,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS clean_hash
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Text normalization transform (lowercase, trim, whitespace collapse) "
-    "with a content hash — the canonical pre-dedup cleaning step.",
-)
-def clean_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    clean = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return d.select(
-        "doc_id",
-        clean.alias("clean_text"),
-        F.md5(clean.cast("binary")).alias("clean_hash"),
-    ).orderBy("doc_id")
-
-
-_JACCARD_VERIFY_SQL = f"""
-    , cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        AND a.doc_id < b.doc_id),
+_JACCARD_VERIFY_SQL = """
     n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -663,63 +618,44 @@ _JACCARD_VERIFY_SQL = f"""
     ORDER BY doc_a, doc_b
 """
 
+_NEAR_DUP_ORACLE = (
+    _MH_CTE
+    + f""",
+    bands AS (
+{_BANDS_SQL}),
+{_OKB_SQL},
+{_CAND_SQL},"""
+    + _JACCARD_VERIFY_SQL
+)
+
 
 @declare(
     "dedup_near_duplicates",
-    oracle=_MH_CTE + f""",
-    bands AS (
-{_BANDS_SQL})""" + _JACCARD_VERIFY_SQL,
+    oracle=_NEAR_DUP_ORACLE,
     doc="The full near-dup dedup pipeline: MinHash-LSH candidate generation "
-    "-> exact Jaccard verification on the candidates only (never all pairs) "
-    "-> verified pairs with jaccard >= 0.5. This is the 100 TB dedup shape: "
-    "cost scales with candidates, not with docs^2.",
+    "(capped band buckets, in-bucket expansion) -> exact Jaccard verification "
+    "on the candidates only, via array_intersect of the per-doc shingle sets "
+    "(no shingle-level explode join) -> verified pairs with jaccard >= 0.5. "
+    "This is the 100 TB dedup shape: cost scales with candidates, not docs^2, "
+    "and nothing is persisted — the shingle-set computation is shuffle-free "
+    "and recomputed per use.",
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d).persist()
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
+    wide = _minhash_wide(spark, sf_dir)
+    cand = _band_candidates(wide)
+    shs = _shingle_sets(d)
+    sa = shs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n_sh").alias("na")
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bkey"
+    sb = shs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n_sh").alias("nb")
     )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sa") == F.col("sb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.5)
+        joined.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -872,40 +808,13 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-verified while the fast path stays benchmarked.",
 )
 def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[f"mh{b * _R + j}" for j in range(_R)]).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ]
-    allb = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bkey"
-    ).persist()
-    a = allb.alias("a")
-    b_ = allb.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    wide = _minhash_wide(spark, sf_dir, fast=True)
+    return _band_candidates(wide).orderBy("doc_a", "doc_b")
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
     """Connected components over an undirected edge list -> (node, component)
     where component = min node id in the component.
 
@@ -915,19 +824,32 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
     but the data never leaves the cluster — the driver only checks a scalar
     convergence count per round. Near-dup clusters have tiny diameters, so
     this is 2-4 rounds in practice.
+
+    Raises RuntimeError if the labels have not converged after `max_iter`
+    rounds — silently returning unconverged labels would hand the caller
+    WRONG clusters. The result is materialized (localCheckpoint) so every
+    intermediate cache can be released before returning; nothing stays
+    persisted across queries.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    # eager localCheckpoint each round: materializes the new labels AND
+    # truncates the lineage, so round N's plan never replays rounds 1..N-1
+    # (with plain persist the DAG still deepens and the convergence count
+    # replays the whole chain — measured minutes on a 30-round graph).
+    # Checkpointed blocks are dropped by the ContextCleaner once the previous
+    # round's DataFrame goes out of scope; nothing stays in the SQL cache.
     comps = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(comps, sym.b == comps.node)
@@ -941,23 +863,67 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
                 (F.col("ncomp") < F.col("comp")).alias("_changed"),
             )
-        ).persist()
+            .localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("_changed")).count()
-        new_comps = updated.drop("_changed").persist()
-        comps.unpersist()
-        comps = new_comps
+        comps = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return comps.select("node", "comp")
+
+
+# the dedup_clusters oracle re-derives the verified pair list (same CTEs as
+# dedup_near_duplicates) and closes it transitively with a RECURSIVE CTE —
+# cluster label = min doc_id reachable, exactly the alternating-min fixpoint
+_CLUSTERS_ORACLE = (
+    "    WITH RECURSIVE"
+    + _MH_CTE.split("WITH", 1)[1]
+    + f""",
+    bands AS (
+{_BANDS_SQL}),
+{_OKB_SQL},
+{_CAND_SQL},
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b),
+    verified AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION SELECT doc_b, doc_a FROM verified),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node AS src, node AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+    SELECT src AS doc_id, MIN(dst) AS keeper
+    FROM reach GROUP BY src ORDER BY doc_id
+    """
+)
 
 
 @declare(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; validated against a Python BFS in tests
+    oracle=_CLUSTERS_ORACLE,
     doc="Near-dup clusters: LSH+Jaccard-verified pairs -> connected components "
-    "(iterative label propagation) -> (doc_id, cluster keeper = min doc_id). "
-    "The final step of the dedup pipeline: keep one doc per cluster, drop the "
-    "rest. Driver sees only a scalar per round; data stays distributed.",
+    "(iterative label propagation, loud failure on non-convergence) -> "
+    "(doc_id, cluster keeper = min doc_id). The final step of the dedup "
+    "pipeline: keep one doc per cluster, drop the rest. Driver sees only a "
+    "scalar per round; data stays distributed. Oracle: the same verified "
+    "pair SQL closed transitively with a RECURSIVE CTE.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_near_duplicates(spark, sf_dir).select("doc_a", "doc_b")
@@ -982,14 +948,19 @@ _SIMHASH_CTE = f"""
 
 @declare(
     "simhash_near_dup_pairs",
-    oracle=_SIMHASH_CTE + """,
+    oracle=_SIMHASH_CTE + f""",
     bands AS (
       SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bval
       FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+    okb AS (
+      SELECT band, bval FROM bands
+      GROUP BY band, bval HAVING COUNT(*) BETWEEN 2 AND {BAND_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              a.simhash AS sh_a, b2.simhash AS sh_b
-      FROM bands a JOIN bands b2
+      FROM bands a
+      JOIN okb ON okb.band = a.band AND okb.bval = a.bval
+      JOIN bands b2
         ON a.band = b2.band AND a.bval = b2.bval AND a.doc_id < b2.doc_id)
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
@@ -1000,30 +971,33 @@ _SIMHASH_CTE = f"""
     doc="SimHash near-dup pairs via Hamming-LSH: 32-bit simhash split into 4 "
     "bands of 8 bits; docs sharing any band value become candidates (any "
     "pair within Hamming distance 3 must share a band — pigeonhole); verify "
-    "with bit_count(xor). No all-pairs comparison anywhere.",
+    "with bit_count(xor). Fingerprints ride through the bucket grouping so "
+    "the fingerprint computation runs ONCE with no persist; bucket size is "
+    f"capped at {BAND_CAP}. No all-pairs comparison anywhere.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = simhash_fingerprint(spark, sf_dir).persist()
+    sh = simhash_fingerprint(spark, sf_dir)
     bands = sh.select(
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
     ).withColumn("bval", F.expr("(simhash >> (band * 8)) & 255"))
-    a = bands.alias("a")
-    b2 = bands.alias("b2")
+    # in-bucket pair expansion with the fingerprint as payload: one pass over
+    # the fingerprints, no self-join, no persist, degenerate buckets capped
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= BAND_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sh_a, y.simhash AS sh_b))))"
+    )
     cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b2.band"))
-            & (F.col("a.bval") == F.col("b2.bval"))
-            & (F.col("a.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b2.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b2.simhash").alias("sh_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.expr("bit_count(sh_a ^ sh_b)")
@@ -1111,13 +1085,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = wd.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = wd.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # plan-time scalar (count of a parquet footer — cheap)
-    scored = tf.join(F.broadcast(dfreq), "w").select(
-        "doc_id",
-        "w",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # n_docs as a broadcast scalar relation, not a driver-side d.count() —
+    # no job runs at plan-construction time; the count folds into the DAG
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     return (
         scored.withColumn(
@@ -1133,37 +1111,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "price_histogram",
-    oracle="""
-    SELECT CAST(floor(p_retailprice / 10) AS INTEGER) AS bucket,
-           COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
-    FROM part GROUP BY 1 ORDER BY 1
-    """,
-    doc="Fixed-width histogram (declarative binning — no data-dependent "
-    "boundaries, so no extra pass to compute min/max).",
-)
-def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return (
-        p.groupBy(F.floor(F.col("p_retailprice") / 10).cast("int").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).cast("double").alias("total_price"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@declare(
     "edit_distance_verify",
     oracle=_MH_CTE + f""",
     bands AS (
 {_BANDS_SQL}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        AND a.doc_id < b.doc_id)
+{_OKB_SQL},
+{_CAND_SQL}
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INTEGER) AS edit80
     FROM cand c

@@ -89,6 +89,15 @@ def read_legacy_text(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.text(p).withColumnRenamed("value", "line")
 
 
+# spark-avro is an EXTERNAL Spark module (not bundled with pip pyspark); on a
+# real cluster ship it with either of:
+#   spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>
+#   spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark-version>
+# The reference reads Avro container files (Hdfs2Cass.java:107-108,135-144);
+# with the jar present `--format avro` runs the identical dataflow.
+AVRO_PACKAGE = "org.apache.spark:spark-avro_2.13"
+
+
 def has_avro_support(spark: SparkSession) -> bool:
     """The Avro source (S1) is an external Spark module; the pip pyspark
     distribution may not bundle spark-avro. Callers use parquet/text when
@@ -98,3 +107,24 @@ def has_avro_support(spark: SparkSession) -> bool:
         return True  # pragma: no cover
     except Exception as e:
         return "FAILED_FIND_AVRO_DATA_SOURCE" not in str(e) and "Failed to find" not in str(e)
+
+
+def read_records(
+    spark: SparkSession, paths: str | list[str], fmt: str = "parquet"
+) -> DataFrame:
+    """S1: the record source. Accepts one path or many — multiple --input
+    paths are concatenated by the source, the reference's only union-like
+    behavior (Hdfs2Cass.java:107-108,135-137).
+
+    `fmt="avro"` requires the spark-avro module; absent, this raises with the
+    exact package coordinates instead of Spark's opaque lookup error.
+    """
+    p = [paths] if isinstance(paths, str) else list(paths)
+    if fmt == "avro" and not has_avro_support(spark):
+        raise RuntimeError(
+            "the Avro source requires the external spark-avro module: "
+            f"run with --packages {AVRO_PACKAGE}:<your-spark-version> "
+            "(e.g. spark.jars.packages). Parquet and text inputs need no extra jars."
+        )
+    # pass the list, not *p: load()'s 2nd positional parameter is `format`
+    return spark.read.format(fmt).load(p)

@@ -41,3 +41,33 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     )
     assert rc == 0
     assert len(glob.glob(f"{out}/bucket=*")) >= 1
+
+
+def test_avro_roundtrip_or_helpful_error(spark, tmp_path, sf_dir):
+    """S1: when spark-avro is present, round-trip a fixture through the Avro
+    container format and bulk-load it — identical dataflow to parquet. When
+    absent (pip pyspark), the source must fail with the --packages
+    coordinates, not Spark's opaque datasource-lookup error."""
+    import pytest
+
+    from hdfs2cass_spark.sinks.pipeline import bulk_load
+    from hdfs2cass_spark.sources.readers import has_avro_support, read_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    if not has_avro_support(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_records(spark, str(tmp_path / "nope"), fmt="avro")
+        pytest.skip("spark-avro module not bundled in this environment")
+    avro_dir = str(tmp_path / "customer_avro")
+    cust.write.format("avro").save(avro_dir)
+    back = read_records(spark, avro_dir, fmt="avro")
+    routed = bulk_load(back, "cql://h/ks/t?reducers=4", rowkey="c_custkey", now_ms=42)
+    assert routed.count() == cust.count()
+
+
+def test_read_records_multi_path_union(spark, sf_dir, tmp_path):
+    from hdfs2cass_spark.sources.readers import read_records
+
+    one = read_records(spark, f"{sf_dir}/nation.parquet")
+    two = read_records(spark, [f"{sf_dir}/nation.parquet", f"{sf_dir}/nation.parquet"])
+    assert two.count() == 2 * one.count()

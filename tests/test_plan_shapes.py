@@ -45,10 +45,33 @@ def test_bulk_load_single_shuffle_single_python_hop(spark, sf_dir):
 
 
 def test_semi_anti_join_plans(spark, sf_dir):
-    semi = _explain(spark, CATALOG["semi_join_customers_with_orders"].fn(spark, sf_dir))
-    anti = _explain(spark, CATALOG["anti_join_customers_without_orders"].fn(spark, sf_dir))
-    assert "LeftSemi" in semi
-    assert "LeftAnti" in anti
+    p = _explain(spark, CATALOG["semi_anti_join_customers"].fn(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_topk_cosine_no_global_window(spark, sf_dir):
+    """embedding_topk_cosine must truncate map-side: the window rank runs on
+    the mapInPandas-truncated candidates, never on the full similarity set
+    (a global single-partition sort at 100 TB)."""
+    p = _explain(spark, CATALOG["embedding_topk_cosine"].fn(spark, sf_dir))
+    assert "MapInPandas" in p
+    # the plan tree prints root-first: the Window (global merge) must sit ABOVE
+    # the MapInPandas truncation, i.e. consume its (tiny) output — and the
+    # broadcast join must sit BELOW the truncation
+    assert p.index("Window") < p.index("MapInPandas")
+    assert p.index("MapInPandas") < p.index("BroadcastNestedLoopJoin")
+
+
+def test_lsh_pairs_no_persist_no_selfjoin(spark, sf_dir):
+    """minhash_lsh_pairs: bucket-grouped expansion — exactly one aggregate on
+    (band, bkey), no band-table self-join, nothing persisted."""
+    df = CATALOG["minhash_lsh_pairs"].fn(spark, sf_dir)
+    p = _explain(spark, df)
+    assert "InMemoryTableScan" not in p  # no persist leaked into the plan
+    assert "Generate explode" in p or "Generate" in p
+    # storage: nothing entered the SQL cache while building the plan
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_sink_partition_pruning(spark, sf_dir, tmp_path):
