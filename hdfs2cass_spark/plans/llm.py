@@ -315,41 +315,55 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(df: DataFrame) -> DataFrame:
-    """(doc_id, shset, n_sh): the distinct 3-word shingle ARRAY per document.
+    """(doc_id, shset, n_sh): the distinct 3-word shingle ARRAY per document,
+    via explode + collect_set (docs with < 3 words naturally drop out).
 
-    Pure column ops — no explode, no groupBy, NO SHUFFLE — so consumers can
-    recompute it freely instead of persisting (round-1 leaked `.persist()`
-    caches across the driver's 50-query sweep). Docs with no shingles
-    (< 3 words) are dropped, matching the exploded formulation's semantics.
+    NOT `array_distinct(transform(...))` as a column: higher-order functions
+    are interpreted (no whole-stage codegen) and Catalyst does not CSE them,
+    so every downstream reference re-evaluated the whole shingle transform —
+    measured 7 s alone at sf0.1 vs ~0.6 s for this shape. One shuffle, no
+    persist (round-1 leaked `.persist()` caches across the driver's 50-query
+    sweep).
     """
+    n = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.expr(f"array_distinct({SH_ON_WS_SPARK})").alias("shset"))
-        .filter(F.size("shset") >= 1)
-        .select("doc_id", "shset", F.size("shset").alias("n_sh"))
+        df.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shset"))
+        .withColumn("n_sh", F.size("shset"))
     )
 
 
 def _minhash_wide(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
-    """(doc_id, shset, n_sh, mh0..mh15): min over the shingle array of 16
-    seeded hashes — array_min(transform(...)) per signature row, no
-    explode+groupBy shuffle at all. `fast` switches md5-derived hashes (the
-    DuckDB-matchable oracle twin) for JVM-native xxhash64."""
+    """(doc_id, mh0..mh15): 16 seeded hashes min-folded over the shingles,
+    via explode + ONE hash-aggregate (map-side partial min, single shuffle).
+    `fast` switches md5-derived hashes (the DuckDB-matchable oracle twin) for
+    JVM-native xxhash64.
+
+    Deliberately NOT array_min(transform(...)): Catalyst evaluates
+    higher-order-function lambdas interpreted, outside whole-stage codegen —
+    16 hashes per shingle that way measured 7x slower at sf0.1 than the same
+    hashes in a codegen'd aggregate.
+    """
     d = load_table(spark, sf_dir, "documents")
-    shs = _shingle_sets(d)
-    if fast:
-        mh = [f"xxhash64({i}, s)" for i in range(N_HASHES)]
-    else:
-        mh = [hash60_spark(f"concat('{i}:', s)") for i in range(N_HASHES)]
-    return shs.select(
-        "doc_id",
-        "shset",
-        "n_sh",
-        *[
-            F.expr(f"array_min(transform(shset, s -> {mh[i]}))").alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ],
+    # explode WITHOUT the _shingles .distinct(): collect_set dedups and min is
+    # duplicate-insensitive, so the extra (doc_id, s) shuffle buys nothing
+    n = d.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
     )
+    if fast:
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_HASHES)]
+    else:
+        aggs = [
+            F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 # build the oracle SQL for minhash queries programmatically
