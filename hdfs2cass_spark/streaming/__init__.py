@@ -1,4 +1,11 @@
 from .ingest import stream_events, tumbling_counts_stream, sessionize_stream
 from .bulk_ingest import stream_bulk_load
+from .stateful import streaming_dedup_first
 
-__all__ = ["stream_events", "tumbling_counts_stream", "sessionize_stream", "stream_bulk_load"]
+__all__ = [
+    "stream_events",
+    "tumbling_counts_stream",
+    "sessionize_stream",
+    "stream_bulk_load",
+    "streaming_dedup_first",
+]

@@ -145,3 +145,85 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert (base_ms + 3 * h_ms) not in got  # 9h-late event dropped by watermark
     assert (base_ms + 13 * h_ms) not in got  # newer than final watermark: still open
     assert (base_ms + 14 * h_ms) not in got
+
+
+def test_streaming_dedup_first_equals_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState keep-first dedup == the batch keep-first twin
+    (row_number over (ts, event_id) per key) on the same data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_events, streaming_dedup_first
+
+    stream = stream_events(spark, events_dir)
+    got = _run_stream_append(spark, streaming_dedup_first(stream), "dedup_first_test")
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    batch = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+        )
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert len(g) > 0
+    assert g == b
+
+
+def _run_stream_append(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch is dropped by the
+    per-key state — the property a stateless distinct-per-batch would miss."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events, streaming_dedup_first
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, src / name)
+
+    S = 10**9
+    base = 1704067200 * S
+    # batch 0: two keys; batch 1: a duplicate of (7, click) plus a new key
+    write_batch("0.parquet", [(1, base, 7, "click"), (2, base + S, 8, "view")])
+    _time.sleep(1.1)  # file source orders micro-batches by modification time
+    write_batch("1.parquet", [(3, base + 2 * S, 7, "click"), (4, base + 3 * S, 9, "click")])
+
+    stream = stream_events(spark, str(src))
+    got = _run_stream_append(spark, streaming_dedup_first(stream), "dedup_span_test")
+    rows = {(r["user_id"], r["event_type"]): r["event_id"] for r in got.collect()}
+    assert rows == {(7, "click"): 1, (8, "view"): 2, (9, "click"): 4}
