@@ -524,10 +524,11 @@ _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {
     """,
     doc="Brute-force cosine top-k (the correctness baseline for ANN): "
     "broadcast 5 query vectors against the full scan, similarities computed "
-    "JVM-side, then PARTIAL top-k per Arrow batch (a mapInPandas truncation "
-    "that emits at most k rows per query per batch) before the tiny global "
-    "merge. No stage ever funnels the whole corpus's similarities into one "
-    "task — the round-1 global row_number did exactly that.",
+    "JVM-side, rank via row_number — which Catalyst rewrites to "
+    "WindowGroupLimit with a PARTIAL pass BEFORE the exchange (per-partition "
+    "top-k map-side, plan-asserted). No stage funnels the whole corpus's "
+    "similarities into one task and no Python hop is needed: the round-1 "
+    "global-window concern is solved by the optimizer's group-limit pushdown.",
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -543,19 +544,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     sims = pairs.select("q_id", "vec_id", sim.alias("sim"))
-
-    # map-side truncation: any global top-5 row is in its batch's top-5, and
-    # the (sim desc, vec_id asc) total order makes the cut deterministic
-    def batch_topk(it):
-        for pdf in it:
-            yield (
-                pdf.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
-                .groupby("q_id", sort=False)
-                .head(5)
-            )
-
-    partial = sims.mapInPandas(batch_topk, sims.schema)
-    ranked = partial.withColumn(
+    ranked = sims.withColumn(
         "rnk",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")),
     )

@@ -50,17 +50,19 @@ def test_semi_anti_join_plans(spark, sf_dir):
     assert "LeftAnti" in p
 
 
-def test_topk_cosine_no_global_window(spark, sf_dir):
-    """embedding_topk_cosine must truncate map-side: the window rank runs on
-    the mapInPandas-truncated candidates, never on the full similarity set
-    (a global single-partition sort at 100 TB)."""
+def test_topk_cosine_truncates_map_side(spark, sf_dir):
+    """embedding_topk_cosine must truncate per-partition BEFORE the window's
+    exchange: Catalyst rewrites the rnk<=5 filter to WindowGroupLimit with a
+    Partial pass below the shuffle, so no task ever ranks the full similarity
+    set. If this rewrite is lost (e.g. the filter drifts away from the
+    row_number), the Partial disappears and this fails."""
     p = _explain(spark, CATALOG["embedding_topk_cosine"].fn(spark, sf_dir))
-    assert "MapInPandas" in p
-    # the plan tree prints root-first: the Window (global merge) must sit ABOVE
-    # the MapInPandas truncation, i.e. consume its (tiny) output — and the
-    # broadcast join must sit BELOW the truncation
-    assert p.index("Window") < p.index("MapInPandas")
-    assert p.index("MapInPandas") < p.index("BroadcastNestedLoopJoin")
+    partial = p.index("row_number(), 5, Partial")
+    # tree prints root-first: Partial group-limit must sit BELOW the exchange
+    # (later in the string) and ABOVE the broadcast join that emits the sims
+    assert p.index("Exchange hashpartitioning") < partial
+    assert partial < p.index("BroadcastNestedLoopJoin")
+    assert "MapInPandas" not in p  # fully JVM-side — no Python hop
 
 
 def test_lsh_pairs_no_persist_no_selfjoin(spark, sf_dir):
@@ -70,8 +72,32 @@ def test_lsh_pairs_no_persist_no_selfjoin(spark, sf_dir):
     p = _explain(spark, df)
     assert "InMemoryTableScan" not in p  # no persist leaked into the plan
     assert "Generate explode" in p or "Generate" in p
+    # candidate pairs come from in-bucket expansion, not a band self-join
+    assert "Join" not in p
     # storage: nothing entered the SQL cache while building the plan
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dedup_near_duplicates_plan(spark, sf_dir):
+    """The verify stage joins candidates to the per-doc shingle sets by key —
+    never a cartesian — and nothing rides the SQL cache."""
+    p = _explain(spark, CATALOG["dedup_near_duplicates"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" not in p
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_minhash_hashing_stays_codegen(spark, sf_dir):
+    """The 16 minhash functions must be computed inside a codegen'd aggregate
+    — higher-order-function lambdas (array_min(transform(...))) run
+    interpreted and measured 7x slower at sf0.1."""
+    p = _explain(spark, CATALOG["minhash_lsh_pairs"].fn(spark, sf_dir), "formatted")
+    # transform() appears legitimately (shingle construction, in-bucket pair
+    # expansion — once per doc/bucket); the HASH must never sit inside one
+    for line in p.splitlines():
+        if "transform(" in line:
+            assert "md5(" not in line and "xxhash" not in line
+    assert "partial_min" in p  # map-side partial minhash aggregation
 
 
 def test_sink_partition_pruning(spark, sf_dir, tmp_path):
