@@ -60,7 +60,12 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+            # 1e-6-quantized int64 accumulation (matches the batch twin's
+            # _qsum exactly): order-independent, exact, cheaper than decimal
+            (
+                F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).cast("double")
+                / 1000000.0
+            ).alias("total_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
