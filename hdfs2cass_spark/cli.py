@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet", choices=["parquet", "avro", "text"])
     p.add_argument("--simulated-path", default=None)
     p.add_argument("--now-ms", type=int, default=None)
+    p.add_argument(
+        "--partitioner",
+        default="murmur3",
+        choices=["murmur3", "random"],
+        help="target cluster partitioner; the reference reads this from live "
+        "cluster metadata (CassandraClusterInfo), offline it is a flag — "
+        "'random' selects the MD5/BigIntegerToken ring",
+    )
     return p
 
 
@@ -45,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
     # --format avro needs the external spark-avro module (read_records raises
     # with the --packages coordinates when it's absent)
     df = read_records(spark, args.input, fmt=args.format)
+    target = None
+    if args.partitioner == "random":
+        from .config import RANDOM, CassandraParams, TargetInfo
+
+        params = CassandraParams.parse(args.output)
+        target = TargetInfo(
+            keyspace=params.keyspace,
+            table=params.table,
+            columns=list(df.columns),
+            partition_key_columns=[],
+            partitioner=RANDOM,
+        )
     routed = bulk_load(
         df,
         output_uri=args.output,
@@ -52,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         timestamp=args.timestamp,
         ttl=args.ttl,
         ignore=args.ignore,
+        target=target,
         simulated_path=args.simulated_path,
         now_ms=args.now_ms,
     )

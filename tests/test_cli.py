@@ -71,3 +71,38 @@ def test_read_records_multi_path_union(spark, sf_dir, tmp_path):
     one = read_records(spark, f"{sf_dir}/nation.parquet")
     two = read_records(spark, [f"{sf_dir}/nation.parquet", f"{sf_dir}/nation.parquet"])
     assert two.count() == 2 * one.count()
+
+
+def test_cli_random_partitioner_end_to_end(spark, sf_dir, tmp_path):
+    """--partitioner random routes over the MD5/BigIntegerToken ring: tokens
+    are 39-digit zero-padded strings, sorted within each bucket, all rows
+    kept."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.cli import main
+
+    out = str(tmp_path / "md5out")
+    rc = main(
+        [
+            "--input", f"{sf_dir}/customer.parquet",
+            "--rowkey", "c_custkey",
+            "--output", "cql://h/ks/customer?reducers=4",
+            "--simulated-path", out,
+            "--now-ms", "42",
+            "--partitioner", "random",
+        ]
+    )
+    assert rc == 0
+    total = 0
+    dirs = sorted(glob.glob(f"{out}/bucket=*"))
+    assert len(dirs) >= 1
+    for d in dirs:
+        t = pq.read_table(d)
+        toks = t.column("token").to_pylist()
+        assert toks == sorted(toks)
+        assert all(isinstance(x, str) and len(x) == 39 for x in toks)
+        total += t.num_rows
+    src = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    assert total == src
