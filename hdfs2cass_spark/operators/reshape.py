@@ -151,6 +151,62 @@ def reshape_thrift(
     )
 
 
+def reshape_thrift_super(
+    df: DataFrame,
+    rowkey: str | None = None,
+    super_col: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    ignore: Sequence[str] = (),
+    now_ms: int | None = None,
+    passthrough: Sequence[str] = (),
+) -> DataFrame:
+    """W2 super-column path: (key, mutations: array<struct<super,
+    columns: array<struct<name,value,ts,ttl>>>>).
+
+    Each input row becomes ONE Mutation carrying a SuperColumn named by
+    `super_col`'s VALUE, holding one subcolumn per remaining field — the shape
+    the reference's writer consumes with newSuperColumn + addColumn /
+    addExpiringColumn per subcolumn (CrunchBulkRecordWriter.java:174-186).
+    Super column families are deprecated in the reference's own Cassandra
+    version; this models the write-path semantics so sorted-input grouping
+    (same rowkey, consecutive super columns) is preserved end to end.
+    """
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    rk = _resolve_rowkey(df.columns, rowkey)
+    if super_col is None or super_col not in df.columns:
+        raise ValueError(f"super_col {super_col!r} not in input columns")
+    values = [
+        c
+        for c in _value_columns(
+            df.columns, timestamp, ttl, (super_col, *ignore, *passthrough)
+        )
+        if c != rk
+    ]
+    ts = _ts_col(df, timestamp, now)
+    ttlc = _ttl_col(df, ttl)
+    subcolumns = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("name"),
+                F.col(c).cast("string").alias("value"),
+                ts.alias("ts"),
+                ttlc.alias("ttl"),
+            )
+            for c in values
+        ]
+    )
+    mutation = F.struct(
+        F.col(super_col).cast("string").alias("super"),
+        subcolumns.alias("columns"),
+    )
+    return df.select(
+        F.col(rk).cast("string").alias("key"),
+        F.array(mutation).alias("mutations"),
+        *[F.col(c) for c in passthrough],
+    )
+
+
 def melt_to_mutations(
     df: DataFrame,
     rowkey: str | None = None,

@@ -155,3 +155,84 @@ def encode_thrift_wire(routed: DataFrame) -> DataFrame:
             )
 
     return routed.mapInPandas(batches, THRIFT_WIRE_SCHEMA)
+
+
+SUPER_WIRE_SCHEMA = StructType(
+    [
+        StructField("pk", BinaryType()),
+        StructField("token", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField(
+            "mutations",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("super", BinaryType()),
+                        StructField(
+                            "columns",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("name", BinaryType()),
+                                        StructField("value", BinaryType()),
+                                        StructField("ts", LongType()),
+                                        StructField("ttl", IntegerType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def encode_thrift_super_wire(routed: DataFrame) -> DataFrame:
+    """W2 super-column wire form: routed reshape_thrift_super output ->
+    (pk, token, bucket, mutations: [(super, [(name, value, ts, ttl)])]).
+
+    Mirrors the reference's SUPER branch — the writer opens newSuperColumn(
+    mutation.super_column.name) then adds each subcolumn as a regular or
+    expiring column (CrunchBulkRecordWriter.java:174-186).
+    """
+    has_pk = "_pk" in routed.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_muts = []
+            for muts in pdf["mutations"]:
+                out_muts.append(
+                    [
+                        {
+                            "super": str(m["super"]).encode("utf-8"),
+                            "columns": [
+                                {
+                                    "name": str(c["name"]).encode("utf-8"),
+                                    "value": b""
+                                    if c["value"] is None
+                                    else str(c["value"]).encode("utf-8"),
+                                    "ts": int(c["ts"]),
+                                    "ttl": int(c["ttl"]),
+                                }
+                                for c in m["columns"]
+                            ],
+                        }
+                        for m in muts
+                    ]
+                )
+            if has_pk:
+                pk = pdf["_pk"].map(lambda b: bytes(b) if b is not None else b"")
+            else:
+                pk = pdf["key"].map(lambda s: s.encode("utf-8") if s else b"")
+            yield pd.DataFrame(
+                {
+                    "pk": pk,
+                    "token": pdf["token"],
+                    "bucket": pdf["bucket"],
+                    "mutations": out_muts,
+                }
+            )
+
+    return routed.mapInPandas(batches, SUPER_WIRE_SCHEMA)

@@ -113,3 +113,46 @@ def test_legacy_to_cql_and_thrift(spark):
     thrift = legacy_to_thrift(parsed).collect()[0]
     assert thrift["mutations"][0]["name"] == "col"
     assert thrift["mutations"][0]["ts"] == 100  # thrift stays ms
+
+
+def test_thrift_super_columns_end_to_end(spark):
+    """W2 SUPER branch (CrunchBulkRecordWriter.java:174-186): each row is one
+    Mutation carrying a SuperColumn named by super_col's value with one
+    subcolumn per remaining field; wire encoding nests (super, [columns])."""
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr, route_to_buckets
+    from hdfs2cass_spark.operators.reshape import reshape_thrift_super
+    from hdfs2cass_spark.sinks.wire import encode_thrift_super_wire
+
+    df = spark.createDataFrame(
+        [
+            Row(user="u1", day="2024-01-01", plays=3, skips=1),
+            Row(user="u1", day="2024-01-02", plays=5, skips=0),
+            Row(user="u2", day="2024-01-01", plays=7, skips=2),
+        ]
+    )
+    shaped = reshape_thrift_super(
+        df, rowkey="user", super_col="day", now_ms=NOW_MS, passthrough=[]
+    )
+    rows = {(r["key"], r["mutations"][0]["super"]): r for r in shaped.collect()}
+    m = rows[("u1", "2024-01-02")]["mutations"][0]
+    assert [(c["name"], c["value"]) for c in m["columns"]] == [
+        ("plays", "5"),
+        ("skips", "0"),
+    ]
+    assert all(c["ts"] == NOW_MS for c in m["columns"])
+
+    keyed = shaped.withColumn("_pk", binary_key_expr(shaped, ["key"]))
+    routed = route_to_buckets(keyed, 2, "_pk")
+    wire = encode_thrift_super_wire(routed).collect()
+    assert len(wire) == 3
+    w = {(r["pk"], r["mutations"][0]["super"]): r for r in wire}
+    ww = w[(b"u2", b"2024-01-01")]["mutations"][0]
+    assert [(c["name"], c["value"]) for c in ww["columns"]] == [
+        (b"plays", b"7"),
+        (b"skips", b"2"),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reshape_thrift_super(df, rowkey="user", super_col="nope")
