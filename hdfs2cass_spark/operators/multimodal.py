@@ -92,3 +92,112 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize transform: binary in -> binary out, metadata updated.
+
+    The 100 TB shape: payload-to-payload transforms stay inside one
+    mapInPandas (no decode on the driver, no row-at-a-time Python); the
+    output schema carries the new dimensions so downstream operators never
+    re-decode to learn them. Stub "resize" deterministically truncates or
+    tiles the payload to width*height bytes where the real
+    decode->resample->encode goes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires an image codec (PIL); not available "
+                    "in this environment"
+                )
+
+            def stub_resize(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil-tile then cut
+                return (bytes(b) * reps)[:target]
+
+            out = pdf["payload"].map(stub_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "byte_len": out.map(len).astype("int64"),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    frame_bytes: int = 256,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling: ONE video row -> MANY frame rows (every Nth frame).
+
+    The Spark-side shape that matters at 100 TB: the 1->N amplification
+    happens INSIDE mapInPandas (the Arrow batch grows, no driver involvement,
+    no explode of a pre-materialized frame array — frames never exist as one
+    giant row). Stub "frames" are fixed-size payload slices where the real
+    container demuxer goes.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires a video demuxer (ffmpeg); "
+                    "not available in this environment"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = -(-len(b) // frame_bytes) if b else 0
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_len": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
