@@ -70,3 +70,26 @@ def test_bucket_covers_ring_exhaustively():
         for tok in (MIN_TOKEN, MIN_TOKEN + 1, -1, 0, 1, MAX_TOKEN - 1, MAX_TOKEN):
             b = (tok - MIN_TOKEN) // range_per
             assert 0 <= b < n
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.binary(max_size=64), st.text(max_size=32), st.none()))
+def test_md5_token_matches_inline_udf_logic(key):
+    """The pandas UDF's self-contained closure re-implements md5_token inline
+    (so executors need no package import); this pins the two against drift."""
+    import hashlib
+
+    from hdfs2cass_spark.functions.md5token import RING_SIZE_MD5, md5_token
+
+    # the closure's inline branch, verbatim
+    k = key
+    if k is None:
+        k = b""
+    if isinstance(k, str):
+        k = k.encode("utf-8")
+    if len(k) == 0:
+        inline = 0
+    else:
+        inline = abs(int.from_bytes(hashlib.md5(bytes(k)).digest(), "big", signed=True))
+    assert md5_token(key) == inline
+    assert 0 <= inline < RING_SIZE_MD5
