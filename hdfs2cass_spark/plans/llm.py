@@ -708,32 +708,82 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids() -> list[list[float]]:
+    """The committed learned coarse quantizer (fixtures/ivf_centroids.parquet,
+    fit by scripts/gen_ivf_fixture.py with operators/kmeans.fit_kmeans — the
+    real IVF index-build step, run once offline). Both engines inline these
+    as literals, so cell assignment is engine-exact at every scale factor."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    t = pq.read_table(os.path.join(repo_root, "fixtures", "ivf_centroids.parquet"))
+    return [list(c) for c in t.column("centroid").to_pylist()]
+
+
+_IVF_CENTS = _ivf_centroids()
+_NPROBE = 2
+
+
+def _ivf_dist_spark(vec_col: str, cent: list[float]) -> str:
+    """Quantized squared L2 to one centroid: per-position floor((x-c)^2*1e12)
+    int64 terms, summed — order-independent exact ints, identical in DuckDB."""
+    lits = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in cent)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) "
+        "* CAST(1000000000000 AS DOUBLE)) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_cell_struct_array(vec_col: str) -> str:
+    structs = ", ".join(
+        f"struct({_ivf_dist_spark(vec_col, c)} AS dist, {j} AS cell)"
+        for j, c in enumerate(_IVF_CENTS)
+    )
+    return f"array({structs})"
+
+
+_IVF_CENT_VALUES_DUCK = ",\n      ".join(
+    "({j}, [{vals}])".format(
+        j=j, vals=", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in c)
+    )
+    for j, c in enumerate(_IVF_CENTS)
+)
+_IVF_DIST_DUCK = (
+    "SUM(CAST(floor((CAST({vec}[i] AS DOUBLE) - cv[i]) * (CAST({vec}[i] AS DOUBLE) - cv[i])"
+    " * CAST(1000000000000 AS DOUBLE)) AS BIGINT))"
+)
+
+
 @declare(
     "embedding_ivf_topk",
     oracle=f"""
-    WITH cent AS (
-      SELECT label, i AS pos,
-             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 / COUNT(*) AS cval
-      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-      GROUP BY label, i),
+    WITH cent(cell, cv) AS (VALUES
+      {_IVF_CENT_VALUES_DUCK}),
+    vdist AS (
+      SELECT vec_id, cell, {_IVF_DIST_DUCK.format(vec='embedding')} AS dist
+      FROM embeddings CROSS JOIN cent CROSS JOIN generate_series(1, 64) AS t(i)
+      GROUP BY vec_id, cell),
+    vcell AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS cr
+        FROM vdist) t WHERE cr = 1),
     q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    qdist AS (
-      SELECT q_id, label,
-             SUM(CAST(floor((CAST(qe[pos] AS DOUBLE) - cval) * (CAST(qe[pos] AS DOUBLE) - cval)
-                 * 1000000000000) AS BIGINT)) AS dist_q
-      FROM q CROSS JOIN cent GROUP BY q_id, label),
-    cells AS (
-      SELECT q_id, label FROM (
-        SELECT q_id, label,
-               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_q, label) AS cr
-        FROM qdist) t WHERE cr <= 2),
+    qcells AS (
+      SELECT q_id, cell FROM (
+        SELECT v.vec_id AS q_id, v.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY v.dist, v.cell) AS cr
+        FROM vdist v WHERE v.vec_id < 5) t WHERE cr <= {_NPROBE}),
     sims AS (
       SELECT c.q_id, e.vec_id,
              round({_DOT_DUCK.format(a='q.qe', b='e.embedding')}
                / ({_NORM_DUCK.format(a='q.qe')} * {_NORM_DUCK.format(a='e.embedding')}), 6) AS sim
-      FROM cells c
-      JOIN embeddings e ON e.label = c.label
+      FROM qcells c
+      JOIN vcell vc ON vc.cell = c.cell
+      JOIN embeddings e ON e.vec_id = vc.vec_id
       JOIN q ON q.q_id = c.q_id
       WHERE e.vec_id <> c.q_id)
     SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -742,53 +792,65 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sims) t
     WHERE rnk <= 3 ORDER BY q_id, rnk
     """,
-    doc="IVF-style ANN: coarse cells (per-label quantized centroids — a "
-    "deterministic stand-in for k-means cells), nprobe=2 nearest cells per "
-    "query by quantized L2, exact cosine only within probed cells. The "
-    "centroid table is tiny (cells x dims) and broadcastable; scan cost per "
-    "query drops to the probed cells' share of the data. Distances accumulate "
-    "as quantized int64 so cell ranking is engine-exact.",
+    doc="IVF ANN with a LEARNED coarse quantizer: cells come from the "
+    "committed k-means model (operators/kmeans.py fit offline by "
+    "scripts/gen_ivf_fixture.py — the real index-build step), inlined as "
+    "literals in both engines. Corpus vectors assign to their nearest cell "
+    "(quantized-int64 L2, engine-exact ties on cell id); queries probe "
+    f"nprobe={_NPROBE} nearest cells; exact cosine only within probed cells. "
+    "The model is k x dims literals folded into the plan — scan cost per "
+    "query drops to the probed cells' share of the data.",
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # cells: per-label quantized centroids (exact int accumulation)
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
-        .groupBy("label", "pos")
+    # index build (offline in a real system, inline here): nearest learned
+    # centroid per vector. Codegen'd explode + broadcast centroid join + one
+    # (vec_id, cell) aggregation — NOT the HOF struct-array form the probe
+    # side uses (interpreted lambdas over corpus x cells x dims measured
+    # 2.5x slower at sf0.1); min(struct(dist, cell)) gives the deterministic
+    # lowest-cell tiebreak.
+    cent = spark.createDataFrame(
+        [(j, i + 1, c[i]) for j, c in enumerate(_IVF_CENTS) for i in range(len(c))],
+        "cell INT, pos INT, cval DOUBLE",
+    )
+    epos = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    diff = F.col("v") - F.col("cval")
+    vdist = (
+        epos.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cell")
         .agg(
-            (
-                F.sum(F.floor(F.col("v").cast("double") * 1000000).cast("bigint")).cast("double")
-                / F.lit(1000000.0)
-                / F.count(F.lit(1))
-            ).alias("cval")
+            F.sum(
+                F.floor(diff * diff * F.lit(1000000000000.0)).cast("bigint")
+            ).alias("dist")
         )
     )
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
-    qpos = q.select(
-        "q_id", F.posexplode("qe").alias("pos0", "qv")
-    ).select("q_id", (F.col("pos0") + 1).alias("pos"), F.col("qv").cast("double").alias("qv"))
-    diff = F.col("qv") - F.col("cval")
-    qdist = (
-        qpos.join(F.broadcast(cent), "pos")
-        .groupBy("q_id", "label")
-        .agg(F.sum(F.floor(diff * diff * F.lit(1000000000000.0)).cast("bigint")).alias("dist_q"))
+    vcell = (
+        vdist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
     )
-    cells = (
-        qdist.withColumn(
-            "cr", F.row_number().over(Window.partitionBy("q_id").orderBy("dist_q", "label"))
-        )
-        .filter(F.col("cr") <= 2)
-        .select("q_id", "label")
+    ecell = e.join(vcell, "vec_id").select("vec_id", "embedding", "cell")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
+    # probe cells: the nprobe nearest of the 8 (dist, cell) structs, sorted
+    qcells = q.select(
+        "q_id",
+        "qe",
+        F.explode(
+            F.expr(f"slice(array_sort({_ivf_cell_struct_array('qe')}), 1, {_NPROBE})")
+        ).alias("pc"),
+    ).select("q_id", "qe", F.col("pc.cell").alias("cell"))
     sim = F.round(
         F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
         / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
         6,
     )
     sims = (
-        F.broadcast(cells.join(q, "q_id"))
-        .join(e, "label")
+        F.broadcast(qcells)
+        .join(ecell, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", sim.alias("sim"))
     )
