@@ -889,13 +889,15 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
     )
-    # running max of click timestamps per user in event-time order: rows
-    # preceding the current row = strictly-before thanks to the unbounded
-    # preceding .. -1 frame
+    # running max of click timestamps per user over a RANGE frame ending 1µs
+    # before the current event time: exactly the oracle's strict c.ts < e.ts.
+    # (A ROWS frame ordered by (ts, event_id) would silently include a click
+    # sharing the error's timestamp — a latent divergence the fixtures happen
+    # not to exercise.)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     enriched = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
     return (

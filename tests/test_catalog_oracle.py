@@ -74,3 +74,37 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     sdf = q.fn(spark, sf_dir)
     assert len(sdf.columns) > 0
     assert sdf.count() >= 0
+
+
+def test_asof_join_same_ts_click_excluded(spark, tmp_path):
+    """An error sharing its timestamp with a click must NOT match that click
+    (oracle semantics: strictly c.ts < e.ts). The RANGE window frame
+    guarantees this; a ROWS frame would silently include it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    S = 10**9
+    base = 1704067200 * S
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([base, base + 60 * S, base + 60 * S], pa.timestamp("ns")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click", "click", "error"], pa.string()),
+            "value": pa.array([1.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = CATALOG["asof_join_events"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["event_id"] == 3
+    # matched the earlier click (ts=base), not the same-ts click (base+60s)
+    assert got[0]["last_click_ts"] == datetime.datetime(2024, 1, 1, 0, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(CATALOG["asof_join_events"].oracle).fetchall()
+    assert got[0]["last_click_ts"] == want[0][3]
