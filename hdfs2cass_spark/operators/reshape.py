@@ -151,6 +151,43 @@ def reshape_thrift(
     )
 
 
+def reshape_thrift_counters(
+    df: DataFrame,
+    rowkey: str | None = None,
+    ignore: Sequence[str] = (),
+    passthrough: Sequence[str] = (),
+) -> DataFrame:
+    """W2 counter path: (key, mutations: array<struct<name, delta: long>>).
+
+    Counter mutations carry NO timestamp or ttl — Cassandra's counter write
+    path assigns them (CrunchBulkRecordWriter.java:188-190 calls
+    addCounterColumn(name, value) only). Deltas must be pre-aggregated
+    per (key, column) upstream — exactly what the reference expects of its
+    input and what `counter_column_updates` (plans/catalog.py) demonstrates;
+    every non-key numeric column becomes one counter delta.
+    """
+    rk = _resolve_rowkey(df.columns, rowkey)
+    values = [
+        c
+        for c in _value_columns(df.columns, None, None, tuple(ignore) + tuple(passthrough))
+        if c != rk
+    ]
+    mutations = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("name"),
+                F.col(c).cast("long").alias("delta"),
+            )
+            for c in values
+        ]
+    )
+    return df.select(
+        F.col(rk).cast("string").alias("key"),
+        mutations.alias("mutations"),
+        *[F.col(c) for c in passthrough],
+    )
+
+
 def reshape_thrift_super(
     df: DataFrame,
     rowkey: str | None = None,

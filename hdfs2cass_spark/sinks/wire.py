@@ -157,6 +157,58 @@ def encode_thrift_wire(routed: DataFrame) -> DataFrame:
     return routed.mapInPandas(batches, THRIFT_WIRE_SCHEMA)
 
 
+COUNTER_WIRE_SCHEMA = StructType(
+    [
+        StructField("pk", BinaryType()),
+        StructField("token", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField(
+            "mutations",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", BinaryType()),
+                        StructField("delta", LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def encode_thrift_counter_wire(routed: DataFrame) -> DataFrame:
+    """W2 counter wire form: (pk, token, bucket, mutations: [(name, delta)]).
+
+    No timestamp/ttl — the counter write path assigns them
+    (CrunchBulkRecordWriter.java:188-190, addCounterColumn(name, value))."""
+    has_pk = "_pk" in routed.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_muts = [
+                [
+                    {"name": str(m["name"]).encode("utf-8"), "delta": int(m["delta"])}
+                    for m in muts
+                ]
+                for muts in pdf["mutations"]
+            ]
+            if has_pk:
+                pk = pdf["_pk"].map(lambda b: bytes(b) if b is not None else b"")
+            else:
+                pk = pdf["key"].map(lambda s: s.encode("utf-8") if s else b"")
+            yield pd.DataFrame(
+                {
+                    "pk": pk,
+                    "token": pdf["token"],
+                    "bucket": pdf["bucket"],
+                    "mutations": out_muts,
+                }
+            )
+
+    return routed.mapInPandas(batches, COUNTER_WIRE_SCHEMA)
+
+
 SUPER_WIRE_SCHEMA = StructType(
     [
         StructField("pk", BinaryType()),

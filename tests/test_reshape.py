@@ -156,3 +156,24 @@ def test_thrift_super_columns_end_to_end(spark):
 
     with _pytest.raises(ValueError):
         reshape_thrift_super(df, rowkey="user", super_col="nope")
+
+
+def test_thrift_counter_columns_end_to_end(spark):
+    """W2 COUNTER branch (CrunchBulkRecordWriter.java:188-190): counter
+    mutations carry (name, delta) ONLY — no ts/ttl, Cassandra assigns them."""
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr, route_to_buckets
+    from hdfs2cass_spark.operators.reshape import reshape_thrift_counters
+    from hdfs2cass_spark.sinks.wire import encode_thrift_counter_wire
+
+    deltas = spark.createDataFrame(
+        [Row(user="u1", plays=3, skips=-1), Row(user="u2", plays=7, skips=0)]
+    )
+    shaped = reshape_thrift_counters(deltas, rowkey="user")
+    row = {r["key"]: r for r in shaped.collect()}
+    assert [tuple(m) for m in row["u1"]["mutations"]] == [("plays", 3), ("skips", -1)]
+    assert "ts" not in shaped.schema["mutations"].dataType.elementType.fieldNames()
+
+    keyed = shaped.withColumn("_pk", binary_key_expr(shaped, ["key"]))
+    routed = route_to_buckets(keyed, 2, "_pk")
+    wire = {r["pk"]: r for r in encode_thrift_counter_wire(routed).collect()}
+    assert [tuple(m) for m in wire[b"u2"]["mutations"]] == [(b"plays", 7), (b"skips", 0)]
