@@ -239,14 +239,21 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-                          list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+           CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007)
+           END AS fingerprint
     FROM documents ORDER BY doc_id
     """,
     doc="Document fingerprint: polynomial rolling hash over characters "
-    "(mod 1e9+7 to keep exact int64 arithmetic in both engines).",
+    "(mod 1e9+7 to keep exact int64 arithmetic in both engines). NULL and "
+    "empty text are pinned explicitly (NULL -> NULL, '' -> 0): the engines' "
+    "degenerate split('') / list_prepend semantics differ, so leaving them "
+    "implicit diverges — caught by a null-edge differential probe, not the "
+    "fixtures.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -254,7 +261,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    pinned = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("bigint"))
+        .when(F.length("text") == 0, F.lit(0).cast("bigint"))
+        .otherwise(fp)
+    )
+    return d.select("doc_id", pinned.alias("fingerprint")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

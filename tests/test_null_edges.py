@@ -1,0 +1,87 @@
+"""Adversarial-input differential: the document queries run on a synthetic
+table with NULL / empty / whitespace-only / unicode / control-char text and
+must still match DuckDB exactly. The driver fixtures never exercise these,
+which is how doc_fingerprint's NULL divergence survived round 1."""
+
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hdfs2cass_spark.plans import CATALOG
+
+DOC_QUERIES = [
+    "dedup_exact_documents",
+    "dedup_normalized_keep_first",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_near_duplicates",
+    "train_test_split",
+    "tfidf_top_terms",
+    "corpus_selection",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_docs"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(
+                [
+                    None,
+                    "",
+                    "   ",
+                    "one",
+                    "one two three four",
+                    "héllo wörld ünïcode tokens here",
+                    "tab\tand\nnewline separated words here",
+                    "one two three four",  # exact dup of doc 4
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 8, pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _norm(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return str(v)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_handles_edge_text(spark, edge_dir, name):
+    q = CATALOG[name]
+    sdf = q.fn(spark, edge_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{edge_dir}/documents.parquet')"
+    )
+    ores = con.execute(q.oracle).fetchall()
+    ocols = [x[0] for x in con.description]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    orows = sorted(tuple(_norm(r[i]) for i in oidx) for r in ores)
+    assert sorted(ocols) == cols
+    assert srows == orows
