@@ -628,17 +628,26 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+           END AS k_value
     FROM events ORDER BY event_id
     """,
-    doc="JSON path extraction from the string props column.",
+    doc="JSON path extraction from the string props column. Malformed JSON "
+    "and non-numeric values yield NULL on both engines: Spark's "
+    "get_json_object already returns NULL for bad JSON but ANSI-mode cast "
+    "throws on 'abc' -> try_cast; DuckDB's json functions ERROR on bad JSON "
+    "-> json_valid guard. Extracted as DOUBLE, not INT: DuckDB's "
+    "string->int cast ROUNDS ('3.5' -> 4) while Spark's nulls, but both "
+    "parse doubles identically. Adversarial-input probed, not "
+    "fixture-covered.",
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("k_value"),
     ).orderBy("event_id")
 
 

@@ -85,3 +85,60 @@ def test_doc_query_handles_edge_text(spark, edge_dir, name):
     orows = sorted(tuple(_norm(r[i]) for i in oidx) for r in ores)
     assert sorted(ocols) == cols
     assert srows == orows
+
+
+EVENT_QUERIES = [
+    "json_extract_events",
+    "tumbling_window_events",
+    "window_moving_avg_events",
+    "sessionize_events_batch",
+    "asof_join_events",
+    "distinct_users_per_type",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_events"))
+    S = 10**9
+    base = 1704067200 * S
+    events = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": pa.array([base + i * 600 * S for i in range(10)], pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 1, 2, 2, None, 3, 3, 3, 3], pa.int64()),
+            "event_type": pa.array(
+                ["click", "error", "click", "view", "error", None, "click", "click", "error", "click"],
+                pa.string(),
+            ),
+            "value": pa.array([1.5, None, 2.5, 0.0, -1.25, 3.0, None, 4.5, 5.0, 6.25], pa.float64()),
+            "props": pa.array(
+                ['{"k": 1}', None, "", "not json", '{"k": null}', '{"x": 2}',
+                 '{"k": "str"}', "{}", '{"k": 3.5}', "[1,2]"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(events, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_handles_edge_rows(spark, edge_events_dir, name):
+    """NULL users/types/values, malformed + non-numeric JSON — every events
+    query must match DuckDB on inputs the fixtures never produce."""
+    q = CATALOG[name]
+    sdf = q.fn(spark, edge_events_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    ores = con.execute(q.oracle).fetchall()
+    ocols = [x[0] for x in con.description]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    orows = sorted(tuple(_norm(r[i]) for i in oidx) for r in ores)
+    assert sorted(ocols) == cols
+    assert srows == orows
