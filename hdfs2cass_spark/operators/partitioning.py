@@ -167,19 +167,28 @@ def binary_key_expr(df: DataFrame, cols: list[str]) -> Column:
     # each component is built as a HEX STRING and the whole key gets ONE
     # unhex at the end — one binary materialization instead of per-component
     # unhex + binary concat (measured ~2x on the encode step at sf0.1); the
-    # composite length prefix is a literal for fixed-width types
+    # composite length prefix is a literal for fixed-width types.
+    # NULL components encode as the EMPTY buffer regardless of declared type
+    # (CassandraRecordUtils.java:81-82 — toByteBuffer(null) -> empty;
+    # functions/serde.to_cassandra_bytes is the tested Python twin), so a
+    # null single-column key tokenizes to the empty-key MIN token, never a
+    # null-propagated NULL key.
     def comp_hex(c: str) -> tuple[Column, Column | None, int | None]:
         """(hex fragment, runtime byte length or None, fixed byte length or None)."""
         dt = df.schema[c].dataType
         col = F.col(c)
         if isinstance(dt, (IntegerType, ShortType, ByteType)):
             # low 32 bits, big-endian: hex() of the long value, last 8 chars
-            return F.substring(F.lpad(F.hex(col.cast("long")), 16, "0"), 9, 8), None, 4
+            frag = F.substring(F.lpad(F.hex(col.cast("long")), 16, "0"), 9, 8)
+            return F.when(col.isNull(), F.lit("")).otherwise(frag), None, 4
         if isinstance(dt, LongType):
-            return F.lpad(F.hex(col), 16, "0"), None, 8
+            frag = F.lpad(F.hex(col), 16, "0")
+            return F.when(col.isNull(), F.lit("")).otherwise(frag), None, 8
         if isinstance(dt, StringType):
-            return F.hex(col.cast("binary")), F.octet_length(col.cast("binary")), None
-        return F.hex(col.cast("binary")), F.octet_length(col.cast("binary")), None
+            b = col.cast("binary")
+            return F.coalesce(F.hex(b), F.lit("")), F.coalesce(F.octet_length(b), F.lit(0)), None
+        b = col.cast("binary")
+        return F.coalesce(F.hex(b), F.lit("")), F.coalesce(F.octet_length(b), F.lit(0)), None
 
     parts = [comp_hex(c) for c in cols]
     if len(parts) == 1:
@@ -188,9 +197,11 @@ def binary_key_expr(df: DataFrame, cols: list[str]) -> Column:
     # bytes would silently emit a corrupted 2-byte length. Fail loudly instead
     # (compose_partition_key, the Python twin, raises ValueError the same way).
     fragments: list[Column] = []
-    for hex_frag, nbytes, fixed in parts:
+    for (hex_frag, nbytes, fixed), c in zip(parts, cols):
         if fixed is not None:
-            fragments.append(F.lit(format(fixed, "04x")))
+            fragments.append(
+                F.when(F.col(c).isNull(), F.lit("0000")).otherwise(F.lit(format(fixed, "04x")))
+            )
         else:
             fragments.append(
                 F.when(

@@ -714,20 +714,26 @@ def counter_column_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            upper(concat(
-             lpad(to_hex(length(c_name)), 4, '0'), hex(c_name), '00',
+             lpad(to_hex(length(coalesce(c_name, ''))), 4, '0'),
+             hex(coalesce(c_name, '')), '00',
              '0008', lpad(to_hex(c_custkey), 16, '0'), '00')) AS pk_hex
     FROM customer ORDER BY c_custkey
     """,
     doc="K1 composite partition keys: the [2-byte len][bytes][0x00] envelope "
     "(CassandraRecordUtils.java:230-261) materialized as hex so the oracle "
-    "can check the exact wire layout for a (text, bigint) key pair.",
+    "can check the exact wire layout for a (text, bigint) key pair. A NULL "
+    "component encodes as the EMPTY buffer (toByteBuffer(null) -> empty, "
+    "CassandraRecordUtils.java:81-82) — stated explicitly on both sides "
+    "because DuckDB's concat() silently SKIPS null fragments while Spark's "
+    "null-propagates.",
 )
 def composite_key_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
+    name = F.coalesce(F.col("c_name"), F.lit(""))
     pk_hex = F.upper(
         F.concat(
-            F.lpad(F.hex(F.length("c_name")), 4, "0"),
-            F.hex(F.col("c_name")),
+            F.lpad(F.hex(F.length(name)), 4, "0"),
+            F.hex(name),
             F.lit("00"),
             F.lit("0008"),
             F.lpad(F.hex(F.col("c_custkey")), 16, "0"),

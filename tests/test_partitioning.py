@@ -275,3 +275,46 @@ def test_composite_component_over_64k_raises(spark):
     expr = binary_key_expr(df, ["a", "b"])
     with pytest.raises(Exception, match="65535"):
         df.select(expr.alias("pk")).collect()
+
+
+def test_binary_key_expr_null_components(spark):
+    """NULL key components encode as the EMPTY buffer, matching
+    toByteBuffer(null) -> empty (CassandraRecordUtils.java:81-82) and the
+    Python twin — never a null-propagated NULL key. A null single-column key
+    therefore tokenizes to the empty-key MIN token."""
+    from pyspark.sql import Row
+
+    from hdfs2cass_spark.functions.murmur3 import MIN_TOKEN
+    from hdfs2cass_spark.functions.serde import compose_partition_key
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr, with_token
+
+    df = spark.createDataFrame(
+        [
+            Row(s=None, i=None, l=None),
+            Row(s=None, i=7, l=9),
+            Row(s="x", i=None, l=2),
+        ],
+        schema="s string, i int, l long",
+    )
+    out = df.select(
+        binary_key_expr(df, ["s", "i", "l"]).alias("k3"),
+        binary_key_expr(df, ["s"]).alias("k1"),
+    ).collect()
+
+    import struct
+
+    def twin(s, i, l):
+        return compose_partition_key(
+            b"" if s is None else s.encode(),
+            b"" if i is None else struct.pack(">i", i),
+            b"" if l is None else struct.pack(">q", l),
+        )
+
+    assert bytes(out[0]["k3"]) == twin(None, None, None)
+    assert bytes(out[1]["k3"]) == twin(None, 7, 9)
+    assert bytes(out[2]["k3"]) == twin("x", None, 2)
+    # null single-column key -> EMPTY bytes -> MIN token (the reference's
+    # empty-key edge case), not a null token
+    assert bytes(out[0]["k1"]) == b""
+    toks = with_token(df.select(binary_key_expr(df, ["s"]).alias("pk")), "pk").collect()
+    assert toks[0]["token"] == MIN_TOKEN
