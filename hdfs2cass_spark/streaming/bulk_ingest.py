@@ -19,8 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 from ..config import CassandraParams
-from ..operators.partitioning import route_to_buckets
-from ..operators.reshape import reshape_cql
+from ..operators.partitioning import binary_key_expr, route_to_buckets
+from ..operators.reshape import reshape_cql, resolve_rowkey
 
 
 def stream_bulk_load(
@@ -40,9 +40,16 @@ def stream_bulk_load(
     n = params.num_partitions()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        reshaped = reshape_cql(batch_df, rowkey, timestamp, ttl, ignore, now_ms=now_ms)
+        # tokens come from the TYPED key bytes (_pk), exactly like the batch
+        # pipeline — tokenizing the stringified rowkey diverges from the real
+        # ring for every non-string key
+        rk = resolve_rowkey(batch_df.columns, rowkey)
+        keyed = batch_df.withColumn("_pk", binary_key_expr(batch_df, [rk]))
+        reshaped = reshape_cql(
+            keyed, rk, timestamp, ttl, ignore, now_ms=now_ms, passthrough=["_pk"]
+        )
         routed = route_to_buckets(
-            reshaped, n, key_col="_rowkey", distribute_randomly=params.distribute_randomly
+            reshaped, n, key_col="_pk", distribute_randomly=params.distribute_randomly
         )
         routed.write.mode("append").partitionBy("bucket").parquet(sink_path)
 
