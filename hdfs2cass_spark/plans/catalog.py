@@ -798,13 +798,18 @@ def correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            quantile_cont(c_acctbal, 0.5) AS median_bal,
            quantile_cont(c_acctbal, 0.9) AS p90_bal,
+           quantile_disc(c_acctbal, 0.5) AS sketch_median,
+           quantile_disc(c_acctbal, 0.9) AS sketch_p90,
            MIN(c_acctbal) AS min_bal,
            MAX(c_acctbal) AS max_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     doc="Exact percentiles (linear interpolation — verified identical between "
-    "Spark percentile() and DuckDB quantile_cont). At 100 TB use "
-    "approx_percentile; the exact form is the correctness baseline.",
+    "Spark percentile() and DuckDB quantile_cont) PLUS the sketch path: "
+    "approx_percentile (the KLL-style mergeable summary you run at 100 TB) "
+    "at high accuracy is exact nearest-rank, which DuckDB checks as "
+    "quantile_disc — so the approximate operator itself is oracle-verified, "
+    "mirroring the HLL error-bound check in distinct_users_per_type.",
 )
 def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -813,6 +818,8 @@ def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
             F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+            F.expr("approx_percentile(c_acctbal, 0.5, 100000)").alias("sketch_median"),
+            F.expr("approx_percentile(c_acctbal, 0.9, 100000)").alias("sketch_p90"),
             F.min("c_acctbal").alias("min_bal"),
             F.max("c_acctbal").alias("max_bal"),
         )
