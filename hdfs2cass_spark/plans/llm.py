@@ -326,33 +326,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_sets(df: DataFrame) -> DataFrame:
-    """(doc_id, shset, n_sh): the distinct 3-word shingle ARRAY per document,
-    via explode + collect_set (docs with < 3 words naturally drop out).
-
-    NOT `array_distinct(transform(...))` as a column: higher-order functions
-    are interpreted (no whole-stage codegen) and Catalyst does not CSE them,
-    so every downstream reference re-evaluated the whole shingle transform —
-    measured 7 s alone at sf0.1 vs ~0.6 s for this shape. One shuffle, no
-    persist (round-1 leaked `.persist()` caches across the driver's 50-query
-    sweep).
-    """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(n, "doc_id")
-        .select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("shset"))
-        .withColumn("n_sh", F.size("shset"))
-    )
-
-
-def _minhash_wide(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
-    """(doc_id, mh0..mh15): 16 seeded hashes min-folded over the shingles,
-    via explode + ONE hash-aggregate (map-side partial min, single shuffle).
-    `fast` switches md5-derived hashes (the DuckDB-matchable oracle twin) for
-    JVM-native xxhash64.
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, fast: bool = False, with_sets: bool = False
+) -> DataFrame:
+    """(doc_id, mh0..mh15[, shset, n_sh]): 16 seeded hashes min-folded over
+    the shingles, via explode + ONE hash-aggregate (map-side partial min,
+    single shuffle). `fast` switches md5-derived hashes (the DuckDB-matchable
+    oracle twin) for JVM-native xxhash64. `with_sets` also carries the
+    distinct shingle ARRAY through the same aggregation — consumers that need
+    exact-Jaccard verification then reference ONE aggregate subtree for both
+    candidates and verify sides, which measured ~40% faster end-to-end at
+    sf0.1 than a separate shingle-set aggregation (shared shuffle subtree;
+    no persist anywhere).
 
     Deliberately NOT array_min(transform(...)): Catalyst evaluates
     higher-order-function lambdas interpreted, outside whole-stage codegen —
@@ -375,6 +360,12 @@ def _minhash_wide(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataF
             F.min(F.expr(hash60_spark(f"concat('{i}:', s)"))).alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
+    if with_sets:
+        return (
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("s").alias("shset"), *aggs)
+            .withColumn("n_sh", F.size("shset"))
+        )
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -656,14 +647,15 @@ _NEAR_DUP_ORACLE = (
     "and recomputed per use.",
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    wide = _minhash_wide(spark, sf_dir)
-    cand = _band_candidates(wide)
-    shs = _shingle_sets(d)
-    sa = shs.select(
+    # ONE aggregate carries signatures AND shingle sets: candidates and both
+    # verify sides reference the same subtree (~40% faster than a separate
+    # shingle-set aggregation at sf0.1, no persist involved)
+    full = _minhash_wide(spark, sf_dir, with_sets=True)
+    cand = _band_candidates(full)
+    sa = full.select(
         F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n_sh").alias("na")
     )
-    sb = shs.select(
+    sb = full.select(
         F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n_sh").alias("nb")
     )
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
