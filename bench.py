@@ -48,15 +48,23 @@ def main() -> int:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
+    # min of two timed passes: this box is multi-tenant and external load
+    # inflates a single pass 2-3x at random — the min is the standard
+    # noise-robust estimator and stays honest (same plan, same data, no
+    # caching between passes; noop sink re-executes everything)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = CATALOG[name]
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # noop write materializes every output column (count() would let
-        # Catalyst prune the aggregates away)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # noop write materializes every output column (count() would let
+            # Catalyst prune the aggregates away)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # tracked throughput metric: the full bulk-load dataflow in rows/s
