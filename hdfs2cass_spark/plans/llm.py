@@ -509,15 +509,34 @@ _DOT_DUCK = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]:
 _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
 
 
+# cosine with a nullif-guarded denominator: a ZERO vector (padding row,
+# failed encode — inevitable in a 100 TB corpus) has norm 0 and Spark's
+# ANSI-mode division THROWS ArithmeticException where DuckDB yields NaN/inf.
+# Cosine is undefined for zero vectors: both engines yield NULL and the
+# consumers exclude it explicitly. Caught by the adversarial probe, not the
+# fixtures (which contain no zero vectors).
+def _cosine_spark(a: str, b: str):
+    return F.expr(_DOT_SPARK.format(a=a, b=b)) / F.expr(
+        f"nullif({_NORM_SPARK.format(a=a)} * {_NORM_SPARK.format(a=b)}, CAST(0 AS DOUBLE))"
+    )
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    return (
+        f"({_DOT_DUCK.format(a=a, b=b)}"
+        f" / nullif({_NORM_DUCK.format(a=a)} * {_NORM_DUCK.format(a=b)}, 0))"
+    )
+
+
 @declare(
     "embedding_topk_cosine",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
     sims AS (
       SELECT q_id, vec_id,
-             round({_DOT_DUCK.format(a='qe', b='embedding')}
-               / ({_NORM_DUCK.format(a='qe')} * {_NORM_DUCK.format(a='embedding')}), 6) AS sim
-      FROM q CROSS JOIN embeddings WHERE vec_id <> q_id),
+             round({_cosine_duck('qe', 'embedding')}, 6) AS sim
+      FROM q CROSS JOIN embeddings
+      WHERE vec_id <> q_id AND {_cosine_duck('qe', 'embedding')} IS NOT NULL),
     ranked AS (
       SELECT q_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
@@ -541,12 +560,10 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding")).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    sim = F.round(
-        F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
-        / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
-        6,
+    sim = F.round(_cosine_spark("qe", "embedding"), 6)
+    sims = pairs.select("q_id", "vec_id", sim.alias("sim")).filter(
+        F.col("sim").isNotNull()
     )
-    sims = pairs.select("q_id", "vec_id", sim.alias("sim"))
     ranked = sims.withColumn(
         "rnk",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")),
@@ -676,11 +693,9 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_lsh_bucket_sql("embedding[{i}]")} AS INTEGER) AS bucket
       FROM embeddings)
     SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-           round({_DOT_DUCK.format(a='a.embedding', b='b2.embedding')}
-             / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='b2.embedding')}), 6) AS sim
+           round({_cosine_duck('a.embedding', 'b2.embedding')}, 6) AS sim
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE {_DOT_DUCK.format(a='a.embedding', b='b2.embedding')}
-             / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='b2.embedding')}) >= 0.3
+    WHERE {_cosine_duck('a.embedding', 'b2.embedding')} >= 0.3
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding near-dup pairs, LSH-scoped: cosine is evaluated only for "
@@ -697,9 +712,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = b.alias("a")
     b2 = b.alias("b2")
-    sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b2.embedding")) / (
-        F.expr(_NORM_SPARK.format(a="a.embedding")) * F.expr(_NORM_SPARK.format(a="b2.embedding"))
-    )
+    sim = _cosine_spark("a.embedding", "b2.embedding")
     return (
         a.join(b2, (F.col("a.bucket") == F.col("b2.bucket")) & (F.col("a.vec_id") < F.col("b2.vec_id")))
         .filter(sim >= 0.3)
@@ -783,13 +796,13 @@ _IVF_DIST_DUCK = (
         FROM vdist v WHERE v.vec_id < 5) t WHERE cr <= {_NPROBE}),
     sims AS (
       SELECT c.q_id, e.vec_id,
-             round({_DOT_DUCK.format(a='q.qe', b='e.embedding')}
-               / ({_NORM_DUCK.format(a='q.qe')} * {_NORM_DUCK.format(a='e.embedding')}), 6) AS sim
+             round({_cosine_duck('q.qe', 'e.embedding')}, 6) AS sim
       FROM qcells c
       JOIN vcell vc ON vc.cell = c.cell
       JOIN embeddings e ON e.vec_id = vc.vec_id
       JOIN q ON q.q_id = c.q_id
-      WHERE e.vec_id <> c.q_id)
+      WHERE e.vec_id <> c.q_id
+        AND {_cosine_duck('q.qe', 'e.embedding')} IS NOT NULL)
     SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT q_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
@@ -847,16 +860,13 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(array_sort({_ivf_cell_struct_array('qe')}), 1, {_NPROBE})")
         ).alias("pc"),
     ).select("q_id", "qe", F.col("pc.cell").alias("cell"))
-    sim = F.round(
-        F.expr(_DOT_SPARK.format(a="qe", b="embedding"))
-        / (F.expr(_NORM_SPARK.format(a="qe")) * F.expr(_NORM_SPARK.format(a="embedding"))),
-        6,
-    )
+    sim = F.round(_cosine_spark("qe", "embedding"), 6)
     sims = (
         F.broadcast(qcells)
         .join(ecell, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", sim.alias("sim"))
+        .filter(F.col("sim").isNotNull())
     )
     return (
         sims.withColumn(

@@ -142,3 +142,53 @@ def test_event_query_handles_edge_rows(spark, edge_events_dir, name):
     orows = sorted(tuple(_norm(r[i]) for i in oidx) for r in ores)
     assert sorted(ocols) == cols
     assert srows == orows
+
+
+EMBEDDING_QUERIES = [
+    "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
+    "embedding_ivf_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    """Includes an all-zeros vector: norm 0 -> undefined cosine. ANSI-mode
+    division THREW on it before the nullif guard; DuckDB yielded NaN/inf."""
+    import random
+
+    d = str(tmp_path_factory.mktemp("edge_emb"))
+    random.seed(7)
+    n = 12
+    vecs = [
+        [0.0] * 64 if i == 3 else [round(random.uniform(-1, 1), 4) for _ in range(64)]
+        for i in range(n)
+    ]
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_embedding_query_handles_zero_vector(spark, edge_emb_dir, name):
+    q = CATALOG[name]
+    sdf = q.fn(spark, edge_emb_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{edge_emb_dir}/embeddings.parquet')"
+    )
+    ores = con.execute(q.oracle).fetchall()
+    ocols = [x[0] for x in con.description]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    orows = sorted(tuple(_norm(r[i]) for i in oidx) for r in ores)
+    assert sorted(ocols) == cols
+    assert srows == orows
