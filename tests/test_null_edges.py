@@ -22,6 +22,10 @@ DOC_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_near_duplicates",
+    "dedup_clusters",
+    "simhash_near_dup_pairs",
+    "edit_distance_verify",
+    "multimodal_features",
     "train_test_split",
     "tfidf_top_terms",
     "corpus_selection",
