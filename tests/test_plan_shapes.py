@@ -114,3 +114,18 @@ def test_sink_partition_pruning(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out).filter("bucket = 2")
     p = _explain(spark, back, "formatted")
     assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*2", p)
+
+
+def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
+    """Blanket plan-quality net over the WHOLE catalog: no query may plan a
+    row-at-a-time Python UDF (BatchEvalPython — Arrow-batched ArrowEvalPython
+    and MapInPandas are the only permitted Python crossings) or an
+    unbroadcast CartesianProduct. Catches any future query sneaking in the
+    two classic scale-killers."""
+    flagged = {}
+    for name, q in CATALOG.items():
+        p = _explain(spark, q.fn(spark, sf_dir))
+        marks = [m for m in ("BatchEvalPython", "CartesianProduct") if m in p]
+        if marks:
+            flagged[name] = marks
+    assert flagged == {}
