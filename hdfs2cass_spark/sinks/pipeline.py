@@ -94,5 +94,7 @@ def bulk_load(
         partitioner=target.partitioner if target is not None else None,
     )
     if simulated_path is not None:
-        write_simulated_sstables(routed, simulated_path)
+        write_simulated_sstables(
+            routed, simulated_path, compressionclass=params.compressionclass
+        )
     return routed

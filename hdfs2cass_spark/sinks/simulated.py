@@ -19,15 +19,44 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# compressionclass= URI option -> parquet codec (the reference passes the
+# Cassandra compressor class to the SSTable writer via
+# CassandraParams.java:102-106 / the bulk output config; offline, the
+# analogous knob is the sink file codec)
+_COMPRESSION_MAP = {
+    "SnappyCompressor": "snappy",
+    "LZ4Compressor": "lz4",
+    "DeflateCompressor": "gzip",
+    "ZstdCompressor": "zstd",
+}
 
-def write_simulated_sstables(routed: DataFrame, path: str, mode: str = "overwrite") -> None:
+
+def write_simulated_sstables(
+    routed: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compressionclass: str | None = None,
+) -> None:
     """Write a `route_to_buckets` output as bucket-partitioned sorted parquet.
 
     ``partitionBy("bucket")`` + the upstream ``repartition(n, bucket)
     .sortWithinPartitions(bucket, token, key)`` means each task appends exactly
     its buckets' rows in token order — one sorted file per bucket, no
     post-sort, matching the reference's append-only writer contract.
+
+    `compressionclass` accepts the Cassandra compressor class names from the
+    output URI (short or fully-qualified) and maps them to the sink codec;
+    unknown classes fail loudly rather than silently writing the default.
     """
     if "bucket" not in routed.columns or "token" not in routed.columns:
         raise ValueError("expected a route_to_buckets output (bucket/token columns)")
-    routed.write.mode(mode).partitionBy("bucket").parquet(path)
+    writer = routed.write.mode(mode).partitionBy("bucket")
+    if compressionclass:
+        codec = _COMPRESSION_MAP.get(compressionclass.rsplit(".", 1)[-1])
+        if codec is None:
+            raise ValueError(
+                f"unknown compressionclass {compressionclass!r}; "
+                f"supported: {sorted(_COMPRESSION_MAP)}"
+            )
+        writer = writer.option("compression", codec)
+    writer.parquet(path)

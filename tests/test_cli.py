@@ -106,3 +106,36 @@ def test_cli_random_partitioner_end_to_end(spark, sf_dir, tmp_path):
         total += t.num_rows
     src = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
     assert total == src
+
+
+def test_compressionclass_reaches_the_sink(spark, sf_dir, tmp_path):
+    """The compressionclass= URI option maps Cassandra compressor classes to
+    the sink codec (M2 fidelity) — verified in the written parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hdfs2cass_spark.sinks.pipeline import bulk_load
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "gz")
+    bulk_load(
+        cust,
+        "cql://h/ks/t?reducers=2&compressionclass=org.apache.cassandra.io.compress.DeflateCompressor",
+        rowkey="c_custkey",
+        now_ms=42,
+        simulated_path=out,
+    )
+    f = glob.glob(f"{out}/bucket=*/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression == "GZIP"
+
+    with pytest.raises(ValueError, match="compressionclass"):
+        bulk_load(
+            cust,
+            "cql://h/ks/t?reducers=2&compressionclass=NoSuchCompressor",
+            rowkey="c_custkey",
+            now_ms=42,
+            simulated_path=str(tmp_path / "bad"),
+        )
