@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import serde as _serde_mod
-from ..functions.serde import schema_encoder, to_cassandra_bytes
+from ..functions.serde import schema_encoder
 from ..functions.shippable import pickle_by_value
 
 # the encoder closures reference functions.serde — ship it by value so
