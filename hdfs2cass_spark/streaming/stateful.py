@@ -98,3 +98,78 @@ def streaming_dedup_first(events: DataFrame, watermark: str = "2 hours") -> Data
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def streaming_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Incrementally maintained per-user totals via transformWithStateInPandas
+    (Spark 4's arbitrary-state API, RocksDB-backed): each micro-batch emits
+    the UPDATED cumulative (n_events, total_value) for the keys it touched.
+
+    State per key: two longs — the count and a 1e-6-quantized value sum
+    (exact int accumulation, same _qsum contract as the batch catalog).
+    Requires the RocksDB state store provider (set
+    spark.sql.streaming.stateStore.providerClass accordingly) and the
+    `protobuf` Python package (the transformWithState runner speaks protobuf
+    to the JVM; pip pyspark does not pull it in — this raises with the
+    dependency name when absent instead of crashing the streaming runner).
+    Output mode "Update".
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' Python package "
+            "on driver and executors (pip install protobuf); the streaming "
+            "runner crashes opaquely without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            schema = StructType(
+                [StructField("n", LongType()), StructField("qsum", LongType())]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, qsum = self._state.get()
+            else:
+                n, qsum = 0, 0
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += len(pdf)
+                qsum += int(sum(int(v * 1_000_000 // 1) for v in vals))
+            self._state.update((n, qsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [qsum / 1_000_000.0],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_TOTALS_OUT,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -327,3 +327,78 @@ def test_stream_bulk_load_checkpoint_resume(spark, tmp_path):
     write_file("c.parquet", [6, 7])
     run_once()  # resumes from the checkpoint: only c.parquet is new
     assert sink_ids() == [1, 2, 3, 4, 5, 6, 7]  # no dups of 1-5, nothing lost
+
+
+def test_streaming_running_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, RocksDB):
+    cumulative per-user totals maintained across micro-batches — the LAST
+    update per user equals the batch aggregate of all data. Skips when the
+    protobuf Python package is absent (the API's runner requires it; pip
+    pyspark does not bundle it), after asserting the loud gate fires."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.stateful import streaming_running_totals
+
+    src = tmp_path / "totals_src"
+    src.mkdir()
+    S = 10**9
+    base = 1704067200 * S
+
+    def write_file(name, rows):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([base + r[0] * S for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, src / name)
+
+    write_file("0.parquet", [(1, 7, 1.5), (2, 7, 2.25), (3, 8, 10.0)])
+    _time.sleep(1.1)
+    write_file("1.parquet", [(4, 7, 0.25), (5, 9, -3.5)])
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_running_totals(stream_events(spark, str(src)))
+        pytest.skip("protobuf not installed; transformWithState runner unavailable")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, str(src))
+        q = (
+            streaming_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("SELECT * FROM running_totals_test").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final == {7: (3, 4.0), 8: (1, 10.0), 9: (1, -3.5)}
