@@ -139,3 +139,48 @@ def test_compressionclass_reaches_the_sink(spark, sf_dir, tmp_path):
             now_ms=42,
             simulated_path=str(tmp_path / "bad"),
         )
+
+
+def test_cli_timestamp_ttl_ignore_flags(spark, sf_dir, tmp_path):
+    """M3 flag parity end-to-end: --timestamp/--ttl map those columns into
+    writetime (µs) and ttl, --ignore drops the column from the output."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.cli import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "a", 1000, 60), (2, "b", 2000, 0)],
+        "rowkey long, payload string, event_ms long, keep_secs int",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", src,
+            "--rowkey", "rowkey",
+            "--timestamp", "event_ms",
+            "--ttl", "keep_secs",
+            "--ignore", "payload",
+            "--output", "cql://h/ks/t?reducers=2",
+            "--simulated-path", out,
+        ]
+    )
+    assert rc == 0
+    rows = {}
+    for d in glob.glob(f"{out}/bucket=*"):
+        t = pq.read_table(d)
+        for i in range(t.num_rows):
+            rows[t.column("_rowkey")[i].as_py()] = {
+                c: t.column(c)[i].as_py() for c in t.column_names
+            }
+    assert set(rows) == {"1", "2"}
+    # an explicit --timestamp column binds VERBATIM (the user supplies µs);
+    # only the DEFAULT is stamped as currentTimeMillis()*1000 (AvroToCQL.java:63)
+    assert rows["1"]["writetime"] == 1000
+    assert rows["1"]["ttl"] == 60
+    assert rows["2"]["ttl"] == 0
+    assert "payload" not in rows["1"]  # --ignore drops the column
+    assert "event_ms" not in rows["1"]  # timestamp source column is consumed
