@@ -135,3 +135,19 @@ def test_fuzz_parser_matches_python_reference(spark):
     for r in out.collect():
         t = (r["key"], r["colname"], r["timestamp"], r["ttl"], r["value"])
         assert t in valid_set, t
+
+
+def test_tab_in_value_is_malformed_like_reference(spark):
+    """A value containing a tab makes the row 8 fields; the reference's
+    exact-length check (parts.length != 7 -> exception,
+    LegacyInputFormat.java:92-94) treats it as malformed — so do we: strict
+    raises, permissive drops. The format cannot carry tabs in values."""
+    import pytest
+    from pyspark.sql import Row
+
+    from hdfs2cass_spark.operators.legacy import parse_legacy_lines
+
+    df = spark.createDataFrame([Row(line="HdfsToCassandra\t3\tk\tc\t100\t5\tval\twith_tab")])
+    with pytest.raises(Exception):
+        parse_legacy_lines(df, mode="strict").collect()
+    assert parse_legacy_lines(df, mode="permissive").count() == 0
