@@ -573,26 +573,13 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rnk")
 
 
-def _lsh_planes():
-    """8 deterministic random hyperplanes (seeded) shared by the Spark query
-    and the generated oracle SQL — both engines evaluate the identical
-    left-associated literal arithmetic, so the sign bits agree bit-for-bit."""
-    import numpy as np
-
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((8, 64))
-
-
 def _lsh_bucket_sql(elem_fmt: str) -> str:
-    planes = _lsh_planes()
-    proj_cols = []
-    for p in range(8):
-        terms = " + ".join(
-            f"CAST({elem_fmt.format(i=i + 1)} AS DOUBLE) * ({planes[p][i]!r})"
-            for i in range(64)
-        )
-        proj_cols.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(proj_cols)
+    """8 fixed planes for the ORACLE-CHECKED query (DuckDB evaluates the
+    identical literal arithmetic). The scale path derives the plane count
+    from corpus size — operators/hyperplane.py."""
+    from ..operators.hyperplane import bucket_sql, lsh_planes
+
+    return bucket_sql(lsh_planes(8, 64), elem_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -690,39 +677,37 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             CAST({_lsh_bucket_sql("embedding[{i}]")} AS INTEGER) AS bucket
-      FROM embeddings)
+             CAST({_lsh_bucket_sql("embedding[{i}]")} AS BIGINT) AS bucket
+      FROM embeddings),
+    okb AS (
+      SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND {BAND_CAP})
     SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
            round({_cosine_duck('a.embedding', 'b2.embedding')}, 6) AS sim
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    FROM b a
+    JOIN okb ON okb.bucket = a.bucket
+    JOIN b b2 ON b2.bucket = a.bucket AND a.vec_id < b2.vec_id
     WHERE {_cosine_duck('a.embedding', 'b2.embedding')} >= 0.3
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding near-dup pairs, LSH-scoped: cosine is evaluated only for "
-    "pairs sharing a hyperplane bucket (~1/256 of all pairs), the ANN "
-    "candidate-generation shape that survives 100 TB. Threshold 0.3 on "
-    "synthetic random vectors (max pairwise sim ~0.51).",
+    "pairs sharing a hyperplane bucket, candidates expanded IN-BUCKET with "
+    f"the same cap-and-drop guard as the minhash bands (cap {BAND_CAP} — a "
+    "degenerate identical-direction corpus can no longer go quadratic; "
+    "operators/hyperplane.py also scales the plane count with corpus size "
+    "and multiprobes for recall — the 100 TB path). Fixed 8 planes here so "
+    "the DuckDB twin evaluates identical literal arithmetic. Threshold 0.3 "
+    "on synthetic random vectors (max pairwise sim ~0.51).",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyperplane import hyperplane_near_dup_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(_lsh_bucket_sql("element_at(embedding, {i})")).cast("int").alias("bucket"),
-    )
-    a = b.alias("a")
-    b2 = b.alias("b2")
-    sim = _cosine_spark("a.embedding", "b2.embedding")
-    return (
-        a.join(b2, (F.col("a.bucket") == F.col("b2.bucket")) & (F.col("a.vec_id") < F.col("b2.vec_id")))
-        .filter(sim >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b2.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("sim"),
-        )
-        .orderBy("vec_a", "vec_b")
-    )
+    pairs = hyperplane_near_dup_pairs(e, threshold=0.3, n_planes=8, cap=BAND_CAP)
+    return pairs.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("sim", 6).alias("sim"),
+    ).orderBy("vec_a", "vec_b")
 
 
 def _ivf_centroids() -> list[list[float]]:

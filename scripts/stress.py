@@ -88,6 +88,42 @@ def main() -> int:
     topk = embedding_topk_cosine(spark, tmp)
     run("ann_bruteforce", topk, args.vecs)
 
+    # --- ANN hyperplane-LSH near-dup: dynamic planes + multiprobe + cap ---
+    # Plant near-dup pairs (2i, 2i+1), twin = base + 0.15*noise (cosine ~0.989)
+    # among centered pseudo-random noise vectors; measure wall time AND the
+    # recall of the planted pairs — the evidence that cap-and-drop plus
+    # multiprobe keeps recall while killing the in-bucket quadratic.
+    n_planted = 500
+    centered = "(CAST(pmod(hash(id * {salt} + i), 2001) AS DOUBLE) - 1000.0) / 1000.0"
+    base = centered.format(salt=131)
+    noise = centered.format(salt=977)
+    planted_vec = F.expr(
+        "transform(sequence(1, 64), i -> CAST("
+        f"({base.replace('id', '(CAST(floor(id / 2) AS BIGINT))')})"
+        f" + CAST(id % 2 AS DOUBLE) * 0.15 * ({noise}) AS FLOAT))"
+    )
+    planted = spark.range(2 * n_planted).select(F.col("id").alias("vec_id"), planted_vec.alias("embedding"))
+    noise_vecs = spark.range(args.vecs - 2 * n_planted).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, 64), i -> CAST({base.replace('id', '(id + 1000000)')} AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = planted.unionAll(noise_vecs)
+    from hdfs2cass_spark.operators.hyperplane import derive_n_planes, hyperplane_near_dup_pairs
+
+    t0 = time.perf_counter()
+    pairs = hyperplane_near_dup_pairs(corpus, threshold=0.9, multiprobe=1)
+    found_planted = pairs.filter(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") < 2 * n_planted)
+    ).count()
+    dt = time.perf_counter() - t0
+    recall = found_planted / n_planted
+    out["ann_lsh_sec"] = round(dt, 2)
+    out["ann_lsh_recall"] = round(recall, 3)
+    out["ann_lsh_planes"] = derive_n_planes(args.vecs, multiprobe=1)
+    print(f"# ann_lsh: {dt:.2f}s  recall {recall:.3f} on {n_planted} planted pairs", file=sys.stderr)
+
     out["docs"] = args.docs
     out["vecs"] = args.vecs
     out["rows"] = args.rows
