@@ -51,6 +51,26 @@ def salted_join(
     return f.join(d, on=on + ["_salt"], how=how).drop("_salt")
 
 
+def salted_exact_distinct(df: DataFrame, key: str, value: str, n: int = 8) -> DataFrame:
+    """Two-phase exact count-distinct — the salted aggregation whose partial
+    state genuinely does NOT compress (the case the module docstring says
+    salting exists for).
+
+    The salt is a HASH OF THE VALUE, not random: every distinct value lands in
+    exactly one (key, salt) group, so the per-group `count_distinct` partials
+    are DISJOINT and phase 2 can plain-SUM them — exact, deterministic, and
+    the hot key's distinct-state is spread over n reducers instead of one.
+    Returns (key, n_rows, n_distinct), equal to the unsalted aggregate.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n)))
+    part = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_c"), F.count_distinct(F.col(value)).alias("_d")
+    )
+    return part.groupBy(key).agg(
+        F.sum("_c").alias("n_rows"), F.sum("_d").alias("n_distinct")
+    )
+
+
 def salted_count(df: DataFrame, key: str, n: int = 8) -> DataFrame:
     """Two-phase aggregation on (key, salt) then key. For plain counts this is
     a no-op perf-wise (map-side partials already collapse hot keys — measured);

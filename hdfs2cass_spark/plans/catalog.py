@@ -1048,3 +1048,178 @@ def bulk_route_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select(
         F.hex(F.col("_pk")).alias("pk_hex"), "token", "bucket", "writetime", "ttl"
     ).orderBy("pk_hex")
+
+
+# ---------------------------------------------------------------------------
+# P4/P5/P6 declared twins + extension operators (range join, salted agg)
+# ---------------------------------------------------------------------------
+
+
+def _staged_legacy_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 legacy lines deterministically derived from `part` (shared staging
+    with legacy_roundtrip_part)."""
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        F.col("p_partkey").cast("string").alias("k"),
+        F.lit("p_name").alias("c"),
+        (F.lit(1000) + F.col("p_partkey")).cast("long").alias("ts"),
+        F.col("p_size").alias("ttl"),
+        F.col("p_name").alias("v"),
+    )
+    return format_legacy_lines(staged, key="k", colname="c", value="v", timestamp="ts", ttl="ttl")
+
+
+@declare(
+    "legacy_to_cql_part",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS _rowkey,
+           CAST(p_partkey AS VARCHAR) AS key,
+           'p_name' AS colname,
+           p_name AS value,
+           CAST(1000 + p_partkey AS BIGINT) AS writetime,
+           CAST(p_size AS INTEGER) AS ttl
+    FROM part
+    """,
+    doc="P4 LegacyHdfsToCQL (LegacyHdfsToCQL.java:31-51): parsed v3 legacy "
+    "lines wrapped into CQL insert shape — the parsed ms timestamp bound "
+    "VERBATIM as writetime (no µs scaling; see operators/legacy.py).",
+)
+def legacy_to_cql_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.legacy import legacy_to_cql
+
+    parsed = parse_legacy_lines(_staged_legacy_part(spark, sf_dir), mode="strict")
+    return legacy_to_cql(parsed)
+
+
+@declare(
+    "legacy_to_thrift_part",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS key,
+           'p_name' AS name,
+           p_name AS value,
+           CAST(1000 + p_partkey AS BIGINT) AS ts,
+           CAST(p_size AS INTEGER) AS ttl
+    FROM part
+    """,
+    doc="P5 LegacyHdfsToThrift (LegacyHdfsToThrift.java:34-54): one Mutation "
+    "per parsed line, ms timestamps; the mutations array is exploded back to "
+    "rows for oracle comparability (arrays of structs don't hash-compare "
+    "across engines).",
+)
+def legacy_to_thrift_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.legacy import legacy_to_thrift
+
+    parsed = parse_legacy_lines(_staged_legacy_part(spark, sf_dir), mode="strict")
+    shaped = legacy_to_thrift(parsed)
+    m = F.explode("mutations").alias("m")
+    return shaped.select("key", m).select(
+        "key", "m.name", "m.value", "m.ts", "m.ttl"
+    )
+
+
+@declare(
+    "thrift_by_convention",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS key, 'c_name' AS name, c_name AS value,
+           CAST(42000 + c_custkey AS BIGINT) AS ts,
+           CAST(c_nationkey AS INTEGER) AS ttl
+    FROM customer
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'c_mktsegment', c_mktsegment,
+           CAST(42000 + c_custkey AS BIGINT), CAST(c_nationkey AS INTEGER)
+    FROM customer
+    """,
+    doc="P6 Thrift.byConvention (Thrift.java:22-30, ThriftByFieldNamesFn.java:"
+    "37-142): special fields found by the conventional names rowkey/timestamp/"
+    "ttl; every remaining column becomes one mutation. Mutations exploded to "
+    "rows for oracle comparability.",
+)
+def thrift_by_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reshape import reshape_thrift_by_convention
+
+    cust = load_table(spark, sf_dir, "customer")
+    conv = cust.select(
+        F.col("c_custkey").alias("rowkey"),
+        (F.lit(42000) + F.col("c_custkey")).cast("long").alias("timestamp"),
+        F.col("c_nationkey").cast("int").alias("ttl"),
+        "c_name",
+        "c_mktsegment",
+    )
+    shaped = reshape_thrift_by_convention(conv)
+    m = F.explode("mutations").alias("m")
+    return shaped.select("key", m).select(
+        "key", "m.name", "m.value", "m.ts", "m.ttl"
+    )
+
+
+# 60 half-open maintenance windows tiling Jan 2024 at 12 h spacing, 1-6 h
+# long — both engines derive them from the same epoch-second arithmetic
+# (1704067200 = 2024-01-01T00:00:00Z), so no timezone or interval ambiguity.
+_WIN_EPOCH = 1704067200
+_WIN_N = 60
+
+
+@declare(
+    "range_join_events_windows",
+    oracle=f"""
+    WITH w AS (
+      SELECT range AS window_id,
+             make_timestamp((CAST({_WIN_EPOCH} AS BIGINT) + range * 43200) * 1000000) AS w_start,
+             make_timestamp((CAST({_WIN_EPOCH} AS BIGINT) + range * 43200 + (1 + range % 6) * 3600) * 1000000) AS w_end
+      FROM range({_WIN_N}))
+    SELECT e.event_id, w.window_id, epoch_ms(e.ts) AS ts_ms
+    FROM events e
+    JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    ORDER BY event_id, window_id
+    """,
+    doc="Bucketed range join (operators/rangejoin.py): events joined to the "
+    "maintenance windows containing them. Spark plans a raw range predicate "
+    "as a nested-loop join; the bucketed formulation maps each point to ONE "
+    "hour bucket, explodes each interval to its overlapped buckets, and "
+    "equi-joins on the bucket (hash join, plan-asserted) before re-checking "
+    "the exact predicate — the events->windows shape a training pipeline "
+    "hits constantly, at one shuffle instead of O(points x intervals).",
+)
+def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    start_s = F.lit(_WIN_EPOCH).cast("long") + F.col("id") * 43200
+    w = spark.range(_WIN_N).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(start_s).alias("w_start"),
+        F.timestamp_seconds(start_s + (F.lit(1) + F.col("id") % 6) * 3600).alias("w_end"),
+    )
+    joined = range_join(e, w, point_ts="ts", start="w_start", end="w_end", bucket_width_sec=3600)
+    return joined.select(
+        "event_id", "window_id", F.unix_millis("ts").alias("ts_ms")
+    ).orderBy("event_id", "window_id")
+
+
+@declare(
+    "salted_agg_events",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS skew_key,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    GROUP BY 1 ORDER BY skew_key
+    """,
+    doc="Salted two-phase aggregation (operators/skew.py salted_exact_distinct) "
+    "on a synthetically skewed key (half of all rows collapse onto one hot "
+    "key): the salt is a hash of the VALUE, so per-(key,salt) exact-distinct "
+    "partials are disjoint and phase 2 plain-sums them. Result equals the "
+    "unsalted aggregate (the oracle) while the hot key's distinct-state "
+    "spreads over n reducers — the aggregation analog of AQE skew-join "
+    "splitting, for the partial states that don't compress.",
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_exact_distinct
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 2 == 0, F.lit(-1).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return salted_exact_distinct(e, "skew_key", "event_id").orderBy("skew_key")

@@ -129,3 +129,25 @@ def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
         if marks:
             flagged[name] = marks
     assert flagged == {}
+
+
+def test_range_join_plans_as_bucketed_equi_join(spark, sf_dir):
+    """The declared range join must plan as an equi-join on the bucket column
+    — never the nested-loop join Spark produces for a raw range predicate."""
+    from hdfs2cass_spark.plans.catalog import range_join_events_windows
+
+    p = _explain(spark, range_join_events_windows(spark, sf_dir), "formatted")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "_bucket" in p  # the equi-key the hash join runs on
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """salted_agg_events must show BOTH aggregation phases (key,salt) then
+    (key) — the salt visible in the inner grouping — and partial aggregation
+    (map-side combine) on each."""
+    from hdfs2cass_spark.plans.catalog import salted_agg_events
+
+    p = _explain(spark, salted_agg_events(spark, sf_dir), "formatted")
+    assert "_salt" in p
+    assert p.count("HashAggregate") >= 4  # partial+final for each phase
