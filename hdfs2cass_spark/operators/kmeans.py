@@ -60,24 +60,81 @@ def assign_cells(
     )
 
 
+def _farthest_point_init(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic farthest-point seeds: one tiny max_by aggregate per seed
+    (k-1 passes over the fit set, each returning ONE model row to the driver).
+    Tiebreak on lowest id via lexicographic struct ordering (-id ascending)."""
+    first = embeddings.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        return []
+    centroids = [[float(v) for v in first[0][vec_col]]]
+    while len(centroids) < k:
+        nearest = F.least(*[_dist_expr(vec_col, c) for c in centroids]) if len(
+            centroids
+        ) > 1 else _dist_expr(vec_col, centroids[0])
+        row = (
+            embeddings.select(F.col(id_col), F.col(vec_col), nearest.alias("_dist"))
+            .agg(
+                F.expr(
+                    f"max_by(struct({id_col}, {vec_col}), struct(_dist, -{id_col}))"
+                ).alias("pick")
+            )
+            .collect()[0]["pick"]
+        )
+        centroids.append([float(v) for v in row[vec_col]])
+    return centroids
+
+
 def fit_kmeans(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    init: str = "first",
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the learned centroids (k x dims doubles).
 
     Empty cells keep their previous centroid (no re-seeding randomness).
+
+    `init="first"` seeds from the k lowest-id vectors (the original, fully
+    order-determined seed). `init="spread"` is deterministic farthest-point
+    seeding: start from the lowest id, then repeatedly take the vector
+    maximizing the distance to its nearest chosen seed (ties -> lowest id).
+    Lloyd's cannot un-merge two seeds placed in the same natural cluster, so
+    "first" on a hash-sample can land a permanently split/merged partition;
+    "spread" picks one seed per well-separated cluster by construction. Use
+    "spread" for real index builds; "first" stays the default because the
+    committed IVF centroid fixture was fit with it.
+
+    `sample_fraction` fits the model on a DETERMINISTIC hash-sample of the
+    corpus: rows where pmod(xxhash64(id), round(1/fraction)) == 0. At 100 TB
+    the index build must not scan the full corpus once per Lloyd's round — a
+    coarse quantizer only needs enough vectors per cell for stable means
+    (k-means converges on a representative sample; the assignment step of the
+    ACTUAL queries still runs over everything). Deterministic by id, not
+    rand(): re-runs and resumed jobs fit the identical model.
     """
-    init_rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()  # k MODEL rows, not data — the deterministic seed
-    )
-    centroids = [[float(v) for v in r[vec_col]] for r in init_rows]
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        s = max(1, round(1.0 / sample_fraction))
+        embeddings = embeddings.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)) == 0)
+    if init == "first":
+        init_rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k)
+            .collect()  # k MODEL rows, not data — the deterministic seed
+        )
+        centroids = [[float(v) for v in r[vec_col]] for r in init_rows]
+    elif init == "spread":
+        centroids = _farthest_point_init(embeddings, k, id_col, vec_col)
+    else:
+        raise ValueError(f"init must be 'first'|'spread', got {init!r}")
     if len(centroids) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
 

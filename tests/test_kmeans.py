@@ -60,3 +60,53 @@ def test_assign_cells_partitions_everything(spark, emb):
 def test_fit_kmeans_requires_k_vectors(spark, emb):
     with pytest.raises(ValueError):
         fit_kmeans(emb.limit(2), k=4, iters=1)
+
+
+def _clustered_corpus(spark, n_per=300, k=3, dims=16, seed=11):
+    """k well-separated gaussian blobs (centers 10 apart, unit noise)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dims)) * 10.0
+    rows = []
+    for i in range(k * n_per):
+        c = centers[i % k]
+        rows.append((i, [float(x) for x in c + rng.standard_normal(dims)]))
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_sampled_fit_assigns_like_full_fit(spark):
+    """The sample-fit model must induce (nearly) the same partition of the
+    corpus as the full-fit model — cell IDS may permute between models, so
+    compare co-membership over pairs, not labels."""
+    emb = _clustered_corpus(spark)
+    full = fit_kmeans(emb, k=3, iters=5, init="spread")
+    sampled = fit_kmeans(emb, k=3, iters=5, sample_fraction=0.25, init="spread")
+    a = {r["vec_id"]: r["cell"] for r in assign_cells(emb, full).collect()}
+    b = {r["vec_id"]: r["cell"] for r in assign_cells(emb, sampled).collect()}
+    ids = sorted(a)
+    agree = total = 0
+    for i in range(0, len(ids) - 1, 7):  # strided pair sample, deterministic
+        for j in range(i + 1, min(i + 40, len(ids)), 11):
+            total += 1
+            agree += (a[ids[i]] == a[ids[j]]) == (b[ids[i]] == b[ids[j]])
+    assert total > 200
+    assert agree / total >= 0.95, f"co-membership agreement {agree/total:.3f}"
+
+
+def test_sampled_fit_is_deterministic_and_actually_samples(spark):
+    emb = _clustered_corpus(spark, n_per=200)
+    m1 = fit_kmeans(emb, k=3, iters=2, sample_fraction=0.2)
+    m2 = fit_kmeans(emb, k=3, iters=2, sample_fraction=0.2)
+    assert m1 == m2  # hash-sample, not rand(): identical model on re-run
+    full = fit_kmeans(emb, k=3, iters=2)
+    assert m1 != full  # fitted on a strict subset, not secretly the full scan
+
+
+def test_sample_fraction_validation(spark):
+    emb = _clustered_corpus(spark, n_per=10)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        fit_kmeans(emb, k=2, iters=1, sample_fraction=1.5)
