@@ -14,6 +14,8 @@ Scale notes per query are in the docstrings; the common patterns:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -43,6 +45,12 @@ def _qsum(c):
     applied identically by DuckDB (same IEEE double product, same floor), so
     oracle hashes still match bit-for-bit. Oracle twin:
     CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+
+    Headroom: int64 holds quantized PER-GROUP value-sums up to ~9.2e12
+    (9.2e18 / 1e6). TPC-H q1 at sf>=~200 (~1e9 lineitem rows/group x ~3e4
+    avg extendedprice) crosses it — ANSI mode throws, non-ANSI wraps
+    silently. Past that scale, switch the affected sums to _dec()
+    decimal(38,6) accumulation (exact at any SF, ~4x dearer — measured).
     """
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(F.floor(col * 1000000).cast("bigint")).cast("double") / 1000000.0
@@ -119,8 +127,11 @@ def legacy_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cassandra token functions are not expressible in DuckDB SQL; the oracle JOINs
 # golden-token fixtures computed once by the golden-tested Python murmur3/md5
 # implementations (scripts/gen_token_fixtures.py; constants from the
-# reference's CassandraKeyComparatorTest.java:53-67).
-FIXTURES = "/root/repo/fixtures"
+# reference's CassandraKeyComparatorTest.java:53-67). Path derived from
+# __file__ so the baked oracle SQL works from any checkout location.
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
 # murmur3 ring [−2^63, 2^63): 8 buckets -> range 2^61; 16 -> 2^60 (exact, no
 # remainder). DuckDB needs HUGEINT for the +2^63 rescale.
 _M3_BUCKET8 = (

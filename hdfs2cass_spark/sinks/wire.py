@@ -36,6 +36,14 @@ from ..functions.shippable import pickle_by_value
 # executors without this package on PYTHONPATH can still run the UDFs
 pickle_by_value(_serde_mod)
 
+def _token_field(routed: DataFrame) -> StructField:
+    """Murmur3-routed frames carry bigint tokens; RandomPartitioner (MD5)
+    frames carry 39-char zero-padded decimal STRING tokens (128-bit values
+    exceed every JVM numeric — functions/md5token.py). The wire schema must
+    follow the routed frame's dtype or Arrow rejects the batch."""
+    return StructField("token", routed.schema["token"].dataType)
+
+
 WIRE_SCHEMA = StructType(
     [
         StructField("pk", BinaryType()),
@@ -46,6 +54,12 @@ WIRE_SCHEMA = StructType(
         StructField("ttl", IntegerType()),
     ]
 )
+
+
+def _with_token_dtype(schema: StructType, routed: DataFrame) -> StructType:
+    return StructType(
+        [_token_field(routed) if f.name == "token" else f for f in schema.fields]
+    )
 
 
 def encode_cql_wire(routed: DataFrame) -> DataFrame:
@@ -93,7 +107,7 @@ def encode_cql_wire(routed: DataFrame) -> DataFrame:
                 }
             )
 
-    return routed.mapInPandas(batches, WIRE_SCHEMA)
+    return routed.mapInPandas(batches, _with_token_dtype(WIRE_SCHEMA, routed))
 
 
 THRIFT_WIRE_SCHEMA = StructType(
@@ -154,7 +168,7 @@ def encode_thrift_wire(routed: DataFrame) -> DataFrame:
                 }
             )
 
-    return routed.mapInPandas(batches, THRIFT_WIRE_SCHEMA)
+    return routed.mapInPandas(batches, _with_token_dtype(THRIFT_WIRE_SCHEMA, routed))
 
 
 COUNTER_WIRE_SCHEMA = StructType(
@@ -206,7 +220,7 @@ def encode_thrift_counter_wire(routed: DataFrame) -> DataFrame:
                 }
             )
 
-    return routed.mapInPandas(batches, COUNTER_WIRE_SCHEMA)
+    return routed.mapInPandas(batches, _with_token_dtype(COUNTER_WIRE_SCHEMA, routed))
 
 
 SUPER_WIRE_SCHEMA = StructType(
@@ -287,4 +301,4 @@ def encode_thrift_super_wire(routed: DataFrame) -> DataFrame:
                 }
             )
 
-    return routed.mapInPandas(batches, SUPER_WIRE_SCHEMA)
+    return routed.mapInPandas(batches, _with_token_dtype(SUPER_WIRE_SCHEMA, routed))

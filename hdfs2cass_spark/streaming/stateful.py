@@ -70,12 +70,16 @@ def streaming_dedup_first(events: DataFrame, watermark: str = "2 hours") -> Data
                 best = row
         if best is None:
             return
-        if not state.exists:
+        is_new = not state.exists
+        if is_new:
             state.update((int(best["event_id"]),))
-            # event-time eviction: drop this key's state once the watermark
-            # passes now + retention (must be > current watermark or Spark
-            # rejects the timestamp)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + RETENTION_MS)
+        # event-time eviction: drop this key's state once the watermark passes
+        # now + retention (must be > current watermark or Spark rejects the
+        # timestamp). Set on EVERY batch the key appears in — retention is
+        # "after LAST sighting"; extending only on first sight would evict a
+        # still-active key and re-emit its next duplicate.
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + RETENTION_MS)
+        if is_new:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -85,7 +89,7 @@ def streaming_dedup_first(events: DataFrame, watermark: str = "2 hours") -> Data
                     "value": [float(best["value"])],
                 }
             )
-        # state.exists: key already emitted earlier in the stream — duplicates
+        # else: key already emitted earlier in the stream — duplicates dropped
 
     return (
         events.withWatermark("ts", watermark)

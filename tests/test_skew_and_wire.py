@@ -103,3 +103,37 @@ def test_wire_encoding_typed_single_column_key(spark):
     assert bytes(out["pk"]) == typed
     assert out["token"] == cassandra_token(typed)
     assert out["token"] != cassandra_token(b"42")  # the old string-form bug
+
+
+def test_wire_encoding_md5_routed_frame(spark):
+    """RandomPartitioner-routed frames carry STRING tokens (39-char decimal —
+    128-bit values exceed every JVM numeric); the wire schemas must follow the
+    routed dtype instead of pinning LongType, or Arrow rejects the batch.
+    Regression for the round-2 advice finding."""
+    from hdfs2cass_spark.functions.md5token import md5_token
+    from hdfs2cass_spark.operators.partitioning import binary_key_expr, route_to_buckets
+    from hdfs2cass_spark.operators.reshape import reshape_cql
+
+    df = spark.createDataFrame(
+        [Row(cust_id=42, name="x"), Row(cust_id=7, name="y")],
+        schema="cust_id long, name string",
+    )
+    shaped = reshape_cql(df, rowkey="cust_id", now_ms=42)
+    keyed = shaped.withColumn("_pk", binary_key_expr(shaped, ["cust_id"]))
+    from hdfs2cass_spark.config import RANDOM
+
+    routed = route_to_buckets(keyed, 2, "_pk", partitioner=RANDOM, shuffle_seed=None)
+    out = {bytes(r["pk"]): r for r in encode_cql_wire(routed).collect()}
+    typed = struct.pack(">q", 42)
+    row = out[typed]
+    assert isinstance(row["token"], str) and len(row["token"]) == 39
+    assert int(row["token"]) == md5_token(typed)
+    # thrift twin composes too
+    from hdfs2cass_spark.operators.reshape import reshape_thrift
+    from hdfs2cass_spark.sinks.wire import encode_thrift_wire
+
+    tshaped = reshape_thrift(df, rowkey="cust_id", now_ms=42)
+    tkeyed = tshaped.withColumn("_pk", F.unbase64(F.base64(F.col("key").cast("binary"))))
+    trouted = route_to_buckets(tkeyed, 2, "_pk", partitioner=RANDOM, shuffle_seed=None)
+    twire = encode_thrift_wire(trouted).collect()
+    assert all(isinstance(r["token"], str) for r in twire)
