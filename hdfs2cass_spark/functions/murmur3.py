@@ -153,10 +153,9 @@ def token_pandas_udf():
     pickle_by_value(_np_mod)
 
     def _tok(keys: pd.Series) -> pd.Series:
-        vals = [
-            k.encode("utf-8") if isinstance(k, str) else k for k in keys.to_numpy()
-        ]
-        return pd.Series(murmur3_tokens(vals))
+        # murmur3_tokens consumes the Series' Arrow buffers directly — no
+        # per-row materialization or utf-8 encode here
+        return pd.Series(murmur3_tokens(keys))
 
     _tok.__annotations__ = {"keys": pd.Series, "return": pd.Series}
     return pandas_udf(_tok, LongType())
