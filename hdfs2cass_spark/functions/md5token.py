@@ -52,32 +52,25 @@ def md5_token_bucket_udf(num_buckets: int):
     token is the zero-padded decimal string; bucket = token div rangePerReducer
     (CassandraPartitioner.java:72) — computed Python-side because the 128-bit
     division has no JVM-decimal equivalent (decimal tops out at 38 digits).
+    Delegates to the numpy batch implementation (functions/md5_np.py — only the
+    md5 digest itself stays per-row), differentially tested against md5_token.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+    from . import md5_np as _np_mod
+    from .md5_np import md5_tokens_and_buckets
+    from .shippable import pickle_by_value
+
+    # workers may not have this package on PYTHONPATH — embed the module code
+    # in the UDF pickle instead of referencing it by import
+    pickle_by_value(_np_mod)
+
     range_per = range_per_bucket_md5(num_buckets)
-    width = TOKEN_WIDTH
 
-    # self-contained closure: executors may not have this package on
-    # PYTHONPATH, so reference nothing from the module (locals pickle by value)
     def _tok(keys: pd.Series) -> pd.DataFrame:
-        import hashlib
-
-        toks = []
-        buckets = []
-        for k in keys.to_numpy():
-            if k is None:
-                k = b""
-            if isinstance(k, str):
-                k = k.encode("utf-8")
-            if len(k) == 0:
-                t = 0
-            else:
-                t = abs(int.from_bytes(hashlib.md5(bytes(k)).digest(), "big", signed=True))
-            toks.append(str(t).zfill(width))
-            buckets.append(t // range_per)
+        toks, buckets = md5_tokens_and_buckets(keys, range_per, num_buckets)
         return pd.DataFrame({"token": toks, "bucket": buckets})
 
     _tok.__annotations__ = {"keys": pd.Series, "return": pd.DataFrame}
