@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdfs2cass_spark.functions.ts import epoch_seconds
+
 
 def range_join(
     points: DataFrame,
@@ -43,15 +45,15 @@ def range_join(
     if bucket_width_sec <= 0:
         raise ValueError("bucket_width_sec must be positive")
     w = F.lit(bucket_width_sec)
-    pb = points.withColumn("_bucket", (F.unix_seconds(F.col(point_ts)) / w).cast("long"))
+    pb = points.withColumn("_bucket", (epoch_seconds(point_ts) / w).cast("long"))
     ib = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_seconds(F.col(start)) / w).cast("long"),
+                (epoch_seconds(start) / w).cast("long"),
                 # half-open: an interval ending exactly on a bucket boundary
                 # does not reach into that bucket
-                ((F.unix_seconds(F.col(end)) - 1) / w).cast("long"),
+                ((epoch_seconds(end) - 1) / w).cast("long"),
             )
         ),
     ).filter(F.col(end) > F.col(start))
@@ -67,6 +69,6 @@ def bucket_count_expr(start: str, end: str, bucket_width_sec: int) -> Column:
     choosing W (aim for a small per-interval bucket count at your span
     distribution)."""
     return F.ceil(
-        (F.unix_seconds(F.col(end)) - F.unix_seconds(F.col(start)))
+        (epoch_seconds(end) - epoch_seconds(start))
         / F.lit(float(bucket_width_sec))
     ).cast("int")

@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from hdfs2cass_spark.functions.ts import epoch_micros, epoch_millis, epoch_seconds
 from pyspark.sql.functions import broadcast
 
 from ..operators.legacy import format_legacy_lines, parse_legacy_lines
@@ -685,7 +686,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             _qsum("value").alias("total_value"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            epoch_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "total_value",
@@ -929,7 +930,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not to exercise.)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     enriched = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
@@ -974,7 +975,7 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_ts.isNull() | (epoch_seconds("ts") - epoch_seconds(prev_ts) > 1800), 1
     ).otherwise(0)
     numbered = e.withColumn("new_session", new_session).withColumn(
         "session_no",
@@ -984,8 +985,8 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered.groupBy("user_id", "session_no")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.unix_millis(F.min("ts")).alias("session_start_ms"),
-            F.unix_millis(F.max("ts")).alias("session_end_ms"),
+            epoch_millis(F.min("ts")).alias("session_start_ms"),
+            epoch_millis(F.max("ts")).alias("session_end_ms"),
         )
         .orderBy("user_id", "session_no")
     )
@@ -1203,7 +1204,7 @@ def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_join(e, w, point_ts="ts", start="w_start", end="w_end", bucket_width_sec=3600)
     return joined.select(
-        "event_id", "window_id", F.unix_millis("ts").alias("ts_ms")
+        "event_id", "window_id", epoch_millis("ts").alias("ts_ms")
     ).orderBy("event_id", "window_id")
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from hdfs2cass_spark.functions.ts import epoch_millis
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -23,29 +24,52 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns epoch (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """readStream over a directory of events parquet files (the file source
     monitors a directory; tests point it at a tmp dir seeded with the fixture
-    file). Schema pinned; ns -> µs timestamps exactly like the batch loader so
-    stream and batch agree bit-for-bit."""
+    file).
+
+    The file source needs a pinned schema, but the fixture layout has shipped
+    `ts` both as INT64 TIMESTAMP(NANOS) (surfaced as ns-longs under
+    `nanosAsLong`) and as plain `timestamp[us]` (TIMESTAMP_NTZ). A one-off
+    batch read of the already-seeded directory infers which layout this stream
+    will see; the ns layout gets the same ns->µs truncation as the batch
+    loader so stream and batch agree bit-for-bit.
+
+    Either way the stream's `ts` comes out as TIMESTAMP (LTZ): Spark's
+    `withWatermark` rejects TIMESTAMP_NTZ event time, and with the session
+    timezone pinned to UTC (ensure_session_confs) the NTZ->LTZ cast is
+    value-preserving against the naive-as-UTC oracle."""
+    from hdfs2cass_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+    inferred = spark.read.parquet(events_dir).schema["ts"].dataType
+    if isinstance(inferred, LongType):
+        raw = (
+            spark.readStream.schema(_events_schema(LongType()))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(inferred))
         .option("maxFilesPerTrigger", "1")
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -68,7 +92,7 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
             ).alias("total_value"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            epoch_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "total_value",
@@ -89,8 +113,8 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
             F.min("event_id").alias("first_event"),
         )
         .select(
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            epoch_millis(F.col("w.start")).alias("session_start_ms"),
+            epoch_millis(F.col("w.end")).alias("session_end_ms"),
             "user_id",
             "n_events",
             "first_event",

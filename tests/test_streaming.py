@@ -124,12 +124,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    from hdfs2cass_spark.functions.ts import epoch_millis
+
     events = stream_events(spark, str(src))
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.unix_millis(F.col("w.start")).alias("ws"), "n")
+        .select(epoch_millis(F.col("w.start")).alias("ws"), "n")
     )
     q = (
         agg.writeStream.format("memory")
@@ -153,6 +155,7 @@ def test_streaming_dedup_first_equals_batch(spark, sf_dir, events_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from hdfs2cass_spark.functions.ts import epoch_millis
     from hdfs2cass_spark.sources.readers import load_table
     from hdfs2cass_spark.streaming import stream_events, streaming_dedup_first
 
@@ -168,7 +171,7 @@ def test_streaming_dedup_first_equals_batch(spark, sf_dir, events_dir):
             "user_id",
             "event_type",
             "event_id",
-            F.unix_millis("ts").alias("ts_ms"),
+            epoch_millis("ts").alias("ts_ms"),
             "value",
         )
     )
