@@ -1,0 +1,230 @@
+"""Training-data-pipeline declared queries beyond the dedup/similarity core:
+benchmark decontamination, sequence packing, repetition-quality scoring, and
+quota-based corpus mixing.
+
+These are the remaining operators a 100 TB pretraining-data pipeline runs
+between "raw corpus" and "training batches" (the dedup/ANN/quality core lives
+in plans/llm.py). Cross-engine determinism follows the registry rules: every
+hash is md5-derived (identical in Spark and DuckDB), every ratio is a double
+division of identical integer operands, every output column is aliased the
+same in both engines.
+
+Scale design notes per operator are on each docstring; the shared theme is
+that nothing here shuffles the corpus more than once, and the only global
+ordering (sequence packing) is computed as a distributed prefix-sum, not a
+single-task global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .llm import SH_DUCK, W_DUCK, W_SPARK, _shingles, hash60_duck, hash60_spark
+from .registry import declare
+
+# Benchmark-set membership: a pure md5 function of doc_id (~5% of docs), the
+# same derivation style as train_test_split. In production the benchmark side
+# is an actual eval-suite corpus; membership-by-hash keeps the declared query
+# self-contained on the fixture tables.
+_BENCH_SPARK = hash60_spark("concat('bench:', CAST(doc_id AS STRING))") + " % 20 = 0"
+_BENCH_DUCK = hash60_duck("'bench:' || CAST(doc_id AS VARCHAR)") + " % 20 = 0"
+
+
+@declare(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE {_BENCH_DUCK}),
+    train AS (SELECT * FROM sh WHERE NOT ({_BENCH_DUCK}))
+    SELECT train.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(bench.s) AS n_contaminated,
+           CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*) AS contam_frac
+    FROM train LEFT JOIN bench USING (s)
+    GROUP BY train.doc_id
+    ORDER BY train.doc_id
+    """,
+    doc="Benchmark decontamination: per training doc, how many of its distinct "
+    "3-word shingles appear anywhere in the benchmark (eval-suite) shingle "
+    "set. 100 TB shape: the benchmark set is tiny next to the corpus, so its "
+    "distinct-shingle table is BROADCAST and the check is a map-side left "
+    "join — the corpus is never shuffled, and each training shingle matches "
+    "at most one row of a distinct set (no pair amplification).",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)  # (doc_id, s) distinct
+    is_bench = F.expr(_BENCH_SPARK)
+    bench = sh.filter(is_bench).select("s").distinct()
+    train = sh.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Sequence packing: docs per id-range shard. The shard-offset table has
+# n_docs / PACK_SHARD_DOCS rows; keep that under ~1e6 per level (width 1e4 at
+# 1e10 docs) so the offset cumsum stays a single small task; beyond that,
+# recurse the same two-level scheme.
+PACK_SHARD_DOCS = 64
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@declare(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({W_DUCK}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_BUDGET} AS seq_id
+    FROM toks ORDER BY doc_id
+    """,
+    doc="Sequence packing for LLM training: lay documents end-to-end in "
+    "doc_id order on a global token axis and assign each doc to the "
+    f"{PACK_BUDGET}-token training sequence its first token lands in "
+    "(offset-binned packing — the scalable relaxation of greedy bin packing, "
+    "docs may straddle a boundary). The global running offset is a "
+    "DISTRIBUTED PREFIX-SUM: per-doc exclusive cumsum inside id-range shards "
+    "(partitioned window, parallel) + a tiny per-shard offset table joined "
+    "back by broadcast — never a single-task global window over the corpus.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({W_SPARK}) AS BIGINT)").alias("n_tokens"),
+        (F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("_shard"),
+    )
+    local = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = toks.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+    )
+    shard_order = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn("_base", F.coalesce(F.sum("_tot").over(shard_order), F.lit(0)))
+        .select("_shard", "_base")
+    )
+    start = F.col("_base") + F.col("_local")
+    return (
+        within.join(F.broadcast(offsets), "_shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / PACK_BUDGET).alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Bigrams over the materialized words column (same CSE rule as SH_ON_WS_SPARK:
+# inlining split() into the lambda re-tokenizes per element).
+_BG_ON_WS_SPARK = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(1, size(ws) - 1), i -> "
+    "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+_BG_DUCK = (
+    f"CASE WHEN len({W_DUCK}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({W_DUCK}) - 1), i -> "
+    f"{W_DUCK}[i] || ' ' || {W_DUCK}[i + 1]) "
+    f"ELSE []::VARCHAR[] END"
+)
+
+
+@declare(
+    "top_ngram_repetition",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, unnest({_BG_DUCK}) AS g FROM documents
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+    SELECT doc_id,
+           SUM(c) AS n_bigrams,
+           MAX(c) AS top_bigram_n,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_frac
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Repetition quality signal (Gopher-style): fraction of a document's "
+    "word bigrams taken by its single most frequent bigram — high values "
+    "flag boilerplate/repetitive text for filtering. Two cascaded "
+    "aggregations on the same doc_id key (partial map-side combine on "
+    "(doc_id, bigram), then per-doc max/sum riding the SAME partitioning — "
+    "one shuffle total), no window, no join.",
+)
+def top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    bg = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(_BG_ON_WS_SPARK)).alias("g"))
+    )
+    cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            (F.max("c").cast("double") / F.sum("c")).alias("rep_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MIX_QUOTA = 3  # kept docs per (lang, source) cell
+
+
+@declare(
+    "corpus_mix_quota",
+    oracle=f"""
+    SELECT doc_id, lang, source, rk FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {MIX_QUOTA}
+    ORDER BY lang, source, rk
+    """,
+    doc="Quota-based corpus mixing: keep the top-N documents per "
+    "(lang, source) cell (largest first, doc_id tiebreak) — the stratified "
+    "selection step that balances a training mixture across languages and "
+    "sources. One partitioned window (rank inside each cell, fully "
+    "parallel); Spark plans it as WindowGroupLimit, pushing the top-N below "
+    "the shuffle so only ~N rows per cell per mapper move.",
+)
+def corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MIX_QUOTA)
+        .select("doc_id", "lang", "source", "rk")
+        .orderBy("lang", "source", "rk")
+    )

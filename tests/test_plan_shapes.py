@@ -142,6 +142,33 @@ def test_range_join_plans_as_bucketed_equi_join(spark, sf_dir):
     assert "_bucket" in p  # the equi-key the hash join runs on
 
 
+def test_decontamination_broadcasts_bench_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast (it's tiny next to the
+    corpus): the overlap check is a map-side join — losing the broadcast
+    turns it into a corpus-wide sort-merge shuffle."""
+    p = _explain(spark, CATALOG["decontamination_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark, sf_dir):
+    """pack_sequences must compute the running offset with a window
+    PARTITIONED by the id-range shard (parallel) plus a broadcast join of the
+    tiny shard-offset table — never one global unpartitioned window over the
+    corpus rows."""
+    p = _explain(spark, CATALOG["pack_sequences"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # the per-doc cumsum window is keyed by the shard column
+    assert "windowspecdefinition(_shard" in p
+
+
+def test_corpus_mix_quota_truncates_map_side(spark, sf_dir):
+    """The per-(lang, source) quota must plan as WindowGroupLimit so each
+    mapper forwards only ~quota rows per cell into the shuffle."""
+    p = _explain(spark, CATALOG["corpus_mix_quota"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
 def test_salted_agg_is_two_phase(spark, sf_dir):
     """salted_agg_events must show BOTH aggregation phases (key,salt) then
     (key) — the salt visible in the inner grouping — and partial aggregation
