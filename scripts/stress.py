@@ -124,6 +124,15 @@ def main() -> int:
     out["ann_lsh_planes"] = derive_n_planes(args.vecs, multiprobe=1)
     print(f"# ann_lsh: {dt:.2f}s  recall {recall:.3f} on {n_planted} planted pairs", file=sys.stderr)
 
+    # --- training-pipeline stages over the same synthetic docs ---
+    # pack_sequences: the distributed prefix-sum must hold its shape when the
+    # shard-offset table is thousands of rows (docs/64 shards); decontamination:
+    # the broadcast bench-set join over ~docs x 28 shingles.
+    from hdfs2cass_spark.plans.pipeline import decontamination_overlap, pack_sequences
+
+    run("pack_sequences", pack_sequences(spark, tmp), args.docs)
+    run("decontamination", decontamination_overlap(spark, tmp), args.docs)
+
     out["docs"] = args.docs
     out["vecs"] = args.vecs
     out["rows"] = args.rows
