@@ -111,7 +111,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.expr(f"CAST(size({W_SPARK}) AS BIGINT)").alias("n_tokens"),
-        (F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("_shard"),
+        # integer div, not `/`: float division is only trustworthy to 2^53
+        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("_shard"),
     )
     local = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -133,7 +134,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             start.alias("start_offset"),
-            F.floor(start / PACK_BUDGET).alias("seq_id"),
+            F.expr(f"(_base + _local) div {PACK_BUDGET}").alias("seq_id"),
         )
         .orderBy("doc_id")
     )
