@@ -1,6 +1,7 @@
 from .ingest import stream_events, tumbling_counts_stream, sessionize_stream
 from .bulk_ingest import stream_bulk_load
 from .stateful import streaming_dedup_first
+from .decontam import stream_documents, stream_decontamination
 
 __all__ = [
     "stream_events",
@@ -8,4 +9,6 @@ __all__ = [
     "sessionize_stream",
     "stream_bulk_load",
     "streaming_dedup_first",
+    "stream_documents",
+    "stream_decontamination",
 ]

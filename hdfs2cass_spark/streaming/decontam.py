@@ -1,0 +1,89 @@
+"""Streaming decontamination: score documents against a benchmark shingle set
+as they arrive.
+
+The batch twin is ``plans/pipeline.py decontamination_overlap``; this is the
+shape a live crawl-ingest pipeline runs. Per micro-batch, the arriving
+documents' distinct shingles are scored with the SAME broadcast left join the
+batch twin plans — via foreachBatch, so the join and per-doc aggregate are
+batch-scoped and NO streaming state accumulates (a raw streaming
+groupBy/dropDuplicates on doc_id would hold every doc ever seen in the state
+store — the unbounded-state killer). The static benchmark side is tiny by
+construction (eval suites vs a 100 TB crawl), so every micro-batch is scored
+map-side with one small per-doc aggregate shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..plans.llm import SH_ON_WS_SPARK, W_SPARK
+from ..sources.readers import ensure_session_confs
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """readStream over a directory of documents parquet files (one micro-batch
+    per file under availableNow, mirroring stream_events)."""
+    ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+
+
+def score_batch(docs: DataFrame, bench_shingles: DataFrame) -> DataFrame:
+    """The per-batch scoring plan (shared with the test's batch twin):
+    distinct shingles per doc, broadcast-left-joined to the benchmark set.
+    Docs with no shingles (< 3 words) produce no row, like the batch twin."""
+    sh = (
+        docs.select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench_shingles.withColumn("hit", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contam_frac"),
+        )
+    )
+
+
+def stream_decontamination(
+    stream: DataFrame,
+    bench_shingles: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Start the streaming decontamination query; returns the StreamingQuery.
+
+    ``bench_shingles`` is a STATIC single-column DataFrame ``s`` of the
+    benchmark corpus's distinct shingles. Scored rows append to ``sink_path``
+    as parquet with the batch twin's schema
+    (doc_id, n_shingles, n_contaminated, contam_frac).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_batch(batch_df, bench_shingles).write.mode("append").parquet(sink_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

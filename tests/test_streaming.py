@@ -52,6 +52,54 @@ def test_sessionize_stream_runs(spark, events_dir):
         assert r["n_events"] >= 1
 
 
+def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination over micro-batches must produce exactly the
+    batch twin's rows: same broadcast scoring plan per batch, zero streaming
+    state. Train docs split across 3 files = 3 micro-batches."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_decontamination, stream_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = _shingles(d.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    train = d.filter(~F.expr(_BENCH_SPARK)).select(*cols)
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    for i in range(3):
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{i}.parquet"))
+    # flatten: the file source watches one directory of files
+    import glob
+    import shutil
+
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    for j, f in enumerate(sorted(glob.glob(str(src / "part*" / "*.parquet")))):
+        shutil.copy(f, flat / f"{j}.parquet")
+
+    out = str(tmp_path / "scored")
+    q = stream_decontamination(
+        stream_documents(spark, str(flat)),
+        bench,
+        out,
+        str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["decontamination_overlap"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
 def test_stream_bulk_load(spark, events_dir, tmp_path):
     """The reference dataflow fed by a stream: per-micro-batch token-sorted
     bucket files; total rows equal the batch source."""
