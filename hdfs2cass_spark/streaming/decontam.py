@@ -16,28 +16,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
-
 from ..plans.llm import SH_ON_WS_SPARK, W_SPARK
 from ..sources.readers import ensure_session_confs
-
-DOCS_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ]
-)
 
 
 def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
     """readStream over a directory of documents parquet files (one micro-batch
-    per file under availableNow, mirroring stream_events)."""
+    per file under availableNow, mirroring stream_events). The file source
+    needs a pinned schema; infer it from the already-seeded directory so the
+    stream tracks whatever physical types the fixture generation shipped
+    (the events table has flipped dtypes between rounds — don't hardcode)."""
     ensure_session_confs(spark)
+    schema = spark.read.parquet(docs_dir).schema
     return (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(docs_dir)
     )

@@ -57,6 +57,33 @@ def _write_events(path, ts_array):
     )
 
 
+def test_events_catalog_queries_agree_across_layouts(spark, tmp_path):
+    """A full events query (window + epoch emission) must produce identical
+    rows whether events.parquet ships ns-longs or us-timestamps — the two
+    layouts the driver has generated so far."""
+    from hdfs2cass_spark.plans import CATALOG
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    us = sorted(
+        int(u)
+        for u in 1704067200_000000 + rng.integers(0, 86_400_000_000, size=300)
+    )
+    outs = []
+    for name, arr in (
+        ("ns", pa.array([u * 1000 for u in us], pa.timestamp("ns"))),
+        ("us", pa.array(us, pa.timestamp("us"))),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        _write_events(str(d / "events.parquet"), arr)
+        rows = CATALOG["tumbling_window_events"].fn(spark, str(d)).collect()
+        outs.append(sorted(tuple(r) for r in rows))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
 def test_load_table_same_timeline_from_ns_and_us_layouts(spark, tmp_path):
     from hdfs2cass_spark.sources.readers import load_table
 
