@@ -465,6 +465,84 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only).select("tag", "x").orderBy("tag", "x")
 
 
+@declare(
+    "bag_set_ops_priorities",
+    oracle="""
+    SELECT 'intersect_all' AS op, p FROM
+      (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT ALL
+       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t1
+    UNION ALL
+    SELECT 'except_all' AS op, p FROM
+      (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT ALL
+       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t2
+    ORDER BY op, p
+    """,
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-preserving per the SQL standard (min / difference of "
+    "per-value counts). Spark plans both as aggregate+join on the value — "
+    "no row-pair expansion; complements the distinct set ops in "
+    "set_ops_nations.",
+)
+def bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    opened = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    filled = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    inter = opened.intersectAll(filled).withColumn("op", F.lit("intersect_all"))
+    exc = opened.exceptAll(filled).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc).select("op", "p").orderBy("op", "p")
+
+
+@declare(
+    "full_outer_balance_cells",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1, 2),
+    s AS (
+      SELECT s_nationkey AS nk, CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_k,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1, 2)
+    SELECT COALESCE(c.nk, s.nk) AS nk,
+           COALESCE(c.bal_k, s.bal_k) AS bal_k,
+           c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk AND c.bal_k = s.bal_k
+    ORDER BY nk, bal_k
+    """,
+    doc="FULL OUTER join of two aggregates on a composite key — cells where "
+    "either side is absent survive with NULL counts (the supplier table's "
+    "sparser balance histogram guarantees unmatched rows both ways). Joins "
+    "two small aggregates, so the optimizer is free to broadcast one side "
+    "(Spark full-outer broadcasts via BroadcastNestedLoopJoin only when "
+    "legal; here both sides are post-aggregate small).",
+)
+def full_outer_balance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            F.expr("CAST(floor(s_acctbal / 1000) AS BIGINT)").alias("bal_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, ["nk", "bal_k"], "full_outer")
+    return j.select("nk", "bal_k", "n_cust", "n_supp").orderBy("nk", "bal_k")
+
+
 # ---------------------------------------------------------------------------
 # Windows, sorts, top-k
 # ---------------------------------------------------------------------------
