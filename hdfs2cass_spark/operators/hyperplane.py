@@ -222,16 +222,23 @@ def hyperplane_near_dup_pairs(
     Returns (id_a, id_b, sim). Cosine is evaluated ONLY on candidate pairs —
     cost scales with candidates, never docs^2. Zero-norm vectors yield NULL
     cosine and are excluded (cosine is undefined for them)."""
+    from ..functions.vec import dot_sql, norm_sql
+
     cand = hyperplane_candidates(emb, id_col, vec_col, n_planes, cap, multiprobe, seed)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    dot = (
-        "aggregate(zip_with(_va, _vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    # norms ride each side ONCE instead of being re-evaluated per candidate
+    # pair after the join (functions/vec.py — measured 1.65x on topk)
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.expr(norm_sql(vec_col)).alias("_na"),
     )
-    norm = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    sim = F.expr(dot) / F.expr(
-        f"nullif({norm.format(v='_va')} * {norm.format(v='_vb')}, CAST(0 AS DOUBLE))"
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.expr(norm_sql(vec_col)).alias("_nb"),
+    )
+    sim = F.expr(dot_sql("_va", "_vb")) / F.expr(
+        "nullif(_na * _nb, CAST(0 AS DOUBLE))"
     )
     return (
         cand.join(a, "id_a")

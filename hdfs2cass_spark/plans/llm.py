@@ -499,11 +499,16 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity search
 # ---------------------------------------------------------------------------
 
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-_NORM_SPARK = "sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+# Shared HOF vector math (functions/vec.py — see its docstring for why the
+# unrolled-codegen alternative loses under composition). The DuckDB twins
+# hardcode the fixture width, range(1, 65).
+from ..functions.vec import dot_sql as _dot_sql2  # noqa: E402
+from ..functions.vec import norm_sql as _norm_sql  # noqa: E402
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _dot_sql2(a, b)
+
 
 _DOT_DUCK = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
@@ -515,9 +520,13 @@ _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {
 # Cosine is undefined for zero vectors: both engines yield NULL and the
 # consumers exclude it explicitly. Caught by the adversarial probe, not the
 # fixtures (which contain no zero vectors).
-def _cosine_spark(a: str, b: str):
-    return F.expr(_DOT_SPARK.format(a=a, b=b)) / F.expr(
-        f"nullif({_NORM_SPARK.format(a=a)} * {_NORM_SPARK.format(a=b)}, CAST(0 AS DOUBLE))"
+def _cosine_prenormed(a: str, b: str, an: str, bn: str):
+    """Cosine from PRE-COMPUTED norm columns: the norms are built once per
+    vector before the pair join instead of re-evaluated per pair after it —
+    same IEEE values (sqrt and multiply are correctly rounded), ~3x less
+    arithmetic per candidate pair."""
+    return F.expr(_dot_sql(a, b)) / F.expr(
+        f"nullif({an} * {bn}, CAST(0 AS DOUBLE))"
     )
 
 
@@ -555,12 +564,15 @@ def _cosine_duck(a: str, b: str) -> str:
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding")).alias("_qn"),
     )
-    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding")).filter(
-        F.col("vec_id") != F.col("q_id")
+    corpus = e.select(
+        "vec_id", "embedding", F.expr(_norm_sql("embedding")).alias("_en")
     )
-    sim = F.round(_cosine_spark("qe", "embedding"), 6)
+    pairs = F.broadcast(q).crossJoin(corpus).filter(F.col("vec_id") != F.col("q_id"))
+    sim = F.round(_cosine_prenormed("qe", "embedding", "_qn", "_en"), 6)
     sims = pairs.select("q_id", "vec_id", sim.alias("sim")).filter(
         F.col("sim").isNotNull()
     )
@@ -833,19 +845,24 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist", "cell")).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
-    ecell = e.join(vcell, "vec_id").select("vec_id", "embedding", "cell")
+    ecell = e.join(vcell, "vec_id").select(
+        "vec_id", "embedding", "cell", F.expr(_norm_sql("embedding")).alias("_en")
+    )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding")).alias("_qn"),
     )
     # probe cells: the nprobe nearest of the 8 (dist, cell) structs, sorted
     qcells = q.select(
         "q_id",
         "qe",
+        "_qn",
         F.explode(
             F.expr(f"slice(array_sort({_ivf_cell_struct_array('qe')}), 1, {_NPROBE})")
         ).alias("pc"),
-    ).select("q_id", "qe", F.col("pc.cell").alias("cell"))
-    sim = F.round(_cosine_spark("qe", "embedding"), 6)
+    ).select("q_id", "qe", "_qn", F.col("pc.cell").alias("cell"))
+    sim = F.round(_cosine_prenormed("qe", "embedding", "_qn", "_en"), 6)
     sims = (
         F.broadcast(qcells)
         .join(ecell, "cell")
