@@ -502,13 +502,8 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared HOF vector math (functions/vec.py — see its docstring for why the
 # unrolled-codegen alternative loses under composition). The DuckDB twins
 # hardcode the fixture width, range(1, 65).
-from ..functions.vec import dot_sql as _dot_sql2  # noqa: E402
+from ..functions.vec import dot_sql as _dot_sql  # noqa: E402
 from ..functions.vec import norm_sql as _norm_sql  # noqa: E402
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return _dot_sql2(a, b)
-
 
 _DOT_DUCK = "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 _NORM_DUCK = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
