@@ -1,0 +1,97 @@
+"""Distributed exclusive prefix-sum over an ordered key.
+
+The naive Spark formulation — ``sum().over(Window.orderBy(key))`` with no
+partition — funnels the ENTIRE input through one task (Spark even warns:
+"No Partition Defined for Window operation"). The scalable scheme is the
+classic scan decomposition:
+
+  1. group rows into contiguous key-range shards (integer-div of a dense-ish
+     ordering key);
+  2. exclusive cumsum INSIDE each shard — a partitioned window, fully
+     parallel;
+  3. per-shard totals form a table 1/width the size of the input; its own
+     exclusive cumsum gives each shard's base offset;
+  4. broadcast-join the bases back: offset = base + local.
+
+Step 3 is itself a prefix-sum, so RECURSE until the level fits comfortably
+in one task (LEVEL_LIMIT rows), then use the single window. Each level
+shrinks the data by ``width``, so a 1e12-row input needs 3 levels at
+width=1e4 — the driver sees one tiny count per level, the data never
+funnels. This generalizes pack_sequences' two-level layout to any depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# one task comfortably scans this many pre-aggregated rows
+LEVEL_LIMIT = 1_000_000
+
+
+def exclusive_cumsum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str = "_offset",
+    shard_width: int = 10_000,
+) -> DataFrame:
+    """Add column ``out`` = sum of ``value`` over all rows with a smaller
+    ``key`` (exclusive running total in key order). ``key`` must be unique
+    per row and non-negative; ``value`` is summed as bigint.
+
+    Cost per level: one partitioned window + one aggregate; levels =
+    ceil(log_width(rows / LEVEL_LIMIT)) + 1. No unpartitioned window ever
+    sees more than LEVEL_LIMIT rows.
+    """
+    shard = F.expr(f"{key} div {shard_width}").alias("_shard")
+    local_w = (
+        Window.partitionBy("_shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = df.withColumn("_shard", shard).withColumn(
+        "_local", F.coalesce(F.sum(value).over(local_w), F.lit(0)).cast("bigint")
+    )
+    totals = with_local.groupBy("_shard").agg(
+        F.sum(value).cast("bigint").alias("_tot")
+    )
+    bases = _shard_bases(totals)
+    return (
+        with_local.join(F.broadcast(bases), "_shard")
+        .withColumn(out, (F.col("_base") + F.col("_local")).cast("bigint"))
+        .drop("_shard", "_local", "_base")
+    )
+
+
+def _shard_bases(totals: DataFrame, width: int = 1024) -> DataFrame:
+    """(_shard, _base): exclusive cumsum of _tot in _shard order, recursing
+    through coarser levels until one task's worth remains."""
+    n = totals.count()  # one scalar per level — levels are logarithmic
+    if n <= LEVEL_LIMIT:
+        w = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+        return totals.select(
+            "_shard",
+            F.coalesce(F.sum("_tot").over(w), F.lit(0)).cast("bigint").alias("_base"),
+        )
+    coarse = F.expr(f"_shard div {width}").alias("_cshard")
+    local_w = (
+        Window.partitionBy("_cshard")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = totals.withColumn("_cshard", coarse).withColumn(
+        "_clocal", F.coalesce(F.sum("_tot").over(local_w), F.lit(0)).cast("bigint")
+    )
+    ctotals = with_local.groupBy(F.col("_cshard").alias("_shard")).agg(
+        F.sum("_tot").cast("bigint").alias("_tot")
+    )
+    cbases = _shard_bases(ctotals, width).withColumnRenamed("_shard", "_cshard")
+    return (
+        with_local.join(F.broadcast(cbases), "_cshard")
+        .select(
+            "_shard",
+            (F.col("_base") + F.col("_clocal")).cast("bigint").alias("_base"),
+        )
+    )

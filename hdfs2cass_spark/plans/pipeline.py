@@ -76,9 +76,9 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sequence packing: docs per id-range shard. The shard-offset table has
-# n_docs / PACK_SHARD_DOCS rows; keep that under ~1e6 per level (width 1e4 at
-# 1e10 docs) so the offset cumsum stays a single small task; beyond that,
-# recurse the same two-level scheme.
+# n_docs / PACK_SHARD_DOCS rows; operators/prefixsum.py recurses through
+# coarser levels whenever a level exceeds ~1e6 rows, so no single task ever
+# scans more than that regardless of corpus size.
 PACK_SHARD_DOCS = 64
 PACK_BUDGET = 256  # tokens per packed training sequence
 
@@ -107,37 +107,21 @@ PACK_BUDGET = 256  # tokens per packed training sequence
     "back by broadcast — never a single-task global window over the corpus.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefixsum import exclusive_cumsum
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
+        "doc_id", F.expr(f"CAST(size({W_SPARK}) AS BIGINT)").alias("n_tokens")
+    )
+    packed = exclusive_cumsum(
+        toks, "doc_id", "n_tokens", out="start_offset", shard_width=PACK_SHARD_DOCS
+    )
+    return packed.select(
         "doc_id",
-        F.expr(f"CAST(size({W_SPARK}) AS BIGINT)").alias("n_tokens"),
-        # integer div, not `/`: float division is only trustworthy to 2^53
-        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("_shard"),
-    )
-    local = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    within = toks.withColumn(
-        "_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
-    )
-    shard_order = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        toks.groupBy("_shard")
-        .agg(F.sum("n_tokens").alias("_tot"))
-        .withColumn("_base", F.coalesce(F.sum("_tot").over(shard_order), F.lit(0)))
-        .select("_shard", "_base")
-    )
-    start = F.col("_base") + F.col("_local")
-    return (
-        within.join(F.broadcast(offsets), "_shard")
-        .select(
-            "doc_id",
-            "n_tokens",
-            start.alias("start_offset"),
-            F.expr(f"(_base + _local) div {PACK_BUDGET}").alias("seq_id"),
-        )
-        .orderBy("doc_id")
-    )
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_BUDGET}").alias("seq_id"),
+    ).orderBy("doc_id")
 
 
 # Bigrams over the materialized words column (same CSE rule as SH_ON_WS_SPARK:
