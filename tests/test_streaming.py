@@ -100,6 +100,55 @@ def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_decontamination_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Stopping and restarting against the same checkpoint must score each
+    file exactly once: the restart picks up only the file added after the
+    first run, never re-emitting earlier docs."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_decontamination, stream_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = _shingles(d.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    train = d.filter(~F.expr(_BENCH_SPARK)).select(*cols)
+
+    import glob
+    import shutil
+
+    flat = tmp_path / "docs_resume"
+    flat.mkdir()
+
+    def seed(i):
+        part = tmp_path / f"p{i}"
+        train.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        src = sorted(glob.glob(str(part / "*.parquet")))[0]
+        shutil.copy(src, flat / f"{i}.parquet")
+
+    out, ck = str(tmp_path / "scored"), str(tmp_path / "ck")
+    seed(0)
+    seed(1)
+    q = stream_decontamination(stream_documents(spark, str(flat)), bench, out, ck, available_now=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+
+    seed(2)
+    q2 = stream_decontamination(stream_documents(spark, str(flat)), bench, out, ck, available_now=True)
+    q2.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["decontamination_overlap"].fn(spark, sf_dir).collect()
+    )
+    assert got == want  # all three files scored, none twice
+    assert first < len(got)  # the restart added only the new file's docs
+
+
 def test_stream_bulk_load(spark, events_dir, tmp_path):
     """The reference dataflow fed by a stream: per-micro-batch token-sorted
     bucket files; total rows equal the batch source."""
