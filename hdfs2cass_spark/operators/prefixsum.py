@@ -22,7 +22,7 @@ funnels. This generalizes pack_sequences' two-level layout to any depth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
