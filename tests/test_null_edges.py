@@ -29,6 +29,11 @@ DOC_QUERIES = [
     "train_test_split",
     "tfidf_top_terms",
     "corpus_selection",
+    # round-3 pipeline stages
+    "decontamination_overlap",
+    "pack_sequences",
+    "top_ngram_repetition",
+    "corpus_mix_quota",
 ]
 
 
@@ -52,6 +57,8 @@ def edge_dir(tmp_path_factory):
                 pa.string(),
             ),
             "lang": pa.array(["en"] * 8, pa.string()),
+            "source": pa.array(["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB"], pa.string()),
+            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18], pa.int64()),
         }
     )
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
