@@ -105,6 +105,9 @@ EVENT_QUERIES = [
     "sessionize_events_batch",
     "asof_join_events",
     "distinct_users_per_type",
+    # round-3 extension operators
+    "range_join_events_windows",
+    "salted_agg_events",
 ]
 
 
