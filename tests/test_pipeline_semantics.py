@@ -1,0 +1,97 @@
+"""Hand-built-input semantics for the training-pipeline stages — the edge
+rules the DuckDB differential verifies but doesn't spell out."""
+
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.plans.pipeline import (
+    MIX_QUOTA,
+    PACK_BUDGET,
+    corpus_mix_quota,
+    decontamination_overlap,
+    pack_sequences,
+    top_ngram_repetition,
+)
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    path = str(tmp_path / "docs")
+    d.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_pack_straddling_doc_gets_start_offset_bin(spark, tmp_path):
+    """A doc crossing a sequence boundary belongs to the bin its FIRST token
+    lands in (offset-binned packing): doc 1 starts at offset 200 < 256, so it
+    is seq 0 even though it runs past 256."""
+    long_a = " ".join(["w"] * 200)
+    long_b = " ".join(["w"] * 100)
+    path = _docs_dir(
+        spark,
+        tmp_path,
+        [(0, long_a, "en", "s", 1), (1, long_b, "en", "s", 1), (2, "x y", "en", "s", 1)],
+    )
+    rows = {r.doc_id: r for r in pack_sequences(spark, path).collect()}
+    assert rows[0].start_offset == 0 and rows[0].seq_id == 0
+    assert rows[1].start_offset == 200 and rows[1].seq_id == 0  # straddles 256
+    assert rows[2].start_offset == 300 and rows[2].seq_id == 300 // PACK_BUDGET
+
+
+def test_decontamination_counts_distinct_shingles_once(spark, tmp_path):
+    """A training doc repeating the same contaminated shingle counts it ONCE
+    (distinct shingles), and docs under 3 words emit no row."""
+    # doc_id 260 hashes into the benchmark set? Avoid relying on that: use
+    # ids probed NOT to be benchmark members, and make doc 1 the only
+    # benchmark doc by brute-force search.
+    from hdfs2cass_spark.plans.pipeline import _BENCH_DUCK
+
+    import duckdb
+
+    con = duckdb.connect()
+    is_bench = lambda i: con.execute(
+        f"SELECT {_BENCH_DUCK.replace('doc_id', str(i))}"
+    ).fetchone()[0]
+    bench_id = next(i for i in range(1000) if is_bench(i))
+    train_ids = [i for i in range(1000) if not is_bench(i)][:2]
+    phrase = "alpha beta gamma"
+    path = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (bench_id, phrase, "en", "s", 1),  # benchmark: 1 shingle
+            (train_ids[0], f"{phrase} {phrase}", "en", "s", 1),  # repeats it
+            (train_ids[1], "xx yy", "en", "s", 1),  # < 3 words: no row
+        ],
+    )
+    rows = {r.doc_id: r for r in decontamination_overlap(spark, path).collect()}
+    assert train_ids[1] not in rows and bench_id not in rows
+    r = rows[train_ids[0]]
+    # "alpha beta gamma alpha beta gamma" yields raw shingles (alpha beta
+    # gamma) x2, (beta gamma alpha), (gamma alpha beta) -> 3 DISTINCT, of
+    # which exactly one ("alpha beta gamma") is in the benchmark set: the
+    # repeat counts once
+    assert (r.n_shingles, r.n_contaminated) == (3, 1)
+    assert abs(r.contam_frac - 1 / 3) < 1e-12
+
+
+def test_repetition_fraction_of_top_bigram(spark, tmp_path):
+    """'a b a b a' -> bigrams (a b, b a, a b, b a): top fraction 0.5; a
+    one-word doc has no bigrams and no row."""
+    path = _docs_dir(
+        spark, tmp_path, [(0, "a b a b a", "en", "s", 1), (1, "solo", "en", "s", 1)]
+    )
+    rows = {r.doc_id: r for r in top_ngram_repetition(spark, path).collect()}
+    assert 1 not in rows
+    assert (rows[0].n_bigrams, rows[0].top_bigram_n, rows[0].rep_frac) == (4, 2, 0.5)
+
+
+def test_mix_quota_prefers_largest_then_lowest_id(spark, tmp_path):
+    rows = [(i, "t", "en", "s", 100 - (i % 2)) for i in range(6)]
+    path = _docs_dir(spark, tmp_path, rows)
+    got = corpus_mix_quota(spark, path).collect()
+    assert len(got) == MIX_QUOTA
+    # n_chars 100 for even ids, 99 for odd: keep the lowest even ids first
+    assert [r.doc_id for r in got] == [0, 2, 4]
+    assert [r.rk for r in got] == [1, 2, 3]
