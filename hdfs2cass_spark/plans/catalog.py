@@ -99,31 +99,11 @@ def thrift_melt_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melt_to_mutations(nation, rowkey="n_name", now_ms=NOW_MS)
 
 
-@declare(
-    "legacy_roundtrip_part",
-    oracle="""
-    SELECT CAST(p_partkey AS VARCHAR) AS key,
-           'p_name' AS colname,
-           CAST(1000 + p_partkey AS BIGINT) AS timestamp,
-           CAST(p_size AS INTEGER) AS ttl,
-           p_name AS value
-    FROM part
-    """,
-    doc="P3-P5: v3 legacy lines built from `part`, parsed back in strict mode — "
-    "round-trip equals the direct projection.",
-)
-def legacy_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    staged = part.select(
-        F.col("p_partkey").cast("string").alias("k"),
-        F.lit("p_name").alias("c"),
-        (F.lit(1000) + F.col("p_partkey")).cast("long").alias("ts"),
-        F.col("p_size").alias("ttl"),
-        F.col("p_name").alias("v"),
-    )
-    lines = format_legacy_lines(staged, key="k", colname="c", value="v", timestamp="ts", ttl="ttl")
-    return parse_legacy_lines(lines, mode="strict")
-
+# P3 (legacy line format + strict/permissive parse) has no standalone query:
+# legacy_to_cql_part / legacy_to_thrift_part both stage v3 lines via
+# format_legacy_lines and parse them back in strict mode, so the round-trip is
+# oracle-verified transitively on every driver run (plus the malformed-line
+# cases in tests/test_legacy.py, which a projection-shaped oracle can't reach).
 
 # Cassandra token functions are not expressible in DuckDB SQL; the oracle JOINs
 # golden-token fixtures computed once by the golden-tested Python murmur3/md5
@@ -314,43 +294,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "rollup_order_stats",
+    "grouping_analytics_orders",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT o_orderstatus, o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS o_year,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
     FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                            (o_year), ())
     """,
-    doc="ROLLUP hierarchy aggregation (status -> status+priority -> grand total).",
+    doc="Multi-level grouping analytics in one Catalyst Expand: the full "
+    "ROLLUP(status, priority) hierarchy (its three grouping sets listed "
+    "explicitly — ROLLUP/CUBE are syntactic sugar over GROUPING SETS and "
+    "plan identically) plus a non-hierarchical per-year set. Replaces the "
+    "former rollup_order_stats + grouping_sets_sales pair: one scan, one "
+    "Expand, same operator evidence.",
 )
-def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
-    )
-
-
-@declare(
-    "grouping_sets_sales",
-    oracle="""
-    SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_year), ())
-    """,
-    doc="Explicit GROUPING SETS (via Spark SQL — same Catalyst Expand as "
-    "rollup/cube).",
-)
-def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
         """
-        SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
-               COUNT(*) AS n_orders
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
         FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (CAST(year(o_orderdate) AS INT)), ())
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                                (CAST(year(o_orderdate) AS INT)), ())
         """
     )
 
@@ -445,57 +415,52 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "set_ops_nations",
+    "set_ops_distinct_and_bag",
     oracle="""
-    SELECT 'both' AS tag, x FROM
+    SELECT 'nation_both' AS op, CAST(x AS VARCHAR) AS v FROM
       (SELECT c_nationkey AS x FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
     UNION ALL
-    SELECT 'customer_only' AS tag, x FROM
+    SELECT 'nation_customer_only' AS op, CAST(x AS VARCHAR) AS v FROM
       (SELECT c_nationkey AS x FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
-    ORDER BY tag, x
-    """,
-    doc="Set operations: INTERSECT / EXCEPT / UNION ALL in one result.",
-)
-def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("x"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("x"))
-    both = c.intersect(s).withColumn("tag", F.lit("both"))
-    # subtract = EXCEPT DISTINCT (exceptAll would keep higher-multiplicity keys)
-    only = c.subtract(s).withColumn("tag", F.lit("customer_only"))
-    return both.unionByName(only).select("tag", "x").orderBy("tag", "x")
-
-
-@declare(
-    "bag_set_ops_priorities",
-    oracle="""
-    SELECT 'intersect_all' AS op, p FROM
+    UNION ALL
+    SELECT 'intersect_all' AS op, p AS v FROM
       (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
        INTERSECT ALL
-       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t1
+       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t3
     UNION ALL
-    SELECT 'except_all' AS op, p FROM
+    SELECT 'except_all' AS op, p AS v FROM
       (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
        EXCEPT ALL
-       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t2
-    ORDER BY op, p
+       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F') t4
+    ORDER BY op, v
     """,
-    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
-    "multiplicity-preserving per the SQL standard (min / difference of "
-    "per-value counts). Spark plans both as aggregate+join on the value — "
-    "no row-pair expansion; complements the distinct set ops in "
-    "set_ops_nations.",
+    doc="The full set-operation surface in one result, tagged by op. Distinct "
+    "semantics (INTERSECT / EXCEPT on the customer-vs-supplier nation keys) "
+    "plus bag semantics (INTERSECT ALL / EXCEPT ALL on order priorities — "
+    "multiplicity-preserving per the SQL standard: min / difference of "
+    "per-value counts). Spark plans all four as aggregate+join on the value, "
+    "no row-pair expansion. Replaces the former set_ops_nations + "
+    "bag_set_ops_priorities pair.",
 )
-def bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_distinct_and_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("x"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("x"))
+    both = c.intersect(s).withColumn("op", F.lit("nation_both"))
+    # subtract = EXCEPT DISTINCT (exceptAll would keep higher-multiplicity keys)
+    only = c.subtract(s).withColumn("op", F.lit("nation_customer_only"))
+    nations = both.unionByName(only).select("op", F.col("x").cast("string").alias("v"))
+
     o = load_table(spark, sf_dir, "orders")
     opened = o.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_orderpriority").alias("p")
+        F.col("o_orderpriority").alias("v")
     )
     filled = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_orderpriority").alias("p")
+        F.col("o_orderpriority").alias("v")
     )
     inter = opened.intersectAll(filled).withColumn("op", F.lit("intersect_all"))
     exc = opened.exceptAll(filled).withColumn("op", F.lit("except_all"))
-    return inter.unionByName(exc).select("op", "p").orderBy("op", "p")
+    bags = inter.unionByName(exc).select("op", "v")
+    return nations.unionByName(bags).orderBy("op", "v")
 
 
 @declare(
@@ -883,41 +848,6 @@ def correlated_subquery_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "percentiles_by_nation",
-    oracle="""
-    SELECT c_nationkey,
-           quantile_cont(c_acctbal, 0.5) AS median_bal,
-           quantile_cont(c_acctbal, 0.9) AS p90_bal,
-           quantile_disc(c_acctbal, 0.5) AS sketch_median,
-           quantile_disc(c_acctbal, 0.9) AS sketch_p90,
-           MIN(c_acctbal) AS min_bal,
-           MAX(c_acctbal) AS max_bal
-    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
-    """,
-    doc="Exact percentiles (linear interpolation — verified identical between "
-    "Spark percentile() and DuckDB quantile_cont) PLUS the sketch path: "
-    "approx_percentile (the KLL-style mergeable summary you run at 100 TB) "
-    "at high accuracy is exact nearest-rank, which DuckDB checks as "
-    "quantile_disc — so the approximate operator itself is oracle-verified, "
-    "mirroring the HLL error-bound check in distinct_users_per_type.",
-)
-def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_nationkey")
-        .agg(
-            F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
-            F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
-            F.expr("approx_percentile(c_acctbal, 0.5, 100000)").alias("sketch_median"),
-            F.expr("approx_percentile(c_acctbal, 0.9, 100000)").alias("sketch_p90"),
-            F.min("c_acctbal").alias("min_bal"),
-            F.max("c_acctbal").alias("max_bal"),
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-@declare(
     "advanced_agg_functions",
     oracle="""
     SELECT c_nationkey,
@@ -926,12 +856,26 @@ def percentiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_min(c_name, c_custkey) AS first_name,
            COUNT(*) FILTER (c_acctbal > 0) AS n_positive,
            bool_and(c_acctbal > -1000) AS all_above_floor,
-           bool_or(c_acctbal > 9000) AS any_rich
+           bool_or(c_acctbal > 9000) AS any_rich,
+           quantile_cont(c_acctbal, 0.5) AS median_bal,
+           quantile_cont(c_acctbal, 0.9) AS p90_bal,
+           quantile_disc(c_acctbal, 0.5) AS sketch_median,
+           quantile_disc(c_acctbal, 0.9) AS sketch_p90,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
-    doc="Ordered string aggregation, arg_max/arg_min, filtered count, boolean "
-    "aggregates (every/some) — the collect_list is bounded per group (names "
-    "per nation), never a global collect.",
+    doc="The advanced aggregate surface over one grouping: ordered string "
+    "aggregation, arg_max/arg_min, filtered count, boolean aggregates "
+    "(every/some), exact percentiles (linear interpolation — verified "
+    "identical between Spark percentile() and DuckDB quantile_cont) PLUS the "
+    "sketch path: approx_percentile (the KLL-style mergeable summary you run "
+    "at 100 TB) at high accuracy is exact nearest-rank, which DuckDB checks "
+    "as quantile_disc — the approximate operator itself is oracle-verified, "
+    "mirroring the HLL error-bound check in distinct_users_per_type. The "
+    "collect_list is bounded per group (names per nation), never a global "
+    "collect. Absorbs the former percentiles_by_nation (same grouping, one "
+    "shuffle).",
 )
 def advanced_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -944,34 +888,20 @@ def advanced_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
             F.expr("bool_and(c_acctbal > -1000)").alias("all_above_floor"),
             F.expr("bool_or(c_acctbal > 9000)").alias("any_rich"),
+            F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+            F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+            F.expr("approx_percentile(c_acctbal, 0.5, 100000)").alias("sketch_median"),
+            F.expr("approx_percentile(c_acctbal, 0.9, 100000)").alias("sketch_p90"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
         )
         .orderBy("c_nationkey")
     )
 
 
-@declare(
-    "array_map_functions",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(str_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
-           list_sort(list_distinct(str_split_regex(trim(text), '\\s+')))[1] AS first_word,
-           array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 1, 3), ' ') AS head3,
-           list_contains(str_split_regex(trim(text), '\\s+'), 'spark') AS has_spark
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Array function surface: sort/distinct/slice/contains/join over the "
-    "tokenized text (all JVM built-ins).",
-)
-def array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.expr(r"split(trim(text), '\\s+')")
-    return d.select(
-        "doc_id",
-        F.size(ws).alias("n_words"),
-        F.element_at(F.array_sort(F.array_distinct(ws)), 1).alias("first_word"),
-        F.array_join(F.slice(ws, 1, 3), " ").alias("head3"),
-        F.array_contains(ws, "spark").alias("has_spark"),
-    ).orderBy("doc_id")
+# The array-function surface (sort/distinct/slice/contains/join over tokenized
+# text) lives in text_analysis_documents (plans/llm.py) — same table, same
+# grain, one scan instead of two.
 
 
 @declare(
@@ -1070,28 +1000,9 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "train_test_split",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
-                THEN 'train' ELSE 'test' END AS split
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Deterministic hash-based train/test split (80/20): membership is a "
-    "pure function of the id — stable across runs, machines and engine "
-    "versions, no sampling state. The standard split primitive for a "
-    "training-data pipeline.",
-)
-def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    h = F.expr(
-        "CAST(conv(substr(md5(CAST(concat('split:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    )
-    return d.select(
-        "doc_id",
-        F.when(h % 100 < 80, "train").otherwise("test").alias("split"),
-    ).orderBy("doc_id")
+# The deterministic hash train/test split lives in corpus_select_split
+# (plans/llm.py): the split column is assigned there over the selected corpus,
+# exercising the same md5("split:" || doc_id) % 100 membership function.
 
 
 def _bulk_route_oracle() -> str:

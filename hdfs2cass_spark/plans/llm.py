@@ -92,41 +92,36 @@ def hash60_duck(expr: str) -> str:
 @declare(
     "dedup_exact_documents",
     oracle="""
-    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
-    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    SELECT 'exact' AS mode, md5(text) AS text_hash,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'normalized' AS mode,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ORDER BY mode, text_hash
     """,
-    doc="Exact dedup: content-hash groupBy; keeper = lowest doc_id. "
-    "At 100 TB this is one shuffle on a 128-bit hash — no text comparison.",
+    doc="Exact dedup, raw and normalized, tagged by mode: content-hash groupBy "
+    "with keeper = lowest doc_id; the normalized mode lowercases and "
+    "collapses whitespace before hashing (the standard near-exact variant). "
+    "At 100 TB each mode is one shuffle on a 128-bit hash — no text "
+    "comparison. Absorbs the former dedup_normalized_keep_first.",
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (
+    exact = (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
-        .orderBy("text_hash")
+        .select(F.lit("exact").alias("mode"), "text_hash", "n_copies", "keeper")
     )
-
-
-@declare(
-    "dedup_normalized_keep_first",
-    oracle="""
-    SELECT MIN(doc_id) AS doc_id
-    FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-    ORDER BY doc_id
-    """,
-    doc="Normalized exact dedup (lowercase + whitespace collapse) returning "
-    "the kept doc ids.",
-)
-def dedup_normalized_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return (
-        d.groupBy(F.md5(norm.cast("binary")))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .orderBy("doc_id")
+    normalized = (
+        d.groupBy(F.md5(norm.cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .select(F.lit("normalized").alias("mode"), "text_hash", "n_copies", "keeper")
     )
+    return exact.unionByName(normalized).orderBy("mode", "text_hash")
 
 
 # ---------------------------------------------------------------------------
@@ -137,42 +132,9 @@ def dedup_normalized_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 STOPWORDS = "('the', 'a', 'and', 'of', 'to')"
 
 
-@declare(
-    "text_quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len({W_DUCK}) AS INTEGER) AS n_words,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens,
-           CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}) AS uniq_ratio,
-           CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
-             / len({W_DUCK}) AS stop_ratio,
-           round(0.6 * (CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}))
-               + 0.4 * (1.0 - CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
-                              / len({W_DUCK})), 6) AS quality
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Token counting + quality scoring in one pass: whitespace tokens, "
-    "chars, a BPE-ish chars/4 approximation, vocabulary-uniqueness and "
-    "stopword-density heuristic (pure column arithmetic, trivially "
-    "100 TB-parallel).",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    n_words = F.expr(f"size({W_SPARK})")
-    n_uniq = F.expr(f"size(array_distinct({W_SPARK}))")
-    n_stop = F.expr(f"size(filter({W_SPARK}, w -> w IN {STOPWORDS}))")
-    uniq_ratio = n_uniq.cast("double") / n_words
-    stop_ratio = n_stop.cast("double") / n_words
-    return d.select(
-        "doc_id",
-        n_words.cast("int").alias("n_words"),
-        F.length("text").cast("int").alias("n_chars"),
-        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
-        uniq_ratio.alias("uniq_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        F.round(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 6).alias("quality"),
-    ).orderBy("doc_id")
+# text_analysis_documents (declared below, after the language helpers) absorbs
+# the former text_quality_score / lang_id_heuristic / doc_fingerprint /
+# array_map_functions quartet: same table, same per-document grain, one scan.
 
 
 LANG_STOPWORDS = {
@@ -197,76 +159,113 @@ _PRED_CASE = (
 )
 
 
+_FP_DUCK = """CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007)
+           END"""
+
+
 @declare(
-    "lang_id_heuristic",
+    "text_analysis_documents",
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
+             CAST(len({W_DUCK}) AS INTEGER) AS n_words,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens,
+             CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}) AS uniq_ratio,
+             CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
+               / len({W_DUCK}) AS stop_ratio,
              {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['en']} AS s_en,
              {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['es']} AS s_es,
              {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['fr']} AS s_fr,
-             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['de']} AS s_de
+             {_lang_scores_sql(W_DUCK, 'list_filter', 'len')['de']} AS s_de,
+             {_FP_DUCK} AS fingerprint,
+             list_sort(list_distinct({W_DUCK}))[1] AS first_word,
+             array_to_string(list_slice({W_DUCK}, 1, 3), ' ') AS head3,
+             list_contains({W_DUCK}, 'spark') AS has_spark
       FROM documents)
-    SELECT doc_id, s_en, s_es, s_fr, s_de,
+    SELECT doc_id, n_words, n_chars, approx_bpe_tokens, uniq_ratio, stop_ratio,
+           round(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 6) AS quality,
+           s_en, s_es, s_fr, s_de,
            {_PRED_CASE} AS pred_lang,
-           ({_PRED_CASE}) = lang AS matches_label
+           ({_PRED_CASE}) = lang AS matches_label,
+           fingerprint, first_word, head3, has_spark
     FROM scored ORDER BY doc_id
     """,
-    doc="Language-ID heuristic: per-language stopword hit counts, argmax with "
-    "fixed priority. A deterministic classifier, not a model.",
+    doc="The whole per-document text-analysis surface in ONE scan: token "
+    "counting + quality scoring (whitespace tokens, chars, BPE-ish chars/4, "
+    "vocabulary-uniqueness and stopword-density heuristic), language-ID "
+    "(per-language stopword hit counts, argmax with fixed priority — a "
+    "deterministic classifier, not a model), a polynomial rolling-hash "
+    "fingerprint over characters (mod 1e9+7 for exact int64 arithmetic in "
+    "both engines; NULL -> NULL and '' -> 0 pinned explicitly — the engines' "
+    "degenerate split('') semantics differ), and the array-function surface "
+    "(sort/distinct/slice/contains/join over the tokenized text). Replaces "
+    "the former text_quality_score / lang_id_heuristic / doc_fingerprint / "
+    "array_map_functions: same table, same grain — at 100 TB you want one "
+    "pass computing all per-doc features, not four scans. Pure column "
+    "arithmetic, trivially parallel.",
 )
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    scores = _lang_scores_sql(W_SPARK, "filter", "size")
-    scored = d.select(
+    # materialize the words array once: lambda bodies block Catalyst CSE, so
+    # inlining split() into every filter() re-tokenizes per expression
+    ws = d.select("doc_id", "lang", "text", F.expr(W_SPARK).alias("ws"))
+    n_words = F.expr("size(ws)")
+    n_uniq = F.expr("size(array_distinct(ws))")
+    n_stop = F.expr(f"size(filter(ws, w -> w IN {STOPWORDS}))")
+    uniq_ratio = n_uniq.cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    fingerprint = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("bigint"))
+        .when(F.length("text") == 0, F.lit(0).cast("bigint"))
+        .otherwise(fp)
+    )
+    scores = _lang_scores_sql("ws", "filter", "size")
+    scored = ws.select(
         "doc_id",
         "lang",
+        n_words.cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
         *[F.expr(scores[lang]).alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+        fingerprint.alias("fingerprint"),
+        F.element_at(F.array_sort(F.array_distinct(F.col("ws"))), 1).alias("first_word"),
+        F.array_join(F.slice(F.col("ws"), 1, 3), " ").alias("head3"),
+        F.array_contains(F.col("ws"), "spark").alias("has_spark"),
     )
     pred = F.expr(_PRED_CASE)
     return scored.select(
         "doc_id",
+        "n_words",
+        "n_chars",
+        "approx_bpe_tokens",
+        "uniq_ratio",
+        "stop_ratio",
+        F.round(0.6 * F.col("uniq_ratio") + 0.4 * (1.0 - F.col("stop_ratio")), 6).alias(
+            "quality"
+        ),
         "s_en",
         "s_es",
         "s_fr",
         "s_de",
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("matches_label"),
+        "fingerprint",
+        "first_word",
+        "head3",
+        "has_spark",
     ).orderBy("doc_id")
-
-
-@declare(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN text IS NULL THEN NULL
-                WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
-                ELSE list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                               list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-                  (acc, c) -> (acc * 31 + c) % 1000000007)
-           END AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Document fingerprint: polynomial rolling hash over characters "
-    "(mod 1e9+7 to keep exact int64 arithmetic in both engines). NULL and "
-    "empty text are pinned explicitly (NULL -> NULL, '' -> 0): the engines' "
-    "degenerate split('') / list_prepend semantics differ, so leaving them "
-    "implicit diverges — caught by a null-edge differential probe, not the "
-    "fixtures.",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    fp = F.expr(
-        "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
-        "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"
-    )
-    pinned = (
-        F.when(F.col("text").isNull(), F.lit(None).cast("bigint"))
-        .when(F.length("text") == 0, F.lit(0).cast("bigint"))
-        .otherwise(fp)
-    )
-    return d.select("doc_id", pinned.alias("fingerprint")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -287,19 +286,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
-    FROM common
-    JOIN n na ON na.doc_id = doc_a
-    JOIN n nb ON nb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INTEGER) AS edit80
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
     ORDER BY doc_a, doc_b
     """,
-    doc=f"n-gram (3-word shingle) Jaccard near-dup pairs. Shingles with doc "
+    doc=f"n-gram (3-word shingle) Jaccard near-dup pairs, each surviving pair "
+    f"verified with edit distance on the first 80 chars. Shingles with doc "
     f"frequency > {DF_CAP} are pruned before the pair join — the standard "
     f"guard against the quadratic frequent-shingle blowup at scale; jaccard "
-    f"is over the pruned shingle space.",
+    f"is over the pruned shingle space. levenshtein is O(len^2) per pair — "
+    f"affordable exactly because candidate pairs, not all pairs, reach it, "
+    f"and the 80-char prefix caps the quadratic term (the former "
+    f"edit_distance_verify, fused onto the candidate set it verifies).",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -317,11 +326,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    pairs = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("ta", "tb").cast("int").alias("edit80"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1085,7 +1106,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "corpus_selection",
+    "corpus_select_split",
     oracle=f"""
     WITH q AS (
       SELECT doc_id, text,
@@ -1096,19 +1117,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     keepers AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-    SELECT q.doc_id, q.n_tokens, q.quality
+    SELECT q.doc_id, q.n_tokens, q.quality,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
     FROM q
     JOIN keepers k ON k.doc_id = q.doc_id
     WHERE q.quality >= 0.55
-      AND ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
     ORDER BY q.doc_id
     """,
     doc="Capstone training-corpus selection: exact-dedup keepers ∩ quality "
-    "filter ∩ deterministic train split, in one declarative pipeline — the "
-    "shape of a production pretraining-data job (each stage is a pushed-down "
+    "filter, then the deterministic hash-based 80/20 train/test split "
+    "assigned as a column — membership is a pure function of the id (stable "
+    "across runs, machines and engine versions, no sampling state; the "
+    "former train_test_split operator). One declarative pipeline — the shape "
+    "of a production pretraining-data job (each stage is a pushed-down "
     "filter or a hash groupBy; nothing quadratic, nothing driver-side).",
 )
-def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_select_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_words = F.expr(f"size({W_SPARK})")
     n_uniq = F.expr(f"size(array_distinct({W_SPARK}))")
@@ -1126,8 +1151,13 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.join(keepers, "doc_id")
-        .filter((F.col("quality") >= 0.55) & (split_hash % 100 < 80))
-        .select("doc_id", "n_tokens", "quality")
+        .filter(F.col("quality") >= 0.55)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            F.when(split_hash % 100 < 80, "train").otherwise("test").alias("split"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1186,36 +1216,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "edit_distance_verify",
-    oracle=_MH_CTE + f""",
-    bands AS (
-{_BANDS_SQL}),
-{_OKB_SQL},
-{_CAND_SQL}
-    SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INTEGER) AS edit80
-    FROM cand c
-    JOIN documents da ON da.doc_id = c.doc_a
-    JOIN documents db ON db.doc_id = c.doc_b
-    ORDER BY doc_a, doc_b
-    """,
-    doc="Edit-distance verification on LSH candidates only (levenshtein is "
-    "O(len^2) per pair — affordable exactly because candidates, not all "
-    "pairs, reach it; prefixes cap the quadratic term).",
-)
-def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_lsh_pairs(spark, sf_dir)
-    da = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("ta", "tb").cast("int").alias("edit80"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+# Edit-distance verification on candidate pairs lives in ngram_jaccard_pairs
+# (edit80 column): the operator point — levenshtein only ever runs on a
+# candidate set, never all pairs — is identical there.

@@ -46,9 +46,21 @@ def declare(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _ordered() -> list[DeclaredQuery]:
+    """Oracle-backed queries first (insertion order), rows-only entries last.
+
+    The driver's correctness gate hash-compares a bounded prefix of
+    ``queries()`` (50 entries in rounds 2-3), so every hash-comparable query
+    must sit inside that prefix; rows-only entries carry a documented weaker
+    check and go at the end. Stable sort preserves declaration order within
+    each group.
+    """
+    return sorted(CATALOG.values(), key=lambda q: q.oracle is None)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: q.fn for n, q in CATALOG.items()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def get_oracles() -> dict[str, str]:
-    return {n: q.oracle for n, q in CATALOG.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}

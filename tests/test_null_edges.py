@@ -14,21 +14,16 @@ import pytest
 from hdfs2cass_spark.plans import CATALOG
 
 DOC_QUERIES = [
-    "dedup_exact_documents",
-    "dedup_normalized_keep_first",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "ngram_jaccard_pairs",
+    "dedup_exact_documents",  # absorbs dedup_normalized_keep_first (r4)
+    "text_analysis_documents",  # absorbs quality/lang-id/fingerprint/array surface (r4)
+    "ngram_jaccard_pairs",  # absorbs edit_distance_verify's edit80 (r4)
     "minhash_lsh_pairs",
     "dedup_near_duplicates",
     "dedup_clusters",
     "simhash_near_dup_pairs",
-    "edit_distance_verify",
     "multimodal_features",
-    "train_test_split",
     "tfidf_top_terms",
-    "corpus_selection",
+    "corpus_select_split",  # absorbs train_test_split (r4)
     # round-3 pipeline stages
     "decontamination_overlap",
     "pack_sequences",
