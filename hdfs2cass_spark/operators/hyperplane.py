@@ -226,7 +226,9 @@ def hyperplane_near_dup_pairs(
 
     cand = hyperplane_candidates(emb, id_col, vec_col, n_planes, cap, multiprobe, seed)
     # norms ride each side ONCE instead of being re-evaluated per candidate
-    # pair after the join (functions/vec.py — measured 1.65x on topk)
+    # pair after the join (see functions/vec.py for the A/B numbers; the
+    # per-pair arithmetic this removes is the term that grows with corpus
+    # size)
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

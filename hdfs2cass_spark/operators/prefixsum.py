@@ -11,7 +11,9 @@ classic scan decomposition:
      parallel;
   3. per-shard totals form a table 1/width the size of the input; its own
      exclusive cumsum gives each shard's base offset;
-  4. broadcast-join the bases back: offset = base + local.
+  4. join the bases back: offset = base + local (broadcast while the bases
+     fit, shuffle hash join on the shard key past BROADCAST_LIMIT rows —
+     level-1 bases at extreme scale are too big to broadcast).
 
 Step 3 is itself a prefix-sum, so RECURSE until the level fits comfortably
 in one task (LEVEL_LIMIT rows), then use the single window. Each level
@@ -28,6 +30,18 @@ from pyspark.sql.window import Window
 
 # one task comfortably scans this many pre-aggregated rows
 LEVEL_LIMIT = 1_000_000
+# bases tables at or below this row count join back as a broadcast (a
+# (_shard, _base) row is ~16 bytes + overhead, so this is tens of MB); bigger
+# bases fall back to a shuffle hash join on _shard — at 1e12 input rows and
+# shard_width=1e4 the level-1 bases hold 1e8 rows, which would OOM the driver
+# as a broadcast.
+BROADCAST_LIMIT = 1_000_000
+
+
+def _join_bases(df: DataFrame, bases: DataFrame, on: str, n_bases: int) -> DataFrame:
+    if n_bases <= BROADCAST_LIMIT:
+        bases = F.broadcast(bases)
+    return df.join(bases, on)
 
 
 def exclusive_cumsum(
@@ -43,7 +57,8 @@ def exclusive_cumsum(
 
     Cost per level: one partitioned window + one aggregate; levels =
     ceil(log_width(rows / LEVEL_LIMIT)) + 1. No unpartitioned window ever
-    sees more than LEVEL_LIMIT rows.
+    sees more than LEVEL_LIMIT rows, and no join-back broadcasts more than
+    BROADCAST_LIMIT base rows (bigger bases shuffle-join on _shard).
     """
     shard = F.expr(f"{key} div {shard_width}").alias("_shard")
     local_w = (
@@ -57,18 +72,19 @@ def exclusive_cumsum(
     totals = with_local.groupBy("_shard").agg(
         F.sum(value).cast("bigint").alias("_tot")
     )
-    bases = _shard_bases(totals)
+    n = totals.count()  # one scalar per level — levels are logarithmic
+    bases = _shard_bases(totals, n)
     return (
-        with_local.join(F.broadcast(bases), "_shard")
+        _join_bases(with_local, bases, "_shard", n)
         .withColumn(out, (F.col("_base") + F.col("_local")).cast("bigint"))
         .drop("_shard", "_local", "_base")
     )
 
 
-def _shard_bases(totals: DataFrame, width: int = 1024) -> DataFrame:
-    """(_shard, _base): exclusive cumsum of _tot in _shard order, recursing
-    through coarser levels until one task's worth remains."""
-    n = totals.count()  # one scalar per level — levels are logarithmic
+def _shard_bases(totals: DataFrame, n: int, width: int = 1024) -> DataFrame:
+    """(_shard, _base): exclusive cumsum of _tot in _shard order (``n`` =
+    totals row count, supplied by the caller), recursing through coarser
+    levels until one task's worth remains."""
     if n <= LEVEL_LIMIT:
         w = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
         return totals.select(
@@ -87,11 +103,9 @@ def _shard_bases(totals: DataFrame, width: int = 1024) -> DataFrame:
     ctotals = with_local.groupBy(F.col("_cshard").alias("_shard")).agg(
         F.sum("_tot").cast("bigint").alias("_tot")
     )
-    cbases = _shard_bases(ctotals, width).withColumnRenamed("_shard", "_cshard")
-    return (
-        with_local.join(F.broadcast(cbases), "_cshard")
-        .select(
-            "_shard",
-            (F.col("_base") + F.col("_clocal")).cast("bigint").alias("_base"),
-        )
+    cn = ctotals.count()
+    cbases = _shard_bases(ctotals, cn, width).withColumnRenamed("_shard", "_cshard")
+    return _join_bases(with_local, cbases, "_cshard", cn).select(
+        "_shard",
+        (F.col("_base") + F.col("_clocal")).cast("bigint").alias("_base"),
     )

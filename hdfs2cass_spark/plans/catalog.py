@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from hdfs2cass_spark.functions.ts import epoch_micros, epoch_millis, epoch_seconds
+from hdfs2cass_spark.functions.ts import epoch_micros, epoch_millis
 from pyspark.sql.functions import broadcast
 
 from ..operators.legacy import format_legacy_lines, parse_legacy_lines
@@ -982,8 +982,11 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # full-precision gap test (µs), matching the oracle's exact
+    # `ts - LAG(ts) > INTERVAL 30 MINUTE`: whole-second truncation would
+    # misclassify a gap like 1800.5 s on sub-second timestamps
     new_session = F.when(
-        prev_ts.isNull() | (epoch_seconds("ts") - epoch_seconds(prev_ts) > 1800), 1
+        prev_ts.isNull() | (epoch_micros("ts") - epoch_micros(prev_ts) > 1_800_000_000), 1
     ).otherwise(0)
     numbered = e.withColumn("new_session", new_session).withColumn(
         "session_no",

@@ -1,7 +1,7 @@
 from .ingest import stream_events, tumbling_counts_stream, sessionize_stream
 from .bulk_ingest import stream_bulk_load
 from .stateful import streaming_dedup_first
-from .decontam import stream_documents, stream_decontamination
+from .decontam import read_scored, stream_documents, stream_decontamination
 
 __all__ = [
     "stream_events",
@@ -11,4 +11,5 @@ __all__ = [
     "streaming_dedup_first",
     "stream_documents",
     "stream_decontamination",
+    "read_scored",
 ]

@@ -20,14 +20,20 @@ from ..plans.llm import SH_ON_WS_SPARK, W_SPARK
 from ..sources.readers import ensure_session_confs
 
 
-def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+def stream_documents(spark: SparkSession, docs_dir: str, schema=None) -> DataFrame:
     """readStream over a directory of documents parquet files (one micro-batch
-    per file under availableNow, mirroring stream_events). The file source
-    needs a pinned schema; infer it from the already-seeded directory so the
-    stream tracks whatever physical types the fixture generation shipped
-    (the events table has flipped dtypes between rounds — don't hardcode)."""
+    per file under availableNow, mirroring stream_events).
+
+    The file source needs a pinned schema. Pass ``schema`` explicitly for a
+    live ingest directory — those typically START empty, and later files must
+    match the declared layout. When ``schema`` is None it is inferred from a
+    one-off batch read of ``docs_dir``, which requires the directory to be
+    non-empty at stream construction (the right default for the fixture
+    dirs, whose physical types have flipped between testdata generations —
+    don't hardcode them)."""
     ensure_session_confs(spark)
-    schema = spark.read.parquet(docs_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -65,13 +71,22 @@ def stream_decontamination(
     """Start the streaming decontamination query; returns the StreamingQuery.
 
     ``bench_shingles`` is a STATIC single-column DataFrame ``s`` of the
-    benchmark corpus's distinct shingles. Scored rows append to ``sink_path``
+    benchmark corpus's distinct shingles. Scored rows land under ``sink_path``
     as parquet with the batch twin's schema
-    (doc_id, n_shingles, n_contaminated, contam_frac).
+    (doc_id, n_shingles, n_contaminated, contam_frac) — read them back with
+    :func:`read_scored`, which knows the per-batch directory layout.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        score_batch(batch_df, bench_shingles).write.mode("append").parquet(sink_path)
+        # exactly-once under retries: foreachBatch is at-least-once, so a
+        # failure between the parquet write and the checkpoint commit replays
+        # this batch_id. Overwriting the batch's OWN subdirectory makes the
+        # replay a no-op (a flat append would duplicate the micro-batch).
+        # The dir name deliberately has no '=' so readers see data columns
+        # only, not a discovered partition column.
+        score_batch(batch_df, bench_shingles).write.mode("overwrite").parquet(
+            f"{sink_path}/batch-{batch_id:09d}"
+        )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -79,3 +94,9 @@ def stream_decontamination(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_scored(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Read everything stream_decontamination wrote under ``sink_path``
+    (recursive lookup over the batch-NNNNNNNNN subdirectories)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)

@@ -111,10 +111,18 @@ def edge_events_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_events"))
     S = 10**9
     base = 1704067200 * S
+    # events 0-9 at 600 s spacing, EXCEPT two sub-second session-gap straddles:
+    # user 2's second event lands 1799.5 s after its first (same session) and
+    # user 3's last lands 1800.5 s after its predecessor (new session) — a
+    # whole-second gap comparison misclassifies both against the oracle's
+    # exact INTERVAL 30 MINUTE test.
+    ts_ns = [base + i * 600 * S for i in range(10)]
+    ts_ns[4] = ts_ns[3] + 1799 * S + S // 2
+    ts_ns[9] = ts_ns[8] + 1800 * S + S // 2
     events = pa.table(
         {
             "event_id": pa.array(range(10), pa.int64()),
-            "ts": pa.array([base + i * 600 * S for i in range(10)], pa.timestamp("ns")),
+            "ts": pa.array(ts_ns, pa.timestamp("ns")),
             "user_id": pa.array([1, 1, 1, 2, 2, None, 3, 3, 3, 3], pa.int64()),
             "event_type": pa.array(
                 ["click", "error", "click", "view", "error", None, "click", "click", "error", "click"],

@@ -61,7 +61,7 @@ def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path):
     from hdfs2cass_spark.plans.llm import _shingles
     from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
     from hdfs2cass_spark.sources.readers import load_table
-    from hdfs2cass_spark.streaming import stream_decontamination, stream_documents
+    from hdfs2cass_spark.streaming import read_scored, stream_decontamination, stream_documents
 
     d = load_table(spark, sf_dir, "documents")
     bench = _shingles(d.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
@@ -93,7 +93,7 @@ def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    got = sorted(tuple(r) for r in read_scored(spark, out).collect())
     want = sorted(
         tuple(r) for r in CATALOG["decontamination_overlap"].fn(spark, sf_dir).collect()
     )
@@ -109,7 +109,7 @@ def test_stream_decontamination_checkpoint_resume(spark, sf_dir, tmp_path):
     from hdfs2cass_spark.plans.llm import _shingles
     from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
     from hdfs2cass_spark.sources.readers import load_table
-    from hdfs2cass_spark.streaming import stream_decontamination, stream_documents
+    from hdfs2cass_spark.streaming import read_scored, stream_decontamination, stream_documents
 
     d = load_table(spark, sf_dir, "documents")
     bench = _shingles(d.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
@@ -135,18 +135,30 @@ def test_stream_decontamination_checkpoint_resume(spark, sf_dir, tmp_path):
     seed(1)
     q = stream_decontamination(stream_documents(spark, str(flat)), bench, out, ck, available_now=True)
     q.awaitTermination(120)
-    first = spark.read.parquet(out).count()
+    first = read_scored(spark, out).count()
 
     seed(2)
     q2 = stream_decontamination(stream_documents(spark, str(flat)), bench, out, ck, available_now=True)
     q2.awaitTermination(120)
 
-    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    got = sorted(tuple(r) for r in read_scored(spark, out).collect())
     want = sorted(
         tuple(r) for r in CATALOG["decontamination_overlap"].fn(spark, sf_dir).collect()
     )
     assert got == want  # all three files scored, none twice
     assert first < len(got)  # the restart added only the new file's docs
+
+    # replay idempotency: foreachBatch is at-least-once, so a crash between
+    # the parquet write and the checkpoint commit re-runs a batch_id. A fresh
+    # checkpoint re-scores every file into the SAME sink (the worst-case
+    # replay); per-batch-directory overwrite must leave the row set unchanged.
+    q3 = stream_decontamination(
+        stream_documents(spark, str(flat)), bench, out, str(tmp_path / "ck2"),
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    replayed = sorted(tuple(r) for r in read_scored(spark, out).collect())
+    assert replayed == want
 
 
 def test_stream_bulk_load(spark, events_dir, tmp_path):
