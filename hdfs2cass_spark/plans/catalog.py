@@ -361,16 +361,28 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "semi_anti_join_customers",
     oracle="""
-    SELECT 'with_orders' AS tag, c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    UNION ALL
-    SELECT 'without_orders' AS tag, c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WITH spent AS (
+      SELECT c_custkey,
+             COUNT(o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey),
+    tagged AS (
+      SELECT 'with_orders' AS tag, c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'without_orders' AS tag, c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+    SELECT t.tag, t.c_custkey, t.c_name, s.n_orders, s.total_spent
+    FROM tagged t JOIN spent s USING (c_custkey)
     ORDER BY tag, c_custkey
     """,
-    doc="Left semi + left anti join in one result (EXISTS / NOT EXISTS): no "
-    "row multiplication, the orders side reduced to its join keys; together "
-    "they partition the customer table.",
+    doc="Three join families over the same customer/orders pair in one "
+    "result: left semi + left anti (EXISTS / NOT EXISTS — no row "
+    "multiplication, the orders side reduced to its join keys; together they "
+    "partition the customer table) enriched with the left-outer-join "
+    "aggregate (order count and spend, zero rows preserved as count 0). "
+    "Absorbs the former left_join_order_counts.",
 )
 def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -383,25 +395,7 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.lit("without_orders").alias("tag"), "c_custkey", "c_name")
     )
-    return semi.unionByName(anti).orderBy("tag", "c_custkey")
-
-
-@declare(
-    "left_join_order_counts",
-    oracle="""
-    SELECT c_custkey,
-           COUNT(o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey ORDER BY c_custkey
-    """,
-    doc="Left outer join preserving customers with zero orders (COUNT of "
-    "nullable key = 0).",
-)
-def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
+    spent = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
@@ -410,7 +404,12 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
-        .orderBy("c_custkey")
+    )
+    return (
+        semi.unionByName(anti)
+        .join(spent, "c_custkey")
+        .select("tag", "c_custkey", "c_name", "n_orders", "total_spent")
+        .orderBy("tag", "c_custkey")
     )
 
 
@@ -735,6 +734,45 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("window_start_ms", "event_type")
+    )
+
+
+@declare(
+    "sliding_window_events",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS tus, value FROM events WHERE ts IS NOT NULL),
+    x AS (
+      SELECT tus, value,
+             unnest(generate_series((tus - 3600000000) // 900000000 + 1,
+                                    tus // 900000000)) AS k
+      FROM e)
+    SELECT CAST(k * 900000 AS BIGINT) AS window_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+    FROM x GROUP BY k ORDER BY window_start_ms
+    """,
+    doc="Sliding 1h event-time window at 15 min slide — each event lands in "
+    "up to 4 overlapping windows (Spark plans window(slide) as an explode to "
+    "the covering windows + one hash aggregate; epoch-aligned starts). The "
+    "batch twin of streaming/ingest.py sliding_counts_stream; the oracle "
+    "derives each event's covering window starts k*900 s from the half-open "
+    "containment s <= t < s+1h at full µs precision.",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _qsum("value").alias("total_value"),
+        )
+        .select(
+            epoch_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_ms")
     )
 
 

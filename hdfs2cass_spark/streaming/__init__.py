@@ -1,4 +1,9 @@
-from .ingest import stream_events, tumbling_counts_stream, sessionize_stream
+from .ingest import (
+    sessionize_stream,
+    sliding_counts_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
 from .bulk_ingest import stream_bulk_load
 from .stateful import streaming_dedup_first
 from .decontam import read_scored, stream_documents, stream_decontamination
@@ -6,6 +11,7 @@ from .decontam import read_scored, stream_documents, stream_decontamination
 __all__ = [
     "stream_events",
     "tumbling_counts_stream",
+    "sliding_counts_stream",
     "sessionize_stream",
     "stream_bulk_load",
     "streaming_dedup_first",

@@ -2,8 +2,8 @@
 
 The reference is strictly batch (SURVEY.md §1.4) — this is the engine's
 extension surface: the same event-time aggregations the batch catalog declares
-(`tumbling_window_events`), expressed as a stream with watermarked late-data
-handling, plus a stateful sessionization operator.
+(`tumbling_window_events`, `sliding_window_events`), expressed as a stream
+with watermarked late-data handling, plus a stateful sessionization operator.
 
 Design: file-source streams over the fixture parquet with `availableNow`
 triggers for tests (bounded, deterministic); on a real cluster the same code
@@ -94,6 +94,33 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
         .select(
             epoch_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `sliding_window_events` query: 1h windows
+    sliding every 15 min (each event contributes to up to 4 open windows; the
+    watermark bounds how many stay in state).
+
+    Output schema matches the batch query exactly (window_start_ms, n_events,
+    total_value) so tests can assert batch == stream.
+    """
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).cast("double")
+                / 1000000.0
+            ).alias("total_value"),
+        )
+        .select(
+            epoch_millis(F.col("w.start")).alias("window_start_ms"),
             "n_events",
             "total_value",
         )

@@ -96,6 +96,7 @@ def test_doc_query_handles_edge_text(spark, edge_dir, name):
 EVENT_QUERIES = [
     "json_extract_events",
     "tumbling_window_events",
+    "sliding_window_events",
     "window_moving_avg_events",
     "sessionize_events_batch",
     "asof_join_events",

@@ -8,6 +8,7 @@ import pytest
 from hdfs2cass_spark.plans import CATALOG
 from hdfs2cass_spark.streaming.ingest import (
     sessionize_stream,
+    sliding_counts_stream,
     stream_events,
     tumbling_counts_stream,
 )
@@ -37,6 +38,18 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, events_dir):
     assert stream.isStreaming
     got = _run_stream(spark, tumbling_counts_stream(stream), "tumbling_test")
     batch = CATALOG["tumbling_window_events"].fn(spark, sf_dir)
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, events_dir):
+    """Sliding windows (1h / 15min slide): the stream's overlapping-window
+    aggregate must equal the batch sliding_window_events query — each event
+    counted in every window covering it, exactly once per window."""
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, sliding_counts_stream(stream), "sliding_test")
+    batch = CATALOG["sliding_window_events"].fn(spark, sf_dir)
     g = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert g == b
