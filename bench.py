@@ -30,6 +30,18 @@ HEADLINE = [
     "bulk_route_lineitem",
 ]
 
+# 100 TB-critical training-pipeline stages: timed at the SF dir like the
+# headliners (so a regression is caught round-over-round) but recorded under
+# their own keys — "value" stays the 15-headliner total, comparable across
+# rounds. NOTE (round 4): dedup_exact_documents now also computes the
+# normalized-dedup mode (two aggregates instead of one) — its per-query time
+# is not directly comparable to rounds <= 3.
+PIPELINE = [
+    "pack_sequences",
+    "decontamination_overlap",
+    "top_ngram_repetition",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,7 +53,7 @@ def main() -> int:
     # workers) on the tiny SF so JVM startup isn't billed to the first query
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in HEADLINE + PIPELINE:
             # a query that breaks at warm-up must FAIL the bench, not get
             # silently timed cold (skews round-over-round comparisons)
             CATALOG[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
@@ -53,8 +65,8 @@ def main() -> int:
     # noise-robust estimator and stays honest (same plan, same data, no
     # caching between passes; noop sink re-executes everything)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def time_query(name: str) -> float:
         q = CATALOG[name]
         best = float("inf")
         for _ in range(passes):
@@ -64,8 +76,11 @@ def main() -> int:
             # Catalyst prune the aggregates away)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        return round(best, 4)
+
+    timings = {name: time_query(name) for name in HEADLINE}
+    pipeline_timings = {name: time_query(name) for name in PIPELINE}
 
     # tracked throughput metric: the full bulk-load dataflow in rows/s
     try:
@@ -76,11 +91,50 @@ def main() -> int:
     except Exception:  # noqa: BLE001 — metadata read is best-effort decoration
         bulk_rows_per_sec = None
 
+    # 1M-doc synthetic stress for the pipeline stages (once per invocation,
+    # not per pass): docs/s at the stress shape is the number that predicts
+    # 100 TB behavior — the sf0.1 documents table is far too small to expose
+    # shard-offset-table / explode-amplification costs.
+    stress_docs = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000"))
+    stress: dict[str, float] = {}
+    if stress_docs > 0:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="bench_stress_")
+        try:
+            words = F.expr(
+                "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
+            )
+            docs = spark.range(stress_docs).select(
+                F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+            )
+            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            for name in PIPELINE:
+                df = CATALOG[name].fn(spark, tmp)
+                df.write.mode("overwrite").format("noop").save()  # warm plan
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
+                print(
+                    f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s)",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     result = {
         "metric": "headline-queries-total-sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "pipeline_queries": pipeline_timings,
+        "pipeline_total_sec": round(sum(pipeline_timings.values()), 4),
+        "stress_docs": stress_docs,
+        **stress,
         "bulk_load_rows_per_sec": bulk_rows_per_sec,
         "sf": sf_dir,
     }
