@@ -5,10 +5,18 @@ Pattern for image/audio/video at 100 TB: the payload is a `binary` column
 decode/feature-extraction runs as Arrow-batched `mapInPandas` so the Python
 decoder sees whole record batches, never row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the decode
-body is stubbed: `decode_stub=True` produces deterministic fake features
-derived from the payload bytes (shape-true plumbing, testable end-to-end);
-`decode_stub=False` raises NotImplementedError where the real codec call goes.
+Decode branches:
+  - `decode_stub=True` (default) produces deterministic fake features derived
+    from the payload bytes — shape-true plumbing, testable end-to-end with no
+    codec at all.
+  - `decode_stub=False` REALLY decodes: PIL when importable (PNG/JPEG/
+    anything PIL opens), else a built-in netpbm decoder (binary PGM `P5` /
+    PPM `P6` — header-parsed dimensions, raw samples; the format ffmpeg's
+    image2pipe emits), so the real branch works even in codec-less
+    environments for netpbm payloads. Payloads neither PIL nor netpbm can
+    decode raise loudly — silent garbage features would poison a training
+    set. General video containers still need ffmpeg and raise
+    NotImplementedError; concatenated-netpbm streams demux natively.
 """
 
 from __future__ import annotations
@@ -50,6 +58,17 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _shippable_codec():
+    """The real-decode helpers, bound for closure capture: registering the
+    spark-free mmcodec module for pickle-by-value means executors without the
+    package on PYTHONPATH still run the decode (the murmur3-UDF pattern)."""
+    from ..functions.shippable import pickle_by_value
+    from . import mmcodec
+
+    pickle_by_value(mmcodec)
+    return mmcodec
+
+
 def attach_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
     """Normalize any (id, binary) pair into the media schema."""
     return df.select(
@@ -67,27 +86,38 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     engine-independent): fake width/height from the byte length, fake frame
     count, mean byte value as "intensity".
     """
+    decode_image = None if decode_stub else _shippable_codec().decode_image
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires an image/audio codec (PIL/ffmpeg); "
-                    "not available in this environment"
-                )
             payloads = pdf["payload"]
             byte_len = payloads.map(len).astype("int64")
+            if decode_stub:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "byte_len": byte_len,
+                        "width": (byte_len % 640 + 1).astype("int32"),
+                        "height": (byte_len % 480 + 1).astype("int32"),
+                        "n_frames": (byte_len // 256 + 1).astype("int32"),
+                        "mean_intensity": payloads.map(
+                            lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                        ),
+                    }
+                )
+                continue
+            decoded = [decode_image(bytes(b)) for b in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": byte_len,
-                    "width": (byte_len % 640 + 1).astype("int32"),
-                    "height": (byte_len % 480 + 1).astype("int32"),
-                    "n_frames": (byte_len // 256 + 1).astype("int32"),
-                    "mean_intensity": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    # still images: one frame (stream demux is sample_frames' job)
+                    "n_frames": pd.Series([1] * len(decoded), dtype="int32"),
+                    "mean_intensity": pd.Series([d[2] for d in decoded], dtype="float64"),
                 }
             )
 
@@ -119,14 +149,17 @@ def resize_media(
     decode->resample->encode goes.
     """
 
+    if decode_stub:
+        resize_fn = None
+    else:
+        _codec = _shippable_codec()
+
+        def resize_fn(b: bytes, _resize=_codec.resize_image) -> bytes:
+            return _resize(b, width, height)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires an image codec (PIL); not available "
-                    "in this environment"
-                )
 
             def stub_resize(b: bytes) -> bytes:
                 if not b:
@@ -134,7 +167,7 @@ def resize_media(
                 reps = -(-target // len(b))  # ceil-tile then cut
                 return (bytes(b) * reps)[:target]
 
-            out = pdf["payload"].map(stub_resize)
+            out = pdf["payload"].map(stub_resize if decode_stub else resize_fn)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -176,21 +209,25 @@ def sample_frames(
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
 
+    demux = None if decode_stub else _shippable_codec().demux_frames
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires a video demuxer (ffmpeg); "
-                    "not available in this environment"
-                )
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                n_frames = -(-len(b) // frame_bytes) if b else 0
-                for i in range(0, n_frames, every_n):
+                if decode_stub:
+                    n_frames = -(-len(b) // frame_bytes) if b else 0
+                    all_frames = [
+                        b[i * frame_bytes : (i + 1) * frame_bytes]
+                        for i in range(n_frames)
+                    ]
+                else:
+                    all_frames = demux(b) if b else []
+                for i in range(0, len(all_frames), every_n):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    frames.append(all_frames[i])
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
