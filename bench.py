@@ -60,11 +60,12 @@ def main() -> int:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min of two timed passes: this box is multi-tenant and external load
-    # inflates a single pass 2-3x at random — the min is the standard
-    # noise-robust estimator and stays honest (same plan, same data, no
-    # caching between passes; noop sink re-executes everything)
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # min of three timed passes: this box is multi-tenant and external load
+    # inflates a single pass 2-3x at random (measured same-JVM 5-pass spread
+    # 1.4-2.7s on an identical plan+data — ROUND4.md) — the min is the
+    # standard noise-robust estimator and stays honest (same plan, same
+    # data, no caching between passes; noop sink re-executes everything)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     def time_query(name: str) -> float:
         q = CATALOG[name]
