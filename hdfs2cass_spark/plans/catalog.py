@@ -100,10 +100,10 @@ def thrift_melt_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # P3 (legacy line format + strict/permissive parse) has no standalone query:
-# legacy_to_cql_part / legacy_to_thrift_part both stage v3 lines via
-# format_legacy_lines and parse them back in strict mode, so the round-trip is
-# oracle-verified transitively on every driver run (plus the malformed-line
-# cases in tests/test_legacy.py, which a projection-shaped oracle can't reach).
+# legacy_to_sinks_part stages v3 lines via format_legacy_lines and parses them
+# back in strict mode, so the round-trip is oracle-verified transitively on
+# every driver run (plus the malformed-line cases in tests/test_legacy.py,
+# which a projection-shaped oracle can't reach).
 
 # Cassandra token functions are not expressible in DuckDB SQL; the oracle JOINs
 # golden-token fixtures computed once by the golden-tested Python murmur3/md5
@@ -1112,51 +1112,54 @@ def _staged_legacy_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "legacy_to_cql_part",
+    "legacy_to_sinks_part",
     oracle="""
-    SELECT CAST(p_partkey AS VARCHAR) AS _rowkey,
+    SELECT 'cql' AS sink,
            CAST(p_partkey AS VARCHAR) AS key,
            'p_name' AS colname,
            p_name AS value,
            CAST(1000 + p_partkey AS BIGINT) AS writetime,
            CAST(p_size AS INTEGER) AS ttl
     FROM part
-    """,
-    doc="P4 LegacyHdfsToCQL (LegacyHdfsToCQL.java:31-51): parsed v3 legacy "
-    "lines wrapped into CQL insert shape — the parsed ms timestamp bound "
-    "VERBATIM as writetime (no µs scaling; see operators/legacy.py).",
-)
-def legacy_to_cql_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.legacy import legacy_to_cql
-
-    parsed = parse_legacy_lines(_staged_legacy_part(spark, sf_dir), mode="strict")
-    return legacy_to_cql(parsed)
-
-
-@declare(
-    "legacy_to_thrift_part",
-    oracle="""
-    SELECT CAST(p_partkey AS VARCHAR) AS key,
-           'p_name' AS name,
+    UNION ALL
+    SELECT 'thrift' AS sink,
+           CAST(p_partkey AS VARCHAR) AS key,
+           'p_name' AS colname,
            p_name AS value,
-           CAST(1000 + p_partkey AS BIGINT) AS ts,
+           CAST(1000 + p_partkey AS BIGINT) AS writetime,
            CAST(p_size AS INTEGER) AS ttl
     FROM part
+    ORDER BY sink, key
     """,
-    doc="P5 LegacyHdfsToThrift (LegacyHdfsToThrift.java:34-54): one Mutation "
-    "per parsed line, ms timestamps; the mutations array is exploded back to "
-    "rows for oracle comparability (arrays of structs don't hash-compare "
-    "across engines).",
+    doc="P4+P5 on one staged input: parsed v3 legacy lines wrapped into the "
+    "CQL insert shape (LegacyHdfsToCQL.java:31-51 — the parsed ms timestamp "
+    "bound VERBATIM as writetime, no µs scaling; see operators/legacy.py) AND "
+    "into one Thrift Mutation per line (LegacyHdfsToThrift.java:34-54, stays "
+    "ms), unioned under a `sink` tag with conformed column names. Mutations "
+    "are exploded to rows for oracle comparability (arrays of structs don't "
+    "hash-compare across engines).",
 )
-def legacy_to_thrift_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.legacy import legacy_to_thrift
+def legacy_to_sinks_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.legacy import legacy_to_cql, legacy_to_thrift
 
     parsed = parse_legacy_lines(_staged_legacy_part(spark, sf_dir), mode="strict")
-    shaped = legacy_to_thrift(parsed)
-    m = F.explode("mutations").alias("m")
-    return shaped.select("key", m).select(
-        "key", "m.name", "m.value", "m.ts", "m.ttl"
+    cql = legacy_to_cql(parsed).select(
+        F.lit("cql").alias("sink"), "key", "colname", "value", "writetime", "ttl"
     )
+    m = F.explode("mutations").alias("m")
+    thrift = (
+        legacy_to_thrift(parsed)
+        .select("key", m)
+        .select(
+            F.lit("thrift").alias("sink"),
+            "key",
+            F.col("m.name").alias("colname"),
+            "m.value",
+            F.col("m.ts").alias("writetime"),
+            F.col("m.ttl").alias("ttl"),
+        )
+    )
+    return cql.unionByName(thrift).orderBy("sink", "key")
 
 
 @declare(

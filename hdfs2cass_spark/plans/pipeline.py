@@ -213,3 +213,111 @@ def corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "rk")
         .orderBy("lang", "source", "rk")
     )
+
+
+SUBSTR_K = 8  # words per duplicated-substring detection window
+
+
+@declare(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {W_DUCK} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - {SUBSTR_K - 1}), i ->
+               {{'pos': i, 'h': {hash60_duck(f"array_to_string(list_slice(ws, i, i + {SUBSTR_K - 1}), ' ')")}}})) AS u
+      FROM w WHERE len(ws) >= {SUBSTR_K}
+    ),
+    pos AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+    dupset AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY h)
+      WHERE df >= 2
+    ),
+    marked AS (
+      SELECT p.doc_id, p.pos, (d.h IS NOT NULL) AS isdup
+      FROM pos p LEFT JOIN dupset d USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, isdup,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, isdup ORDER BY pos) AS isl
+      FROM marked
+    ),
+    seg AS (
+      SELECT doc_id, isdup, isl, COUNT(*) AS rl FROM isl GROUP BY doc_id, isdup, isl
+    )
+    SELECT doc_id,
+           CAST(SUM(rl) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN isdup THEN rl ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(CASE WHEN isdup THEN rl ELSE 0 END) AS DOUBLE) / SUM(rl) AS dup_frac,
+           CAST(COALESCE(MAX(CASE WHEN isdup THEN rl END), 0) AS BIGINT) AS max_dup_run
+    FROM seg GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"Exact-substring duplicate spans (the window-granularity relaxation "
+    f"of suffix-array substring dedup — Lee et al. 2022, 'Deduplicating "
+    f"Training Data Makes Language Models Better'): every {SUBSTR_K}-word "
+    f"window is rolling-hashed; a window position is DUPLICATED when the "
+    f"same {SUBSTR_K}-gram occurs in at least one other document. Per doc: "
+    f"window count, duplicated-window count/fraction, and the longest "
+    f"consecutive duplicated run (max_dup_run + {SUBSTR_K - 1} words = the "
+    f"longest duplicated substring, the span a scrubber would cut). Docs "
+    f"shorter than {SUBSTR_K} words have no windows and are excluded. "
+    f"100 TB shape: the gram table shuffles twice (document-frequency "
+    f"aggregate on the hash + join-back on the hash — the canonical "
+    f"map-reduce form; no suffix array, no driver state), then ONE "
+    f"(doc_id, isdup)-partitioned window marks gaps-and-islands run ids and "
+    f"two cascaded aggregations (run segments, then per-doc stats) ride that "
+    f"same shuffle — counts, fraction, AND longest run come out of a single "
+    f"branch-free pass, so the gram subtree is never recomputed per output "
+    f"column.",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    grams_sql = (
+        f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
+        + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
+        + ")"
+    )
+    pos = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
+        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dupset = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h", F.lit(True).alias("isdup"))
+    )
+    marked = (
+        pos.join(dupset, "h", "left")
+        .select("doc_id", "pos", F.coalesce("isdup", F.lit(False)).alias("isdup"))
+    )
+    # gaps-and-islands over BOTH dup and non-dup rows in one window: the
+    # island id is constant within each consecutive same-flag run, so run
+    # lengths, totals, and the longest dup run all fall out of two cascaded
+    # aggregations on prefixes of the window's partitioning — no branch, no
+    # self-join, the gram subtree evaluates once
+    wnd = Window.partitionBy("doc_id", "isdup").orderBy("pos")
+    seg = (
+        marked.withColumn("isl", F.col("pos") - F.row_number().over(wnd))
+        .groupBy("doc_id", "isdup", "isl")
+        .agg(F.count(F.lit(1)).alias("rl"))
+    )
+    dup_rl = F.when(F.col("isdup"), F.col("rl"))
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.sum("rl").alias("n_windows"),
+            F.coalesce(F.sum(dup_rl), F.lit(0).cast("long")).alias("n_dup_windows"),
+            (
+                F.coalesce(F.sum(dup_rl), F.lit(0).cast("long")).cast("double")
+                / F.sum("rl")
+            ).alias("dup_frac"),
+            F.coalesce(F.max(dup_rl), F.lit(0).cast("long")).alias("max_dup_run"),
+        )
+        .orderBy("doc_id")
+    )

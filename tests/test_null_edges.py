@@ -29,6 +29,7 @@ DOC_QUERIES = [
     "pack_sequences",
     "top_ngram_repetition",
     "corpus_mix_quota",
+    "exact_substring_spans",  # new r4: only docs 8/9 reach the 8-word window
 ]
 
 
@@ -37,7 +38,7 @@ def edge_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_docs"))
     docs = pa.table(
         {
-            "doc_id": pa.array(range(8), pa.int64()),
+            "doc_id": pa.array(range(10), pa.int64()),
             "text": pa.array(
                 [
                     None,
@@ -48,12 +49,19 @@ def edge_dir(tmp_path_factory):
                     "héllo wörld ünïcode tokens here",
                     "tab\tand\nnewline separated words here",
                     "one two three four",  # exact dup of doc 4
+                    # docs 8/9: >= 8 words sharing a 10-word run, so
+                    # exact_substring_spans produces non-empty output here
+                    "pre1 r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 post1",
+                    "pre2 pre3 r0 r1 r2 r3 r4 r5 r6 r7 r8 r9",
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en"] * 8, pa.string()),
-            "source": pa.array(["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB"], pa.string()),
-            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18], pa.int64()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(
+                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB"],
+                pa.string(),
+            ),
+            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18, 47, 48], pa.int64()),
         }
     )
     pq.write_table(docs, os.path.join(d, "documents.parquet"))

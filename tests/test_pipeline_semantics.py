@@ -95,3 +95,35 @@ def test_mix_quota_prefers_largest_then_lowest_id(spark, tmp_path):
     # n_chars 100 for even ids, 99 for odd: keep the lowest even ids first
     assert [r.doc_id for r in got] == [0, 2, 4]
     assert [r.rk for r in got] == [1, 2, 3]
+
+
+def test_exact_substring_spans_planted_shared_run(spark, tmp_path):
+    """Two docs sharing a 12-word run each get 12-8+1=5 duplicated windows in
+    one consecutive run; a doc repeating an 8-gram only WITHIN itself has
+    df=1 (distinct docs) and no duplicated windows; a 7-word doc emits no
+    row."""
+    from hdfs2cass_spark.plans.pipeline import SUBSTR_K, exact_substring_spans
+
+    assert SUBSTR_K == 8  # the arithmetic below is pinned to K=8
+    shared = " ".join(f"s{i}" for i in range(12))
+    doc_a = "a1 a2 a3 " + shared + " a4"  # 16 words -> 9 windows
+    doc_b = "b1 " + shared + " b2 b3"  # 15 words -> 8 windows
+    inner = " ".join(f"c{i}" for i in range(8))
+    doc_c = f"{inner} {inner}"  # 16 words, same 8-gram at pos 1 and 9
+    doc_d = "d1 d2 d3 d4 d5 d6 d7"  # 7 words: no windows
+    path = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (0, doc_a, "en", "s", 1),
+            (1, doc_b, "en", "s", 1),
+            (2, doc_c, "en", "s", 1),
+            (3, doc_d, "en", "s", 1),
+        ],
+    )
+    rows = {r.doc_id: r for r in exact_substring_spans(spark, path).collect()}
+    assert 3 not in rows
+    assert (rows[0].n_windows, rows[0].n_dup_windows, rows[0].max_dup_run) == (9, 5, 5)
+    assert (rows[1].n_windows, rows[1].n_dup_windows, rows[1].max_dup_run) == (8, 5, 5)
+    assert (rows[2].n_windows, rows[2].n_dup_windows, rows[2].max_dup_run) == (9, 0, 0)
+    assert abs(rows[0].dup_frac - 5 / 9) < 1e-12
