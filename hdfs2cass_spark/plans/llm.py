@@ -168,10 +168,15 @@ _FP_DUCK = """CASE WHEN text IS NULL THEN NULL
            END"""
 
 
+from ..functions.scrub import scrub_cte_duck as _scrub_cte_duck  # noqa: E402
+from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
+
+
 @declare(
     "text_analysis_documents",
     oracle=f"""
-    WITH scored AS (
+    WITH scrub AS ({_scrub_cte_duck()}),
+    scored AS (
       SELECT doc_id, lang,
              CAST(len({W_DUCK}) AS INTEGER) AS n_words,
              CAST(length(text) AS INTEGER) AS n_chars,
@@ -193,8 +198,11 @@ _FP_DUCK = """CASE WHEN text IS NULL THEN NULL
            s_en, s_es, s_fr, s_de,
            {_PRED_CASE} AS pred_lang,
            ({_PRED_CASE}) = lang AS matches_label,
-           fingerprint, first_word, head3, has_spark
-    FROM scored ORDER BY doc_id
+           fingerprint, first_word, head3, has_spark,
+           n_urls, n_emails, n_ips, n_phones,
+           CAST(length(scrubbed) AS INTEGER) AS scrubbed_n_chars,
+           {hash60_duck('scrubbed')} AS scrubbed_fp
+    FROM scored JOIN scrub USING (doc_id) ORDER BY doc_id
     """,
     doc="The whole per-document text-analysis surface in ONE scan: token "
     "counting + quality scoring (whitespace tokens, chars, BPE-ish chars/4, "
@@ -203,18 +211,31 @@ _FP_DUCK = """CASE WHEN text IS NULL THEN NULL
     "deterministic classifier, not a model), a polynomial rolling-hash "
     "fingerprint over characters (mod 1e9+7 for exact int64 arithmetic in "
     "both engines; NULL -> NULL and '' -> 0 pinned explicitly — the engines' "
-    "degenerate split('') semantics differ), and the array-function surface "
-    "(sort/distinct/slice/contains/join over the tokenized text). Replaces "
-    "the former text_quality_score / lang_id_heuristic / doc_fingerprint / "
-    "array_map_functions: same table, same grain — at 100 TB you want one "
-    "pass computing all per-doc features, not four scans. Pure column "
-    "arithmetic, trivially parallel.",
+    "degenerate split('') semantics differ), the array-function surface "
+    "(sort/distinct/slice/contains/join over the tokenized text), and PII "
+    "scrubbing (functions/scrub.py: sequential URL/email/IPv4/phone regex "
+    "redaction — per-category counts plus an md5-derived digest and length "
+    "of the scrubbed text, so the oracle verifies the EXACT rewrite without "
+    "comparing whole strings). Replaces the former text_quality_score / "
+    "lang_id_heuristic / doc_fingerprint / array_map_functions: same table, "
+    "same grain — at 100 TB you want one pass computing all per-doc "
+    "features, not five scans. Pure column arithmetic, trivially parallel.",
 )
 def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _scrub_pii(load_table(spark, sf_dir, "documents"))
     # materialize the words array once: lambda bodies block Catalyst CSE, so
     # inlining split() into every filter() re-tokenizes per expression
-    ws = d.select("doc_id", "lang", "text", F.expr(W_SPARK).alias("ws"))
+    ws = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(W_SPARK).alias("ws"),
+        "n_urls",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "scrubbed",
+    )
     n_words = F.expr("size(ws)")
     n_uniq = F.expr("size(array_distinct(ws))")
     n_stop = F.expr(f"size(filter(ws, w -> w IN {STOPWORDS}))")
@@ -243,6 +264,12 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(F.array_distinct(F.col("ws"))), 1).alias("first_word"),
         F.array_join(F.slice(F.col("ws"), 1, 3), " ").alias("head3"),
         F.array_contains(F.col("ws"), "spark").alias("has_spark"),
+        "n_urls",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.length("scrubbed").cast("int").alias("scrubbed_n_chars"),
+        F.expr(hash60_spark("scrubbed")).alias("scrubbed_fp"),
     )
     pred = F.expr(_PRED_CASE)
     return scored.select(
@@ -265,6 +292,12 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_word",
         "head3",
         "has_spark",
+        "n_urls",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "scrubbed_n_chars",
+        "scrubbed_fp",
     ).orderBy("doc_id")
 
 

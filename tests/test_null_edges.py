@@ -38,7 +38,7 @@ def edge_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_docs"))
     docs = pa.table(
         {
-            "doc_id": pa.array(range(10), pa.int64()),
+            "doc_id": pa.array(range(11), pa.int64()),
             "text": pa.array(
                 [
                     None,
@@ -53,15 +53,18 @@ def edge_dir(tmp_path_factory):
                     # exact_substring_spans produces non-empty output here
                     "pre1 r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 post1",
                     "pre2 pre3 r0 r1 r2 r3 r4 r5 r6 r7 r8 r9",
+                    # doc 10: planted PII — every scrub category fires, so the
+                    # text_analysis differential exercises the actual rewrite
+                    "mail me@x.io or http://a.b/c?d=1 ip 10.0.0.1 tel +1 555-123-4567 ok",
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en"] * 10, pa.string()),
+            "lang": pa.array(["en"] * 11, pa.string()),
             "source": pa.array(
-                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB"],
+                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB", "sA"],
                 pa.string(),
             ),
-            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18, 47, 48], pa.int64()),
+            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18, 47, 48, 67], pa.int64()),
         }
     )
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
