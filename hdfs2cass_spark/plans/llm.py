@@ -65,6 +65,27 @@ SH_DUCK = (
     f"ELSE []::VARCHAR[] END"
 )
 
+
+def _shingles_hashed(df: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct 60-bit md5-derived hashes of the 3-word shingles.
+
+    The int64 hash replaces the shingle STRING before the distinct, so the
+    dedup shuffle, every downstream join, and any broadcast membership set
+    move 8-byte keys instead of ~25-byte strings — the term that dominates
+    shuffle volume at 100 TB. Consumers that compare shingle sets across
+    engines use the identical hash in DuckDB (SHH_DUCK_CTE), so equality is
+    exact; a 60-bit collision folding two distinct shingles is ~n^2/2^61 —
+    the standard fingerprint trade every production dedup pipeline makes.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n, "doc_id")
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .select("doc_id", F.expr(hash60_spark("s")).alias("h"))
+        .distinct()
+    )
+
 N_HASHES = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (4 rows per band)
 SIMHASH_BITS = 32  # 16 saturated on shared-vocab docs (28k pairs at hamming<=3); 32 discriminates
@@ -82,6 +103,14 @@ def hash60_spark(expr: str) -> str:
 
 def hash60_duck(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# DuckDB twin of _shingles_hashed (same 60-bit md5-derived shingle hash)
+SHH_DUCK = (
+    "SELECT DISTINCT doc_id, "
+    + hash60_duck("s")
+    + f" AS h FROM (SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -309,16 +338,14 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t),
+    WITH sh AS ({SHH_DUCK}),
     rare AS (
-      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
-    rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {DF_CAP}),
+    rsh AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
     n AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     pairs AS (
       SELECT doc_a, doc_b,
@@ -338,21 +365,23 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"verified with edit distance on the first 80 chars. Shingles with doc "
     f"frequency > {DF_CAP} are pruned before the pair join — the standard "
     f"guard against the quadratic frequent-shingle blowup at scale; jaccard "
-    f"is over the pruned shingle space. levenshtein is O(len^2) per pair — "
+    f"is over the pruned shingle space. The pair join runs on 60-bit shingle "
+    f"HASHES (8-byte join keys, not ~25-byte strings — see _shingles_hashed; "
+    f"the oracle hashes identically). levenshtein is O(len^2) per pair — "
     f"affordable exactly because candidate pairs, not all pairs, reach it, "
     f"and the 80-char prefix caps the quadratic term (the former "
     f"edit_distance_verify, fused onto the candidate set it verifies).",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    rare = sh.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
-    rsh = sh.join(rare, "s")
+    sh = _shingles_hashed(d)
+    rare = sh.groupBy("h").count().filter(F.col("count") <= DF_CAP).select("h")
+    rsh = sh.join(rare, "h")
     n = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = rsh.alias("a")
     b = rsh.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -437,14 +466,15 @@ def _minhash_wide(
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_HASHES)]
     else:
         # the digest is materialized as REAL COLUMNS before the aggregate so
-        # codegen computes md5 once per shingle, not once per signature
+        # codegen computes md5 once per shingle, not once per signature; `h`
+        # is the same 60-bit prefix hash as _shingles_hashed/hash60, carved
+        # from the SAME digest — set-carrying consumers dedup/intersect on it
         sh = sh.select(
             "doc_id",
-            "s",
             F.expr("md5(CAST(s AS BINARY))").alias("mhex"),
         ).select(
             "doc_id",
-            "s",
+            F.expr("CAST(conv(substr(mhex, 1, 15), 16, 10) AS BIGINT)").alias("h"),
             F.expr(f"CAST(conv(substr(mhex, 1, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g1"),
             F.expr(f"CAST(conv(substr(mhex, 9, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g2"),
         )
@@ -455,9 +485,12 @@ def _minhash_wide(
             for i, (a, b, c) in enumerate(MH_ABC)
         ]
     if with_sets:
+        # int64 hash sets, not string sets: smaller aggregation state and a
+        # ~8-byte-per-element array_intersect on the verify side
+        hcol = F.xxhash64(F.col("s")) if fast else F.col("h")
         return (
             sh.groupBy("doc_id")
-            .agg(F.collect_set("s").alias("shset"), *aggs)
+            .agg(F.collect_set(hcol).alias("shset"), *aggs)
             .withColumn("n_sh", F.size("shset"))
         )
     return sh.groupBy("doc_id").agg(*aggs)
@@ -719,13 +752,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_JACCARD_VERIFY_SQL = """
-    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+_JACCARD_VERIFY_SQL = f"""
+    shh AS (SELECT DISTINCT doc_id, {hash60_duck('s')} AS h FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      JOIN shh sa ON sa.doc_id = c.doc_a
+      JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
       GROUP BY c.doc_a, c.doc_b)
     SELECT doc_a, doc_b,
            round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
@@ -1066,12 +1100,13 @@ _CLUSTERS_ORACLE = (
 {_BANDS_SQL}),
 {_OKB_SQL},
 {_CAND_SQL},
-    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shh AS (SELECT DISTINCT doc_id, {hash60_duck('s')} AS h FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      JOIN shh sa ON sa.doc_id = c.doc_a
+      JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
       GROUP BY c.doc_a, c.doc_b),
     verified AS (
       SELECT doc_a, doc_b FROM common

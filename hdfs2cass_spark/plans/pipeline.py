@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .llm import SH_DUCK, W_DUCK, W_SPARK, _shingles, hash60_duck, hash60_spark
+from .llm import SHH_DUCK, W_DUCK, W_SPARK, _shingles_hashed, hash60_duck, hash60_spark
 from .registry import declare
 
 # Benchmark-set membership: a pure md5 function of doc_id (~5% of docs), the
@@ -36,35 +36,35 @@ _BENCH_DUCK = hash60_duck("'bench:' || CAST(doc_id AS VARCHAR)") + " % 20 = 0"
 @declare(
     "decontamination_overlap",
     oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, s
-      FROM (SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents)
-    ),
-    bench AS (SELECT DISTINCT s FROM sh WHERE {_BENCH_DUCK}),
+    WITH sh AS ({SHH_DUCK}),
+    bench AS (SELECT DISTINCT h FROM sh WHERE {_BENCH_DUCK}),
     train AS (SELECT * FROM sh WHERE NOT ({_BENCH_DUCK}))
     SELECT train.doc_id,
            COUNT(*) AS n_shingles,
-           COUNT(bench.s) AS n_contaminated,
-           CAST(COUNT(bench.s) AS DOUBLE) / COUNT(*) AS contam_frac
-    FROM train LEFT JOIN bench USING (s)
+           COUNT(bench.h) AS n_contaminated,
+           CAST(COUNT(bench.h) AS DOUBLE) / COUNT(*) AS contam_frac
+    FROM train LEFT JOIN bench USING (h)
     GROUP BY train.doc_id
     ORDER BY train.doc_id
     """,
     doc="Benchmark decontamination: per training doc, how many of its distinct "
     "3-word shingles appear anywhere in the benchmark (eval-suite) shingle "
-    "set. 100 TB shape: the benchmark set is tiny next to the corpus, so its "
-    "distinct-shingle table is BROADCAST and the check is a map-side left "
+    "set. Membership is checked on 60-bit md5-derived shingle HASHES "
+    "(_shingles_hashed; the oracle hashes identically) — the broadcast set "
+    "and the probe keys are 8-byte ints, not ~25-byte strings. 100 TB "
+    "shape: the benchmark set is tiny next to the corpus, so its "
+    "distinct-hash table is BROADCAST and the check is a map-side left "
     "join — the corpus is never shuffled, and each training shingle matches "
     "at most one row of a distinct set (no pair amplification).",
 )
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)  # (doc_id, s) distinct
+    sh = _shingles_hashed(d)  # (doc_id, h) distinct
     is_bench = F.expr(_BENCH_SPARK)
-    bench = sh.filter(is_bench).select("s").distinct()
+    bench = sh.filter(is_bench).select("h").distinct()
     train = sh.filter(~is_bench)
     return (
-        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

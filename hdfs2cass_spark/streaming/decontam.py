@@ -44,14 +44,25 @@ def stream_documents(spark: SparkSession, docs_dir: str, schema=None) -> DataFra
 def score_batch(docs: DataFrame, bench_shingles: DataFrame) -> DataFrame:
     """The per-batch scoring plan (shared with the test's batch twin):
     distinct shingles per doc, broadcast-left-joined to the benchmark set.
-    Docs with no shingles (< 3 words) produce no row, like the batch twin."""
+    Docs with no shingles (< 3 words) produce no row, like the batch twin.
+
+    Matching the batch operator, membership is checked on 60-bit md5-derived
+    shingle hashes: ``bench_shingles`` still arrives as a ``s`` string column
+    (API unchanged) and is hashed here, so the broadcast that rides EVERY
+    micro-batch carries 8-byte ints instead of shingle strings."""
+    from ..plans.llm import hash60_spark
+
     sh = (
         docs.select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .select("doc_id", F.expr(hash60_spark("s")).alias("h"))
         .distinct()
     )
+    bench_h = bench_shingles.select(
+        F.expr(hash60_spark("s")).alias("h")
+    ).distinct()
     return (
-        sh.join(F.broadcast(bench_shingles.withColumn("hit", F.lit(1))), "s", "left")
+        sh.join(F.broadcast(bench_h.withColumn("hit", F.lit(1))), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
