@@ -60,6 +60,50 @@ def assign_cells(
     )
 
 
+def quantized_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched corpus-side IVF cell assignment: nearest centroid per
+    vector, computed as one numpy pass per batch instead of a k*dims explode
+    + broadcast join + aggregation. (The distance here is the QUANTIZED form
+    used by plans/llm.embedding_ivf_topk, not :func:`assign_cells`'s plain
+    double accumulation — the fit and the index build measure differently by
+    design: the fit needs cheap doubles, the index build needs engine-exact
+    ints.)
+
+    BIT-EXACT vs the codegen twin and the DuckDB oracle: the per-dimension
+    distance is the same quantized integer — floor((v - c)^2 * 1e12) as
+    int64 — using the identical IEEE double subtract/multiply/floor, and the
+    int64 sum is order-independent; np.argmin's first-minimum rule matches
+    min(struct(dist, cell))'s lowest-cell tiebreak. Differentially asserted
+    against assign_cells in tests/test_kmeans.py.
+
+    Why a UDF here when the k-means FIT keeps the codegen path: the fit runs
+    on a sample and collects k*dims scalars — broadcast-literal expressions
+    are perfect for it. Corpus assignment touches EVERY vector; one BLAS-ish
+    batch pass beats n*k*dims scalar codegen the same way the hyperplane
+    coder's matmul branch does (operators/hyperplane.py:97-137), and the
+    Arrow transfer is vectors the stage had to read anyway.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def _assign(v: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)  # k x d
+        arr = np.vstack([np.asarray(x, dtype=np.float64) for x in v])  # n x d
+        q = np.empty((arr.shape[0], C.shape[0]), dtype=np.int64)
+        # per-cell pass keeps the temp at n*d doubles, not n*k*d
+        for j in range(C.shape[0]):
+            d = arr - C[j]
+            q[:, j] = np.floor(d * d * 1e12).astype(np.int64).sum(axis=1)
+        return pd.Series(np.argmin(q, axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")
+
+
 def _farthest_point_init(
     embeddings: DataFrame, k: int, id_col: str, vec_col: str
 ) -> list[list[float]]:

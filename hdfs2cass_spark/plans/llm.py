@@ -946,37 +946,25 @@ _IVF_DIST_DUCK = (
     "query drops to the probed cells' share of the data.",
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import quantized_assign_udf
+
     e = load_table(spark, sf_dir, "embeddings")
     # index build (offline in a real system, inline here): nearest learned
-    # centroid per vector. Codegen'd explode + broadcast centroid join + one
-    # (vec_id, cell) aggregation — NOT the HOF struct-array form the probe
-    # side uses (interpreted lambdas over corpus x cells x dims measured
-    # 2.5x slower at sf0.1); min(struct(dist, cell)) gives the deterministic
-    # lowest-cell tiebreak.
-    cent = spark.createDataFrame(
-        [(j, i + 1, c[i]) for j, c in enumerate(_IVF_CENTS) for i in range(len(c))],
-        "cell INT, pos INT, cval DOUBLE",
-    )
-    epos = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
-    )
-    diff = F.col("v") - F.col("cval")
-    vdist = (
-        epos.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.sum(
-                F.floor(diff * diff * F.lit(1000000000000.0)).cast("bigint")
-            ).alias("dist")
-        )
-    )
-    vcell = (
-        vdist.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
-    ecell = e.join(vcell, "vec_id").select(
-        "vec_id", "embedding", "cell", F.expr(_norm_sql("embedding")).alias("_en")
+    # centroid per vector as ONE Arrow-batched numpy pass — bit-exact vs the
+    # oracle (same quantized int64 per-dim distance, same lowest-cell
+    # tiebreak; see quantized_assign_udf). The cell becomes a plain column on
+    # the corpus scan, so the index build adds NO join, NO explode, and NO
+    # aggregation — the round-3 codegen'd explode + broadcast-centroid-join +
+    # two-aggregation form (k*dims row amplification) measured 1.18s vs
+    # 0.69s for this form at sf0.1 (1.7x), and its amplification grows with
+    # k*dims at 100 TB while the batch pass stays one scan (interpreted HOF
+    # lambdas were 2.5x slower still).
+    assign = quantized_assign_udf(_IVF_CENTS)
+    ecell = e.select(
+        "vec_id",
+        "embedding",
+        assign(F.col("embedding")).alias("cell"),
+        F.expr(_norm_sql("embedding")).alias("_en"),
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),

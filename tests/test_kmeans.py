@@ -110,3 +110,52 @@ def test_sample_fraction_validation(spark):
     emb = _clustered_corpus(spark, n_per=10)
     with pytest.raises(ValueError, match="sample_fraction"):
         fit_kmeans(emb, k=2, iters=1, sample_fraction=1.5)
+
+
+def test_quantized_assign_udf_matches_codegen_twin(spark):
+    """quantized_assign_udf (numpy batch pass) must agree with the codegen'd
+    quantized expression form on every vector — same floor((v-c)^2 * 1e12)
+    int64 distance, same lowest-cell tiebreak — including on vectors placed
+    EXACTLY equidistant between two centroids (the tiebreak case) and on a
+    zero vector."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.operators.kmeans import quantized_assign_udf
+
+    cents = [[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]]
+    rows = [
+        (0, [0.1, 0.2]),
+        (1, [1.9, 0.1]),
+        (2, [0.0, 1.8]),
+        (3, [1.0, 0.0]),  # exactly between cells 0 and 1 -> lowest cell wins
+        (4, [0.0, 0.0]),  # zero vector
+        (5, [1.0, 1.0]),  # equidistant to ALL three cells
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # codegen twin: the exact expression embedding_ivf_topk used before r4
+    def dist_sql(c):
+        lits = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in c)
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) "
+            "* CAST(1000000000000 AS DOUBLE)) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    structs = ", ".join(
+        f"struct({dist_sql(c)} AS dist, {j} AS cell)" for j, c in enumerate(cents)
+    )
+    codegen = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", F.expr(f"array_min(array({structs})).cell").alias("cell")
+        ).collect()
+    }
+    udf = quantized_assign_udf(cents)
+    got = {
+        r.vec_id: r.cell
+        for r in emb.select("vec_id", udf(F.col("embedding")).alias("cell")).collect()
+    }
+    assert got == codegen
+    assert got[3] == 0 and got[5] == 0  # lowest-cell tiebreak pinned
