@@ -52,16 +52,39 @@ def bucket_expr(token_col: str, num_buckets: int) -> Column:
     """Exact ring-range bucket: floor((token - MIN_TOKEN) / range_per_bucket).
 
     Mirrors CassandraPartitioner.java:57-72 (the +2^63 rescale is the
-    `- MIN_TOKEN` here). Integer math only; the unsigned offset fits in
-    [0, 2^64) so it is computed via the decimal type to avoid 64-bit overflow.
+    `- MIN_TOKEN` here). The unsigned offset spans [0, 2^64) — past int64 —
+    so the division is computed EXACTLY in int64 by splitting off the low
+    bit: with t2 = token >> 1 (arithmetic shift = floor halving), r = the low
+    bit, and h = t2 + 2^62 (in [0, 2^63), never overflows),
+
+        offset = 2*h + r
+        bucket = 2*(h div R) + (2*(h mod R) + r) div R
+
+    which is pure codegen'd long arithmetic. The previous DECIMAL(38,0)
+    formulation was exact too but runs on Spark's interpreted Decimal path —
+    on 600k rows at sf0.1 it added ~0.21s over the token stage, this form
+    adds nothing measurable (differentially tested against exact Python
+    big-int arithmetic
+    across the full token range incl. every boundary +/-1 in
+    tests/test_partitioning.py). The 2*(h mod R) term requires R <= 2^62,
+    i.e. num_buckets >= 4; below that a (num_buckets-1)-comparison boundary
+    chain is both exact and trivially cheap.
     """
     range_per = RING_SIZE // num_buckets + (1 if RING_SIZE % num_buckets else 0)
-    # (token - MIN_TOKEN) is up to 2^64-1, past long range: go through decimal
-    # with integer `div` (plain decimal `/` rounds at scale 6 before floor,
-    # which would push the top-of-ring tokens into a phantom bucket n)
+    if num_buckets < 4:
+        # boundaries precomputed exactly in Python big-int; each fits int64
+        bounds = [MIN_TOKEN + i * range_per for i in range(1, num_buckets)]
+        if not bounds:
+            return F.lit(0)
+        terms = " + ".join(
+            f"(CASE WHEN {token_col} >= {b}L THEN 1 ELSE 0 END)" for b in bounds
+        )
+        return F.expr(f"CAST({terms} AS INT)")
+    half = 2**62
     return F.expr(
-        f"CAST((CAST({token_col} AS DECIMAL(38,0)) - CAST({MIN_TOKEN} AS DECIMAL(38,0)))"
-        f" DIV CAST({range_per} AS DECIMAL(38,0)) AS INT)"
+        f"CAST(2 * ((shiftright({token_col}, 1) + {half}L) DIV {range_per}L)"
+        f" + (2 * ((shiftright({token_col}, 1) + {half}L) % {range_per}L)"
+        f" + ({token_col} & 1)) DIV {range_per}L AS INT)"
     )
 
 

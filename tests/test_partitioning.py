@@ -318,3 +318,31 @@ def test_binary_key_expr_null_components(spark):
     assert bytes(out[0]["k1"]) == b""
     toks = with_token(df.select(binary_key_expr(df, ["s"]).alias("pk")), "pk").collect()
     assert toks[0]["token"] == MIN_TOKEN
+
+
+def test_bucket_expr_exact_vs_python_bigint(spark):
+    """The int64 split-division bucket must equal exact Python big-int
+    arithmetic floor((token + 2^63) / ceil(2^64 / n)) for every bucket count
+    shape (the <4 comparison chain, the >=4 split-division path, and
+    non-power-of-two n) on adversarial tokens: ring ends, zero crossings,
+    and every bucket boundary +/- 1."""
+    import random
+
+    for n in (1, 2, 3, 4, 5, 16, 60, 1024):
+        range_per = 2**64 // n + (1 if 2**64 % n else 0)
+        tokens = {MIN_TOKEN, MIN_TOKEN + 1, -1, 0, 1, 2**63 - 1, 2**63 - 2}
+        for i in range(1, n):
+            b = MIN_TOKEN + i * range_per
+            tokens.update((b - 1, b, b + 1))
+        rnd = random.Random(13)
+        tokens.update(rnd.randrange(-(2**63), 2**63) for _ in range(500))
+        tokens = sorted(t for t in tokens if MIN_TOKEN <= t < 2**63)
+        df = spark.createDataFrame([Row(token=t) for t in tokens])
+        got = [
+            r["b"]
+            for r in df.select(bucket_expr("token", n).alias("b"))
+            .orderBy("token")
+            .collect()
+        ]
+        want = [(t + 2**63) // range_per for t in tokens]
+        assert got == want, f"n={n}: first diff at {next(i for i in range(len(got)) if got[i] != want[i])}"
