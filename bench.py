@@ -116,9 +116,13 @@ def main() -> int:
             for name in PIPELINE:
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm plan
-                t0 = time.perf_counter()
-                df.write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
+                # min-of-2 like the headliners: one loaded pass shouldn't set
+                # the recorded throughput
+                dt = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    dt = min(dt, time.perf_counter() - t0)
                 stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
                 print(
                     f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s)",
