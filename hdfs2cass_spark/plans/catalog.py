@@ -708,71 +708,72 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "tumbling_window_events",
     oracle="""
-    SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+    SELECT 'tumbling' AS kind,
+           epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
     FROM events
-    GROUP BY 1, 2 ORDER BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start_ms, '<all>' AS event_type,
+           n_events, total_value
+    FROM (
+      WITH e AS (
+        SELECT epoch_us(ts) AS tus, value FROM events WHERE ts IS NOT NULL),
+      x AS (
+        SELECT tus, value,
+               unnest(generate_series((tus - 3600000000) // 900000000 + 1,
+                                      tus // 900000000)) AS k
+        FROM e)
+      SELECT CAST(k * 900000 AS BIGINT) AS window_start_ms,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+      FROM x GROUP BY k)
+    ORDER BY kind, window_start_ms, event_type
     """,
-    doc="Tumbling 1h event-time window — the batch twin of the Structured "
-    "Streaming ingest (streaming/ingest.py computes the identical frame; "
-    "tests assert batch==streaming).",
+    doc="Tumbling 1h AND sliding 1h/15min event-time windows over the same "
+    "events, unioned under a `kind` tag (sliding rows aggregate across "
+    "types, tagged '<all>'). Each is the batch twin of its Structured "
+    "Streaming ingest (streaming/ingest.py computes the identical frames; "
+    "tests assert batch==streaming for both). Spark plans window(slide) as "
+    "an explode to the up-to-4 covering windows + one hash aggregate; the "
+    "oracle derives each event's covering window starts k*900 s from the "
+    "half-open containment s <= t < s+1h at full µs precision.",
 )
 def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _qsum("value").alias("total_value"),
         )
         .select(
+            F.lit("tumbling").alias("kind"),
             epoch_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "total_value",
         )
-        .orderBy("window_start_ms", "event_type")
     )
-
-
-@declare(
-    "sliding_window_events",
-    oracle="""
-    WITH e AS (
-      SELECT epoch_us(ts) AS tus, value FROM events WHERE ts IS NOT NULL),
-    x AS (
-      SELECT tus, value,
-             unnest(generate_series((tus - 3600000000) // 900000000 + 1,
-                                    tus // 900000000)) AS k
-      FROM e)
-    SELECT CAST(k * 900000 AS BIGINT) AS window_start_ms,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
-    FROM x GROUP BY k ORDER BY window_start_ms
-    """,
-    doc="Sliding 1h event-time window at 15 min slide — each event lands in "
-    "up to 4 overlapping windows (Spark plans window(slide) as an explode to "
-    "the covering windows + one hash aggregate; epoch-aligned starts). The "
-    "batch twin of streaming/ingest.py sliding_counts_stream; the oracle "
-    "derives each event's covering window starts k*900 s from the half-open "
-    "containment s <= t < s+1h at full µs precision.",
-)
-def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+    sliding = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _qsum("value").alias("total_value"),
         )
         .select(
+            F.lit("sliding").alias("kind"),
             epoch_millis(F.col("w.start")).alias("window_start_ms"),
+            F.lit("<all>").alias("event_type"),
             "n_events",
             "total_value",
         )
-        .orderBy("window_start_ms")
+    )
+    return tumbling.unionByName(sliding).orderBy(
+        "kind", "window_start_ms", "event_type"
     )
 
 

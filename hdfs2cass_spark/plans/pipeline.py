@@ -321,3 +321,71 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_WORDS = 64  # words per chunk
+CHUNK_OVERLAP = 16  # words shared between consecutive chunks
+_CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
+
+
+@declare(
+    "chunk_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {W_DUCK} AS ws, len({W_DUCK}) AS n
+      FROM documents WHERE text IS NOT NULL AND len({W_DUCK}) >= 1),
+    c AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_WORDS} THEN 0
+                    ELSE (n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END)) AS chunk_id
+      FROM w)
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_word,
+           CAST(least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT) AS n_chunk_words,
+           {hash60_duck(f"array_to_string(list_slice(ws, chunk_id * {_CHUNK_STRIDE} + 1, chunk_id * {_CHUNK_STRIDE} + least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})), ' ')")} AS chunk_fp
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    doc=f"Document chunking for embedding/RAG pipelines — the 1->N dual of "
+    f"pack_sequences: split each doc into {CHUNK_WORDS}-word chunks with "
+    f"{CHUNK_OVERLAP} words of overlap (stride {_CHUNK_STRIDE}); the final "
+    f"chunk keeps the tail (>= 1 word). Emits each chunk's start offset, "
+    f"length, and an md5-derived digest of its exact text — the oracle "
+    f"verifies the precise chunk CONTENT cross-engine without shipping "
+    f"strings (same digest trick as the PII scrub). Pure column arithmetic: "
+    f"chunk starts come from a sequence() expression, the 1->N explode is "
+    f"codegen'd, nothing shuffles until the presentation sort — at 100 TB "
+    f"chunking is a map-only stage.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", "ws", F.size("ws").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    n_last = (
+        f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
+        f"ELSE ((n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}) END"
+    )
+    start = f"(chunk_id * {_CHUNK_STRIDE} + 1)"
+    ncw = f"least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})"
+    return (
+        ws.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(F.expr(f"sequence(0, {n_last})")).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(start).cast("long").alias("start_word"),
+            F.expr(ncw).cast("long").alias("n_chunk_words"),
+            F.expr(
+                hash60_spark(f"concat_ws(' ', slice(ws, {start}, {ncw}))")
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -2,7 +2,7 @@
 
 The reference is strictly batch (SURVEY.md §1.4) — this is the engine's
 extension surface: the same event-time aggregations the batch catalog declares
-(`tumbling_window_events`, `sliding_window_events`), expressed as a stream
+(`tumbling_window_events`, which carries both the tumbling and sliding frames), expressed as a stream
 with watermarked late-data handling, plus a stateful sessionization operator.
 
 Design: file-source streams over the fixture parquet with `availableNow`
@@ -101,7 +101,8 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
 
 
 def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming twin of the batch `sliding_window_events` query: 1h windows
+    """Streaming twin of the batch sliding frame (tumbling_window_events's
+    'sliding' slice): 1h windows
     sliding every 15 min (each event contributes to up to 4 open windows; the
     watermark bounds how many stay in state).
 

@@ -30,6 +30,7 @@ DOC_QUERIES = [
     "top_ngram_repetition",
     "corpus_mix_quota",
     "exact_substring_spans",  # new r4: only docs 8/9 reach the 8-word window
+    "chunk_documents",  # new r4
 ]
 
 
@@ -106,8 +107,7 @@ def test_doc_query_handles_edge_text(spark, edge_dir, name):
 
 EVENT_QUERIES = [
     "json_extract_events",
-    "tumbling_window_events",
-    "sliding_window_events",
+    "tumbling_window_events",  # carries both window kinds since r4
     "window_moving_avg_events",
     "sessionize_events_batch",
     "asof_join_events",

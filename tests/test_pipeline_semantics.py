@@ -127,3 +127,48 @@ def test_exact_substring_spans_planted_shared_run(spark, tmp_path):
     assert (rows[1].n_windows, rows[1].n_dup_windows, rows[1].max_dup_run) == (8, 5, 5)
     assert (rows[2].n_windows, rows[2].n_dup_windows, rows[2].max_dup_run) == (9, 0, 0)
     assert abs(rows[0].dup_frac - 5 / 9) < 1e-12
+
+
+def test_chunk_documents_boundaries_and_overlap(spark, tmp_path):
+    """64 words -> exactly one chunk; 65 words -> two chunks with the second
+    starting at stride+1 = 49 and keeping the 17-word tail (16-word overlap);
+    a 100-word doc chunks at starts 1/49/97; empty and NULL docs emit no
+    rows."""
+    from hdfs2cass_spark.plans.pipeline import (
+        CHUNK_OVERLAP,
+        CHUNK_WORDS,
+        chunk_documents,
+    )
+
+    stride = CHUNK_WORDS - CHUNK_OVERLAP
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    path = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (0, mk(CHUNK_WORDS), "en", "s", 1),
+            (1, mk(CHUNK_WORDS + 1), "en", "s", 1),
+            (2, mk(100), "en", "s", 1),
+            (3, "", "en", "s", 1),
+            (4, None, "en", "s", 1),
+        ],
+    )
+    rows = chunk_documents(spark, path).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc
+    # '' splits to one empty-string word under split semantics: 1 chunk of 1
+    assert [(r.start_word, r.n_chunk_words) for r in by_doc[3]] == [(1, 1)]
+    assert [(r.start_word, r.n_chunk_words) for r in by_doc[0]] == [(1, CHUNK_WORDS)]
+    assert [(r.start_word, r.n_chunk_words) for r in by_doc[1]] == [
+        (1, CHUNK_WORDS),
+        (stride + 1, CHUNK_WORDS + 1 - stride),
+    ]
+    assert [(r.start_word, r.n_chunk_words) for r in by_doc[2]] == [
+        (1, 64),
+        (49, 52),
+    ]
+    # consecutive chunks overlap by exactly CHUNK_OVERLAP words (except tails)
+    a, b = by_doc[2][0], by_doc[2][1]
+    assert a.start_word + CHUNK_WORDS - b.start_word == CHUNK_OVERLAP

@@ -37,7 +37,14 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, events_dir):
     stream = stream_events(spark, events_dir)
     assert stream.isStreaming
     got = _run_stream(spark, tumbling_counts_stream(stream), "tumbling_test")
-    batch = CATALOG["tumbling_window_events"].fn(spark, sf_dir)
+    # the declared query now unions both window kinds under a tag: the
+    # stream's twin is its 'tumbling' slice
+    batch = (
+        CATALOG["tumbling_window_events"]
+        .fn(spark, sf_dir)
+        .filter("kind = 'tumbling'")
+        .drop("kind")
+    )
     g = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert g == b
@@ -49,7 +56,12 @@ def test_stream_sliding_equals_batch(spark, sf_dir, events_dir):
     counted in every window covering it, exactly once per window."""
     stream = stream_events(spark, events_dir)
     got = _run_stream(spark, sliding_counts_stream(stream), "sliding_test")
-    batch = CATALOG["sliding_window_events"].fn(spark, sf_dir)
+    batch = (
+        CATALOG["tumbling_window_events"]
+        .fn(spark, sf_dir)
+        .filter("kind = 'sliding'")
+        .drop("kind", "event_type")
+    )
     g = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert g == b
