@@ -40,6 +40,10 @@ PIPELINE = [
     "pack_sequences",
     "decontamination_overlap",
     "top_ngram_repetition",
+    # added round 4 (first recorded in BENCH_r04): pipeline_total_sec is not
+    # comparable to rounds <= 3, the three keys above still are
+    "exact_substring_spans",
+    "chunk_documents",
 ]
 
 

@@ -262,9 +262,11 @@ SUBSTR_K = 8  # words per duplicated-substring detection window
     f"consecutive duplicated run (max_dup_run + {SUBSTR_K - 1} words = the "
     f"longest duplicated substring, the span a scrubber would cut). Docs "
     f"shorter than {SUBSTR_K} words have no windows and are excluded. "
-    f"100 TB shape: the gram table shuffles twice (document-frequency "
-    f"aggregate on the hash + join-back on the hash — the canonical "
-    f"map-reduce form; no suffix array, no driver state), then ONE "
+    f"100 TB shape: a window min/max over the gram hash marks duplicated "
+    f"positions in ONE shuffle of the gram table (min(doc_id) != max(doc_id) "
+    f"within an h-group == the gram occurs in >= 2 docs — no DF aggregate, "
+    f"no join-back, and crucially no broadcast of a dup-set that scales with "
+    f"the corpus; no suffix array, no driver state), then ONE "
     f"(doc_id, isdup)-partitioned window marks gaps-and-islands run ids and "
     f"two cascaded aggregations (run segments, then per-doc stats) ride that "
     f"same shuffle — counts, fraction, AND longest run come out of a single "
@@ -286,15 +288,17 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
-    dupset = (
-        pos.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h", F.lit(True).alias("isdup"))
-    )
-    marked = (
-        pos.join(dupset, "h", "left")
-        .select("doc_id", "pos", F.coalesce("isdup", F.lit(False)).alias("isdup"))
+    # duplicated-position marking in ONE shuffle: within an h-partition,
+    # min(doc_id) != max(doc_id) iff the gram occurs in >= 2 distinct docs.
+    # The round-4a aggregate+join-back form computed the gram subtree TWICE
+    # (two plan branches) and broadcast the dup-set — which scales with the
+    # corpus, so the broadcast dies at 100 TB; this form has one branch, one
+    # exchange on h, and no join at all.
+    wh = Window.partitionBy("h")
+    marked = pos.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("isdup"),
     )
     # gaps-and-islands over BOTH dup and non-dup rows in one window: the
     # island id is constant within each consecutive same-flag run, so run
