@@ -43,20 +43,43 @@ SH_ON_WS_SPARK = (
 )
 
 
+def _spread_docs(df: DataFrame) -> DataFrame:
+    """Ensure scan parallelism before an explode-heavy stage.
+
+    A compact local documents file is one parquet row group = ONE task, and
+    explode amplifies each row ~words-fold — so below-parallelism scans are
+    repartitioned by doc_id before the explode. When the scan already has
+    enough splits (any real multi-file corpus — at 100 TB the file listing
+    gives ~100k+ splits) this is a NO-OP: shipping the whole raw-text corpus
+    through an exchange just to "spread" it would be a pure waste there, and
+    the previous unconditional repartition did exactly that. The check reads
+    the physical scan's partition count (no job runs).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — conversion quirks: keep the safe path
+        cur = 1
+    return df if 2 * cur >= n else df.repartition(n, "doc_id")
+
+
 def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, s): distinct 3-word shingles, words materialized once.
+
+    Distinctness is PER DOC, and every shingle of a doc sits in one array
+    before the explode — so the dedup is array_distinct IN the row, not a
+    global .distinct() (which shuffled the whole exploded corpus for a
+    row-local property; removed round 4).
 
     The repartition matters: a compact documents file scans as few input
     splits, but explode amplifies each row ~words-fold and the downstream
     hashing is the expensive part — spread rows across the cluster BEFORE the
     explode or one task does all the work.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(n, "doc_id")
+        _spread_docs(df)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SH_ON_WS_SPARK))).alias("s"))
     )
 SH_DUCK = (
     f"CASE WHEN len({W_DUCK}) >= 3 THEN "
@@ -69,21 +92,28 @@ SH_DUCK = (
 def _shingles_hashed(df: DataFrame) -> DataFrame:
     """(doc_id, h): distinct 60-bit md5-derived hashes of the 3-word shingles.
 
-    The int64 hash replaces the shingle STRING before the distinct, so the
-    dedup shuffle, every downstream join, and any broadcast membership set
-    move 8-byte keys instead of ~25-byte strings — the term that dominates
-    shuffle volume at 100 TB. Consumers that compare shingle sets across
-    engines use the identical hash in DuckDB (SHH_DUCK_CTE), so equality is
-    exact; a 60-bit collision folding two distinct shingles is ~n^2/2^61 —
-    the standard fingerprint trade every production dedup pipeline makes.
+    ZERO shuffles (round 4): per-doc distinctness is row-local, so the dedup
+    is array_distinct on the shingle STRINGS inside the row (the strings, not
+    the hashes — hashing inside a higher-order-function lambda runs
+    interpreted, measured 7x slower than the same hash post-explode in
+    codegen); the md5 then runs codegen'd on the exploded distinct shingles.
+    The previous global .distinct() was this operator's only shuffle of the
+    corpus — decontamination is now genuinely map-side end to end.
+
+    The int64 hash replaces the shingle STRING immediately after the explode,
+    so every downstream join and any broadcast membership set move 8-byte
+    keys instead of ~25-byte strings — the term that dominates shuffle volume
+    at 100 TB. Consumers that compare shingle sets across engines use the
+    identical hash AND the identical dedup-then-hash order in DuckDB
+    (SHH_DUCK), so equality is exact; a 60-bit collision folding two distinct
+    shingles is ~n^2/2^61 — the standard fingerprint trade every production
+    dedup pipeline makes.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(n, "doc_id")
+        _spread_docs(df)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SH_ON_WS_SPARK))).alias("s"))
         .select("doc_id", F.expr(hash60_spark("s")).alias("h"))
-        .distinct()
     )
 
 N_HASHES = 16  # minhash signature length
@@ -106,10 +136,12 @@ def hash60_duck(expr: str) -> str:
 
 
 # DuckDB twin of _shingles_hashed (same 60-bit md5-derived shingle hash)
+# dedup-then-hash, matching _shingles_hashed's in-row array_distinct order
 SHH_DUCK = (
-    "SELECT DISTINCT doc_id, "
+    "SELECT doc_id, "
     + hash60_duck("s")
-    + f" AS h FROM (SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t"
+    + " AS h FROM (SELECT DISTINCT doc_id, s FROM "
+    + f"(SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t0) t"
 )
 
 
@@ -456,9 +488,8 @@ def _minhash_wide(
     d = load_table(spark, sf_dir, "documents")
     # explode WITHOUT the _shingles .distinct(): collect_set dedups and min is
     # duplicate-insensitive, so the extra (doc_id, s) shuffle buys nothing
-    n = d.sparkSession.sparkContext.defaultParallelism
     sh = (
-        d.repartition(n, "doc_id")
+        _spread_docs(d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
     )

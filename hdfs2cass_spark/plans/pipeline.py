@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .llm import SHH_DUCK, W_DUCK, W_SPARK, _shingles_hashed, hash60_duck, hash60_spark
+from .llm import (
+    SHH_DUCK,
+    W_DUCK,
+    W_SPARK,
+    _shingles_hashed,
+    _spread_docs,
+    hash60_duck,
+    hash60_spark,
+)
 from .registry import declare
 
 # Benchmark-set membership: a pure md5 function of doc_id (~5% of docs), the
@@ -162,9 +170,8 @@ _BG_DUCK = (
 )
 def top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n = spark.sparkContext.defaultParallelism
     bg = (
-        d.repartition(n, "doc_id")
+        _spread_docs(d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(_BG_ON_WS_SPARK)).alias("g"))
     )
@@ -275,14 +282,13 @@ SUBSTR_K = 8  # words per duplicated-substring detection window
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n = spark.sparkContext.defaultParallelism
     grams_sql = (
         f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
         + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
         + ")"
     )
     pos = (
-        d.repartition(n, "doc_id")
+        _spread_docs(d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
         .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))

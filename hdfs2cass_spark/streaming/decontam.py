@@ -52,11 +52,12 @@ def score_batch(docs: DataFrame, bench_shingles: DataFrame) -> DataFrame:
     micro-batch carries 8-byte ints instead of shingle strings."""
     from ..plans.llm import hash60_spark
 
+    # in-row array_distinct (not a global .distinct()): per-doc distinctness
+    # is row-local — matches the batch _shingles_hashed, zero shuffles
     sh = (
         docs.select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SH_ON_WS_SPARK))).alias("s"))
         .select("doc_id", F.expr(hash60_spark("s")).alias("h"))
-        .distinct()
     )
     bench_h = bench_shingles.select(
         F.expr(hash60_spark("s")).alias("h")
