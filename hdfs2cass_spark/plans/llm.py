@@ -500,15 +500,18 @@ def _minhash_wide(
         # codegen computes md5 once per shingle, not once per signature; `h`
         # is the same 60-bit prefix hash as _shingles_hashed/hash60, carved
         # from the SAME digest — set-carrying consumers dedup/intersect on it
+        # g1 is carved from h, not from its own conv: h holds digest bits
+        # 0-59, so bits 0-31 (hex chars 1-8) are shiftright(h, 28) — one
+        # string decode fewer per shingle. g2 (chars 9-16 = bits 32-63)
+        # overruns h's 60 bits and keeps its own conv.
         sh = sh.select(
             "doc_id",
             F.expr("md5(CAST(s AS BINARY))").alias("mhex"),
         ).select(
             "doc_id",
             F.expr("CAST(conv(substr(mhex, 1, 15), 16, 10) AS BIGINT)").alias("h"),
-            F.expr(f"CAST(conv(substr(mhex, 1, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g1"),
             F.expr(f"CAST(conv(substr(mhex, 9, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g2"),
-        )
+        ).withColumn("g1", F.expr(f"shiftright(h, 28) % {_MH_G}"))
         aggs = [
             F.min(
                 (F.lit(a) * F.col("g1") + F.lit(b) * F.col("g2") + F.lit(c)) % F.lit(_MH_P)
