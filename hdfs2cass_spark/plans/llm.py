@@ -371,10 +371,10 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({SHH_DUCK}),
-    rare AS (
-      SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {DF_CAP}),
-    rsh AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
-    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    ok AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {DF_CAP}),
+    rsh AS (SELECT sh.doc_id, sh.h FROM sh JOIN ok USING (h)),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -395,36 +395,65 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"n-gram (3-word shingle) Jaccard near-dup pairs, each surviving pair "
     f"verified with edit distance on the first 80 chars. Shingles with doc "
-    f"frequency > {DF_CAP} are pruned before the pair join — the standard "
-    f"guard against the quadratic frequent-shingle blowup at scale; jaccard "
-    f"is over the pruned shingle space. The pair join runs on 60-bit shingle "
-    f"HASHES (8-byte join keys, not ~25-byte strings — see _shingles_hashed; "
-    f"the oracle hashes identically). levenshtein is O(len^2) per pair — "
-    f"affordable exactly because candidate pairs, not all pairs, reach it, "
-    f"and the 80-char prefix caps the quadratic term (the former "
-    f"edit_distance_verify, fused onto the candidate set it verifies).",
+    f"frequency > {DF_CAP} are pruned from CANDIDATE GENERATION — the "
+    f"standard guard against the quadratic frequent-shingle blowup at scale "
+    f"— while the jaccard denominator uses each doc's FULL distinct-shingle "
+    f"count (conservative: pruning can only lower the reported similarity). "
+    f"That split is what makes the plan a SINGLE corpus pass: the full "
+    f"per-doc count is row-local (size of the in-row distinct array) and "
+    f"rides every exploded shingle into one aggregate on the 60-bit hash, "
+    f"whose buckets expand their ordered pairs in-row carrying both counts "
+    f"(the same capped in-bucket expansion the LSH path uses). No self-join, "
+    f"no per-doc-count branch recomputing the corpus (lambda-bearing "
+    f"subtrees never ReuseExchange; the round-3 a/b self-join planned 13 "
+    f"exchanges over three corpus passes, this plans 6 over one). "
+    f"levenshtein is O(len^2) per pair — affordable exactly because "
+    f"candidate pairs, not all pairs, reach it, and the 80-char prefix caps "
+    f"the quadratic term (the former edit_distance_verify, fused onto the "
+    f"candidate set it verifies).",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles_hashed(d)
-    rare = sh.groupBy("h").count().filter(F.col("count") <= DF_CAP).select("h")
-    rsh = sh.join(rare, "h")
-    n = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = rsh.alias("a")
-    b = rsh.alias("b")
-    common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # (doc_id, n_tot, h): the doc's full distinct-shingle count is computed
+    # in-row and carried on every exploded shingle row. The count MUST be
+    # embedded inside the generator's struct (inline(transform(shs, x ->
+    # struct(x, size(shs))))): shs stays a materialized column (referenced
+    # twice, so CollapseProject's cost guard refuses to inline the
+    # array_distinct chain into it) and each output row carries two scalars.
+    # The tempting alternatives both go quadratic per doc: size(shs) AFTER
+    # the explode re-evaluates the shingle chain per exploded row, and
+    # passing shs THROUGH the explode copies the whole array into every
+    # output row — measured 13s vs 0.27s for this form at sf0.1.
+    sh = (
+        _spread_docs(d)
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", F.expr(f"array_distinct({SH_ON_WS_SPARK})").alias("shs"))
+        .select("doc_id", F.expr("inline(transform(shs, x -> struct(x AS s, size(shs) AS n_tot)))"))
+        .select("doc_id", "n_tot", F.expr(hash60_spark("s")).alias("h"))
     )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_tot"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= DF_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), y -> "
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.n_tot AS na, y.n_tot AS nb))))"
+    )
+    common = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
+        )
+    )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    pairs = (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    pairs = common.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb"))
