@@ -856,22 +856,36 @@ _NEAR_DUP_ORACLE = (
     "and recomputed per use.",
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE aggregate carries signatures AND shingle sets: candidates and both
-    # verify sides reference the same subtree (~40% faster than a separate
-    # shingle-set aggregation at sf0.1, no persist involved)
+    # ONE aggregate carries signatures AND shingle sets; each candidate pair
+    # MELTS into an (a-side, b-side) row pair so the set table joins ONCE —
+    # with per-side joins the shared subtree executed three times (candidates
+    # + both sides; lambda-bearing subtrees never pass ReuseExchange), the
+    # melt holds it to two, trading a full corpus md5+aggregate pass for a
+    # candidate-sized reassembly aggregate (candidates << corpus at any
+    # scale). Still no persist anywhere.
     full = _minhash_wide(spark, sf_dir, with_sets=True)
     cand = _band_candidates(full)
-    sa = full.select(
-        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n_sh").alias("na")
+    sides = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.expr("array(struct('a' AS role, doc_a AS d), struct('b' AS role, doc_b AS d))")
+        ).alias("r"),
+    ).select("doc_a", "doc_b", "r.role", "r.d")
+    ver = (
+        sides.join(full.select(F.col("doc_id").alias("d"), "shset", "n_sh"), "d")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("shset")), ignorenulls=True).alias("set_a"),
+            F.first(F.when(F.col("role") == "b", F.col("shset")), ignorenulls=True).alias("set_b"),
+            F.first(F.when(F.col("role") == "a", F.col("n_sh")), ignorenulls=True).alias("na"),
+            F.first(F.when(F.col("role") == "b", F.col("n_sh")), ignorenulls=True).alias("nb"),
+        )
     )
-    sb = full.select(
-        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n_sh").alias("nb")
-    )
-    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     n_common = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        joined.filter(jac >= 0.5)
+        ver.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
