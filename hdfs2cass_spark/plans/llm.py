@@ -677,7 +677,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences). Near-dups differ in few bits. Oracle-verified transitively
     through simhash_near_dup_pairs, which carries these fingerprints."""
     d = load_table(spark, sf_dir, "documents")
-    wd = d.select("doc_id", F.explode(F.expr(W_SPARK)).alias("w")).select(
+    wd = _spread_docs(d).select("doc_id", F.explode(F.expr(W_SPARK)).alias("w")).select(
         "doc_id", F.expr(hash60_spark("w")).alias("wh")
     )
     sums = [
@@ -1366,16 +1366,19 @@ def corpus_select_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    wd = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id").select(
-        "doc_id", F.explode(F.expr(W_SPARK)).alias("w")
-    )
+    wd = _spread_docs(d).select("doc_id", F.explode(F.expr(W_SPARK)).alias("w"))
     tf = wd.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = wd.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     # n_docs as a broadcast scalar relation, not a driver-side d.count() —
     # no job runs at plan-construction time; the count folds into the DAG
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # document frequency as a window count over the tf table (tf rows are
+    # unique per (doc, w), so count-per-w == docs containing w): ONE corpus
+    # pass. The former separate dfreq aggregate recomputed the explode
+    # subtree (two corpus passes; nothing ReuseExchanges under lambdas) and
+    # BROADCAST the vocabulary — which is Zipf-tailed and corpus-scaled, so
+    # that broadcast dies at 100 TB where this window just shuffles on w.
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("w")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
