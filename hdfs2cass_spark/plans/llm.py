@@ -171,18 +171,23 @@ SHH_DUCK = (
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    exact = (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
-        .select(F.lit("exact").alias("mode"), "text_hash", "n_copies", "keeper")
+    # both hash modes ride ONE scan: a 2-element inline per row feeds a
+    # single (mode, text_hash) aggregate — the union-of-two-aggregates form
+    # read the text column off parquet twice
+    both = d.select(
+        "doc_id",
+        F.expr(
+            "inline(array("
+            "struct('exact' AS mode, md5(CAST(text AS BINARY)) AS text_hash), "
+            "struct('normalized' AS mode, "
+            "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS text_hash)))"
+        ),
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    normalized = (
-        d.groupBy(F.md5(norm.cast("binary")).alias("text_hash"))
+    return (
+        both.groupBy("mode", "text_hash")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
-        .select(F.lit("normalized").alias("mode"), "text_hash", "n_copies", "keeper")
+        .orderBy("mode", "text_hash")
     )
-    return exact.unionByName(normalized).orderBy("mode", "text_hash")
 
 
 # ---------------------------------------------------------------------------
