@@ -178,3 +178,43 @@ def test_salted_agg_is_two_phase(spark, sf_dir):
     p = _explain(spark, salted_agg_events(spark, sf_dir), "formatted")
     assert "_salt" in p
     assert p.count("HashAggregate") >= 4  # partial+final for each phase
+
+
+def test_spread_docs_is_conditional(spark, sf_dir):
+    """_spread_docs repartitions a narrow (single-split) scan but must NO-OP
+    when the input already has parallelism — shipping the raw corpus through
+    an exchange to fix parallelism the scan already provides is the scale
+    anti-pattern it exists to avoid."""
+    from hdfs2cass_spark.plans.llm import _spread_docs
+
+    narrow = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spread = _spread_docs(narrow)
+    assert spread is not narrow
+    assert "REPARTITION_BY_NUM" in _explain(spark, spread)  # narrow scan spread
+    n = spark.sparkContext.defaultParallelism
+    wide = narrow.repartition(n)  # already-parallel input
+    assert _spread_docs(wide) is wide  # identity: no exchange added
+
+
+def test_jaccard_single_corpus_pass(spark, sf_dir):
+    """ngram_jaccard_pairs must evaluate the shingle chain ONCE: one
+    array_distinct in the whole plan (the n_tot embedding dodges the
+    post-explode re-evaluation and the array-carry-through-explode copies —
+    both measured quadratic per doc), no self-join, one corpus aggregate."""
+    p = _explain(spark, CATALOG["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    assert p.count("array_distinct") == 1
+    assert "SortMergeJoin" not in p
+    # the in-bucket pair expansion replaces the a/b self-join: candidate
+    # pairs come from ONE Generate over bucket rows, not a join on h
+    assert p.count("ObjectHashAggregate") <= 2  # partial+final of one collect
+
+
+def test_tfidf_never_broadcasts_vocabulary(spark, sf_dir):
+    """Document frequency must come from a window over the tf table — one
+    corpus pass, no join against (and no broadcast of) a corpus-scaled
+    vocabulary table."""
+    p = _explain(spark, CATALOG["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "windowspecdefinition(w" in p
+    # the only broadcast is the single-row n_docs scalar
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert p.count("BroadcastHashJoin") == 0
