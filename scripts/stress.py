@@ -133,6 +133,13 @@ def main() -> int:
     run("pack_sequences", pack_sequences(spark, tmp), args.docs)
     run("decontamination", decontamination_overlap(spark, tmp), args.docs)
 
+    # the composed curation chain (quality -> dedup -> decontam -> pack) as
+    # ONE job over the same synthetic docs — the end-to-end number a real
+    # pipeline pays, not the per-stage sum
+    from hdfs2cass_spark.plans.compose import curate_corpus
+
+    run("curate_corpus", curate_corpus(spark, tmp), args.docs)
+
     out["docs"] = args.docs
     out["vecs"] = args.vecs
     out["rows"] = args.rows
