@@ -18,6 +18,12 @@ def test_contract_shape():
     assert len(qs) >= 50
     assert set(osql) <= set(qs)  # every oracle key has a query
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+    # the driver's correctness gate checks the FIRST 50 registered queries:
+    # every one of them must be oracle-backed, rows-only entries last — a
+    # reorder that rotates an oracle query out of the checked prefix is a
+    # silent coverage loss (round-3 verdict item 2/3)
+    first_50 = list(qs)[:50]
+    assert all(name in osql for name in first_50)
 
 
 def test_entry_runs(spark):
