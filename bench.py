@@ -64,12 +64,14 @@ def main() -> int:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min of three timed passes: this box is multi-tenant and external load
+    # min of four timed passes: this box is multi-tenant and external load
     # inflates a single pass 2-3x at random (measured same-JVM 5-pass spread
-    # 1.4-2.7s on an identical plan+data — ROUND4.md) — the min is the
-    # standard noise-robust estimator and stays honest (same plan, same
-    # data, no caching between passes; noop sink re-executes everything)
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # 1.4-2.7s on an identical plan+data — ROUND4.md; a later boot drifted
+    # 2x minute-to-minute) — the min is the standard noise-robust estimator
+    # and stays honest (same plan, same data, no caching between passes;
+    # a FRESH DataFrame per pass, so no stage reuse; noop sink re-executes
+    # everything)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
 
     def time_query(name: str) -> float:
         q = CATALOG[name]
