@@ -85,9 +85,20 @@ def _chunk_digits(c: np.ndarray) -> np.ndarray:
 def md5_token_strings(keys) -> "tuple[np.ndarray, np.ndarray]":
     """Batch of byte/str keys -> (S39 zero-padded decimal tokens, key lens)."""
     blob, lens = _digest_blob(keys)
-    n = len(lens)
+    toks = _token_strings_from_blob(blob, len(lens))
+    if len(lens):
+        toks[lens == 0] = b"0" * 39  # empty key -> MINIMUM (RandomPartitioner.ZERO)
+    return toks, lens
+
+
+def _token_strings_from_blob(blob: bytes, n: int) -> np.ndarray:
+    """Concatenated 16-byte digests -> S39 zero-padded decimal tokens.
+
+    An all-zero digest yields token 0 exactly — callers that map empty/NULL
+    keys to the zero digest get the RandomPartitioner MINIMUM for free.
+    """
     if n == 0:
-        return np.empty(0, dtype="S39"), lens
+        return np.empty(0, dtype="S39")
     d = np.frombuffer(blob, dtype=">u8").reshape(n, 2)
     hi = d[:, 0].astype(np.uint64)
     lo = d[:, 1].astype(np.uint64)
@@ -115,18 +126,37 @@ def md5_token_strings(keys) -> "tuple[np.ndarray, np.ndarray]":
         digits = np.concatenate(
             [_chunk_digits(c2), _chunk_digits(c1), _chunk_digits(c0)], axis=1
         )
-    toks = np.ascontiguousarray(digits).view("S39").ravel()
-    toks[lens == 0] = b"0" * 39  # empty key -> MINIMUM (RandomPartitioner.ZERO)
-    return toks, lens
+    return np.ascontiguousarray(digits).view("S39").ravel()
+
+
+def _bucketize(toks: np.ndarray, range_per: int, num_buckets: int) -> np.ndarray:
+    bounds = np.array(
+        [str(k * range_per).zfill(39).encode() for k in range(1, num_buckets)],
+        dtype="S39",
+    )
+    return np.searchsorted(bounds, toks, side="right").astype(np.int32)
 
 
 def md5_tokens_and_buckets(keys, range_per: int, num_buckets: int):
     """Batch keys -> (token strings U39, bucket int32) matching the scalar
     token // rangePerReducer, via boundary-string searchsorted."""
     toks, _lens = md5_token_strings(keys)
-    bounds = np.array(
-        [str(k * range_per).zfill(39).encode() for k in range(1, num_buckets)],
-        dtype="S39",
-    )
-    buckets = np.searchsorted(bounds, toks, side="right").astype(np.int32)
-    return toks.astype("U39"), buckets
+    return toks.astype("U39"), _bucketize(toks, range_per, num_buckets)
+
+
+def md5_tokens_and_buckets_from_digests(digests, range_per: int, num_buckets: int):
+    """Batch of 16-byte md5 DIGESTS -> (token strings U39, bucket int32).
+
+    The fast path: the digest is computed JVM-side (codegen'd ``md5()``), so
+    nothing here runs per row in Python — ``b"".join`` over fixed-width bytes
+    is C-speed and everything after is the same whole-batch numpy as the
+    key-based path. Empty/NULL keys arrive as the all-zero digest (the caller
+    maps them), which yields token 0 == RandomPartitioner.ZERO exactly.
+    """
+    it = digests.to_numpy() if hasattr(digests, "to_numpy") else digests
+    blob = b"".join(it)
+    n = len(it)
+    if len(blob) != 16 * n:
+        raise ValueError("md5 digests must be exactly 16 bytes each")
+    toks = _token_strings_from_blob(blob, n)
+    return toks.astype("U39"), _bucketize(toks, range_per, num_buckets)

@@ -47,20 +47,24 @@ def range_per_bucket_md5(num_buckets: int) -> int:
 
 
 def md5_token_bucket_udf(num_buckets: int):
-    """Arrow-batched pandas UDF: key bytes/str -> struct(token: string, bucket: int).
+    """Arrow-batched pandas UDF: 16-byte md5 DIGEST -> struct(token: string,
+    bucket: int).
 
-    token is the zero-padded decimal string; bucket = token div rangePerReducer
-    (CassandraPartitioner.java:72) — computed Python-side because the 128-bit
-    division has no JVM-decimal equivalent (decimal tops out at 38 digits).
-    Delegates to the numpy batch implementation (functions/md5_np.py — only the
-    md5 digest itself stays per-row), differentially tested against md5_token.
+    The digest itself is computed JVM-side by codegen'd ``md5()`` (see
+    operators/partitioning.with_md5_token_bucket, which also maps empty/NULL
+    keys to the all-zero digest = RandomPartitioner.ZERO), so the Python hop
+    is pure whole-batch numpy: abs-of-128-bit + decimal-string token +
+    searchsorted bucket. token is the zero-padded decimal string; bucket =
+    token div rangePerReducer (CassandraPartitioner.java:72) — Python-side
+    because the 128-bit division has no JVM-decimal equivalent (decimal tops
+    out at 38 digits). Differentially tested against md5_token.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     from . import md5_np as _np_mod
-    from .md5_np import md5_tokens_and_buckets
+    from .md5_np import md5_tokens_and_buckets_from_digests
     from .shippable import pickle_by_value
 
     # workers may not have this package on PYTHONPATH — embed the module code
@@ -69,11 +73,13 @@ def md5_token_bucket_udf(num_buckets: int):
 
     range_per = range_per_bucket_md5(num_buckets)
 
-    def _tok(keys: pd.Series) -> pd.DataFrame:
-        toks, buckets = md5_tokens_and_buckets(keys, range_per, num_buckets)
+    def _tok(digests: pd.Series) -> pd.DataFrame:
+        toks, buckets = md5_tokens_and_buckets_from_digests(
+            digests, range_per, num_buckets
+        )
         return pd.DataFrame({"token": toks, "bucket": buckets})
 
-    _tok.__annotations__ = {"keys": pd.Series, "return": pd.DataFrame}
+    _tok.__annotations__ = {"digests": pd.Series, "return": pd.DataFrame}
     return pandas_udf(
         _tok,
         StructType(

@@ -119,13 +119,24 @@ def with_md5_token_bucket(
     shuffle_seed: int | None = 42,
 ) -> DataFrame:
     """G2 RandomPartitioner branch: MD5 BigIntegerToken + bucket in one UDF
-    pass (tokens are 128-bit — carried as sortable zero-padded strings)."""
+    pass (tokens are 128-bit — carried as sortable zero-padded strings).
+
+    The md5 digest runs JVM-SIDE in whole-stage codegen (round 4 — hashlib
+    per row in the Arrow batch was ~half the hop's runtime); empty/NULL keys
+    map to the all-zero digest, whose 128-bit abs is exactly
+    RandomPartitioner.ZERO. The Python hop is pure whole-batch numpy.
+    """
     from ..functions.md5token import md5_token_bucket_udf
 
     tb = md5_token_bucket_udf(num_buckets)
-    out = df.withColumn("_tb", tb(F.col(key_col))).select(
+    dig = F.expr(
+        f"CASE WHEN {key_col} IS NULL OR length({key_col}) = 0 "
+        f"THEN unhex('{'0' * 32}') "
+        f"ELSE unhex(md5(CAST({key_col} AS BINARY))) END"
+    )
+    out = df.withColumn("_dig", dig).withColumn("_tb", tb(F.col("_dig"))).select(
         "*", F.col("_tb.token").alias("token"), F.col("_tb.bucket").alias("bucket")
-    ).drop("_tb")
+    ).drop("_tb", "_dig")
     if shuffle_seed is not None:
         mapping = shuffled_bucket_map(num_buckets, shuffle_seed)
         out = out.withColumn(
