@@ -88,6 +88,76 @@ def main() -> int:
     topk = embedding_topk_cosine(spark, tmp)
     run("ann_bruteforce", topk, args.vecs)
 
+    # --- ANN IVF: sampled k-means fit + cell-probed top-5, recall vs brute ---
+    # CLUSTERED corpus (32 centers + noise), the workload IVF exists for —
+    # uniform-random vectors are its documented worst case (no cell structure
+    # to exploit; measured recall 0.44 there, and brute force wins outright).
+    from hdfs2cass_spark.operators.kmeans import fit_kmeans, quantized_assign_udf
+    from hdfs2cass_spark.plans.llm import _ivf_dist_spark
+
+    cvec = F.expr(
+        "transform(sequence(1, 64), i -> CAST("
+        "pmod(hash((id % 32) * 977 + i), 1000) / 1000.0"
+        " + pmod(hash(id * 131 + i), 200) / 2000.0 AS FLOAT))"
+    )
+    cemb = spark.range(args.vecs).select(F.col("id").alias("vec_id"), cvec.alias("embedding"))
+    cemb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    cemb = spark.read.parquet(f"{tmp}/embeddings.parquet")
+    t0 = time.perf_counter()
+    cents = fit_kmeans(cemb, k=16, iters=4, sample_fraction=0.05, init="spread")
+    out["ivf_fit_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    assign = quantized_assign_udf(cents)
+    nrm = "sqrt(aggregate({c}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))"
+    ecell = cemb.select(
+        "vec_id",
+        "embedding",
+        assign(F.col("embedding")).alias("cell"),
+        F.expr(nrm.format(c="embedding")).alias("_en"),
+    )
+    structs = ", ".join(
+        f"struct({_ivf_dist_spark('qe', c)} AS dist, {i} AS cell)"
+        for i, c in enumerate(cents)
+    )
+    q = cemb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(nrm.format(c="embedding")).alias("_qn"),
+    )
+    qcells = q.select(
+        "q_id", "qe", "_qn",
+        F.explode(F.expr(f"slice(array_sort(array({structs})), 1, 3)")).alias("pc"),
+    ).select("q_id", "qe", "_qn", F.col("pc.cell").alias("cell"))
+    # prenormed cosine: norms computed once per side, not per candidate row
+    sim = F.expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0D, (a, v) -> a + v) / (_qn * _en)"
+    )
+    from pyspark.sql.window import Window as W
+
+    ivf = (
+        F.broadcast(qcells)
+        .join(ecell, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    ivf_pairs = {(r.q_id, r.vec_id) for r in ivf.collect()}
+    out["ivf_search_sec"] = round(time.perf_counter() - t0, 2)
+    from hdfs2cass_spark.plans.llm import embedding_topk_cosine as _bf
+
+    bf_pairs = {(r.q_id, r.vec_id) for r in _bf(spark, tmp).collect()}
+    out["ivf_recall_vs_brute"] = round(len(ivf_pairs & bf_pairs) / max(1, len(bf_pairs)), 3)
+    print(
+        f"# ann_ivf (clustered corpus): fit {out['ivf_fit_sec']}s, "
+        f"search {out['ivf_search_sec']}s, recall {out['ivf_recall_vs_brute']}",
+        file=sys.stderr,
+    )
+
     # --- ANN hyperplane-LSH near-dup: dynamic planes + multiprobe + cap ---
     # Plant near-dup pairs (2i, 2i+1), twin = base + 0.15*noise (cosine ~0.989)
     # among centered pseudo-random noise vectors; measure wall time AND the
