@@ -346,3 +346,29 @@ def test_bucket_expr_exact_vs_python_bigint(spark):
         ]
         want = [(t + 2**63) // range_per for t in tokens]
         assert got == want, f"n={n}: first diff at {next(i for i in range(len(got)) if got[i] != want[i])}"
+
+
+def test_md5_route_digest_path_edge_keys(spark):
+    """The JVM-side md5(CAST(key AS BINARY)) digest must agree with the
+    scalar spec on the edges the CASE handles specially: empty string and
+    NULL (-> all-zero digest -> RandomPartitioner.ZERO), multi-byte UTF-8,
+    and raw BINARY keys (cast is a no-op there)."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from hdfs2cass_spark.functions.md5token import md5_token
+    from hdfs2cass_spark.operators.partitioning import with_md5_token_bucket
+
+    sdf = spark.createDataFrame(
+        [Row(k="", i=0), Row(k=None, i=1), Row(k="héllo wörld", i=2), Row(k="foo", i=3)]
+    )
+    got = {r["i"]: int(r["token"]) for r in with_md5_token_bucket(sdf, "k", 8).collect()}
+    assert got[0] == 0 and got[1] == 0  # empty and NULL -> MINIMUM
+    assert got[2] == md5_token("héllo wörld")  # utf-8 bytes, not latin-1
+    assert got[3] == md5_token(b"foo")
+
+    bdf = spark.createDataFrame(
+        [(bytearray(b"\x00\xff\x80"),), (bytearray(b""),)],
+        StructType([StructField("k", BinaryType())]),
+    )
+    got = [int(r["token"]) for r in with_md5_token_bucket(bdf, "k", 8).collect()]
+    assert sorted(got) == sorted([md5_token(b"\x00\xff\x80"), 0])
