@@ -85,6 +85,25 @@ SECTIONS = [
         "spread repartition disappears on any real multi-split corpus; see `_spread_docs`).",
     ),
     (
+        "ngram_jaccard_pairs (single-corpus-pass similarity)",
+        "ngram_jaccard_pairs",
+        "ONE corpus pass: the per-doc full distinct-shingle count is embedded in the explode's struct "
+        "(`inline(transform(shs, x -> struct(x, size(shs))))` — the array stays a materialized column), "
+        "one aggregate on the 60-bit hash buckets the corpus, and buckets of 2..50 docs expand ordered "
+        "pairs in-row carrying both counts. No self-join, no per-doc-count branch (lambda-bearing "
+        "subtrees never ReuseExchange — the prior form planned 13 exchanges over three corpus passes; "
+        "this plans 4 over one). The only joins are the final candidate-sized text lookups for the "
+        "levenshtein verify.",
+    ),
+    (
+        "embedding_ivf_topk (cell-probed ANN)",
+        "embedding_ivf_topk",
+        "Index build is ONE ArrowEvalPython pass (whole-batch numpy nearest-centroid, bit-exact vs the "
+        "quantized oracle) — the cell is a plain column on the corpus scan, no explode, no centroid "
+        "join, no aggregation. The probed query cells broadcast; per-query top-k truncates map-side "
+        "via WindowGroupLimit.",
+    ),
+    (
         "exact_substring_spans (duplicated-span marking)",
         "exact_substring_spans",
         "Single-branch: the rolling-hashed gram table is computed ONCE, shuffled ONCE on the gram "
