@@ -98,11 +98,12 @@ PACK_BUDGET = 256  # tokens per packed training sequence
       SELECT doc_id, CAST(len({W_DUCK}) AS BIGINT) AS n_tokens FROM documents
     )
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             // {PACK_BUDGET} AS seq_id
+             AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_BUDGET} AS BIGINT) AS seq_id
     FROM toks ORDER BY doc_id
     """,
     doc="Sequence packing for LLM training: lay documents end-to-end in "
@@ -156,7 +157,7 @@ _BG_DUCK = (
     ),
     cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
     SELECT doc_id,
-           SUM(c) AS n_bigrams,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
            MAX(c) AS top_bigram_n,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_frac
     FROM cnt GROUP BY doc_id ORDER BY doc_id

@@ -70,6 +70,18 @@ def main() -> int:
             return tuple(norm(x) for x in v)
         return str(v)
 
+    # DuckDB output types whose canonical serialization diverges from the
+    # Spark type in the driver's value hasher even when the values are
+    # numerically identical (SUM(BIGINT) promotes to INT128, etc.). The r4
+    # driver flagged exactly this on pack_sequences / top_ngram_repetition
+    # while the str()-normalizing rehearsal stayed green — so type
+    # faithfulness is checked FIRST, independent of value comparison.
+    BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+    def oracle_types(sql: str) -> list[tuple[str, str]]:
+        rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        return [(r[0], r[1]) for r in rows]
+
     failures = []
     for name in names:
         try:
@@ -81,6 +93,17 @@ def main() -> int:
             sql = oracles.get(name)
             if sql is None:
                 print(f"  {name}: rows={len(srows)} (no oracle)")
+                continue
+            bad = [
+                (c, t)
+                for c, t in oracle_types(sql)
+                if any(b in t.upper() for b in BAD_ORACLE_TYPES)
+            ]
+            if bad:
+                failures.append(
+                    (name, f"oracle type not driver-hashable: {bad} — wrap in CAST")
+                )
+                print(f"  {name}: ORACLE TYPE {bad}")
                 continue
             ores = con.execute(sql).fetchall()
             ocols_all = [d[0] for d in con.description]
