@@ -45,6 +45,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .buckets import capped_buckets
+
 DEFAULT_CAP = 100  # mirrors plans.llm.BAND_CAP for band buckets
 DEFAULT_SEED = 42
 
@@ -190,11 +192,11 @@ def hyperplane_candidates(
         entries = coded.select("_id", F.explode(probes).alias("code"))
     else:
         entries = coded
-    buckets = (
-        entries.groupBy("code")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
-    )
+    # capped_buckets gates bucket size with a streaming window count BEFORE
+    # the collect: the derived plane count bounds the EXPECTED bucket load,
+    # but an adversarial code (millions of identical embeddings) would
+    # otherwise fill one aggregation buffer before cap-and-drop could fire
+    buckets = capped_buckets(entries, ["code"], "_id", cap=cap)
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "

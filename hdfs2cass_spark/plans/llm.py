@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.buckets import capped_buckets
 from ..sources.readers import load_table
 from .registry import declare
 
@@ -436,10 +437,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("inline(transform(shs, x -> struct(x AS s, size(shs) AS n_tot)))"))
         .select("doc_id", "n_tot", F.expr(hash60_spark("s")).alias("h"))
     )
-    buckets = (
-        sh.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_tot"))).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= DF_CAP))
+    # capped_buckets: the df gate runs BEFORE collect_list, so a boilerplate
+    # shingle shared by millions of docs never materializes an unbounded
+    # aggregation buffer (it costs one spilled streaming count, then drops)
+    buckets = capped_buckets(
+        sh, ["h"], F.struct("doc_id", "n_tot"), out="ms", cap=DF_CAP
     )
     pair_expr = (
         "flatten(transform(ms, (x, i) -> "
@@ -449,6 +451,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     common = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        # two DISTINCT shingles of one doc can collide to the same 60-bit
+        # hash (~n^2/2^61), putting the doc in the bucket twice — the sorted
+        # expansion would then emit a self-pair the oracle's a.doc_id <
+        # b.doc_id join excludes
+        .filter(F.col("p.doc_a") != F.col("p.doc_b"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -631,11 +638,10 @@ def _band_candidates(wide: DataFrame) -> DataFrame:
     bands = wide.select("doc_id", F.explode(F.array(*_band_structs())).alias("bb")).select(
         "doc_id", "bb.band", "bb.bkey"
     )
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= BAND_CAP))
-    )
+    # size gate precedes the collect (capped_buckets): a band signature shared
+    # by millions of near-identical docs is dropped by a streaming count, not
+    # after materializing the full id list in one aggregation buffer
+    buckets = capped_buckets(bands, ["band", "bkey"], "doc_id", cap=BAND_CAP)
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
@@ -1265,11 +1271,11 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
     ).withColumn("bval", F.expr("(simhash >> (band * 8)) & 255"))
     # in-bucket pair expansion with the fingerprint as payload: one pass over
-    # the fingerprints, no self-join, no persist, degenerate buckets capped
-    buckets = (
-        bands.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= BAND_CAP))
+    # the fingerprints, no self-join, no persist; capped_buckets gates bucket
+    # size before the collect so a degenerate band value never materializes
+    # an unbounded aggregation buffer
+    buckets = capped_buckets(
+        bands, ["band", "bval"], F.struct("doc_id", "simhash"), out="ms", cap=BAND_CAP
     )
     pair_expr = (
         "flatten(transform(ms, (x, i) -> "

@@ -209,6 +209,44 @@ def test_jaccard_single_corpus_pass(spark, sf_dir):
     assert p.count("ObjectHashAggregate") <= 2  # partial+final of one collect
 
 
+def test_capped_buckets_count_precedes_collect(spark):
+    """capped_buckets must gate bucket size with a streaming window COUNT
+    BEFORE the collect_list — so a degenerate hot key (boilerplate shingle,
+    identical band signature across millions of docs) is dropped by a
+    spillable linear pass instead of materializing an unbounded aggregation
+    buffer — and the whole subtree must ride ONE exchange (count + filter +
+    collect all on the same hashpartitioning of the bucket key)."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.operators.buckets import capped_buckets
+
+    df = spark.range(100).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    p = _explain(spark, capped_buckets(df, ["k"], "v", cap=30))
+    # tree prints root-first: final collect agg, then the filter, then the
+    # window count, then the single exchange
+    i_collect = p.index("ObjectHashAggregate")
+    m_filter = re.search(r"_df#\d+L? >= 2", p)
+    i_window = p.index("windowspecdefinition")
+    assert m_filter and i_collect < m_filter.start() < i_window
+    assert p.count("Exchange") == 1
+
+
+def test_lsh_family_gates_hot_keys_before_collect(spark, sf_dir):
+    """Every LSH-family candidate generator (minhash bands, jaccard shingle
+    buckets, simhash bands, hyperplane codes) must carry the capped_buckets
+    gate: a filter on the window count column precedes any collect_list."""
+    for name in (
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_near_dup_pairs",
+        "embedding_near_dup_pairs",
+        "dedup_near_duplicates",
+    ):
+        p = _explain(spark, CATALOG[name].fn(spark, sf_dir))
+        assert re.search(r"_df#\d+L? >= 2", p), name
+        assert "windowspecdefinition" in p, name
+
+
 def test_tfidf_never_broadcasts_vocabulary(spark, sf_dir):
     """Document frequency must come from a window over the tf table — one
     corpus pass, no join against (and no broadcast of) a corpus-scaled
