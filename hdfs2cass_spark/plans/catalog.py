@@ -123,52 +123,37 @@ _M3_BUCKET8 = (
 @declare(
     "token_route_customer",
     oracle=f"""
-    SELECT c.c_custkey, f.token, {_M3_BUCKET8} AS bucket
+    SELECT c.c_custkey, f.token, {_M3_BUCKET8} AS bucket,
+           f.md5_token, CAST(f.md5_bucket8 AS INTEGER) AS md5_bucket
     FROM customer c
     JOIN read_parquet('{FIXTURES}/tokens_customer.parquet') f USING (c_custkey)
     ORDER BY c.c_custkey
     """,
-    doc="K1+G1/G2: Murmur3 token of the TYPED partition key (8-byte big-endian "
-    "bigint — CassandraRecordUtils.toByteBuffer) + exact ring-range bucket "
-    "(8 buckets, unshuffled mapping). Oracle = golden-token fixture join.",
+    doc="K1+G1/G2, BOTH partitioner branches off one scan and one typed-key "
+    "encode (merged from the former md5_route_customer, round 5): the "
+    "Murmur3 LongToken of the TYPED partition key (8-byte big-endian bigint "
+    "— CassandraRecordUtils.toByteBuffer) with its exact ring-range bucket, "
+    "plus the RandomPartitioner branch (CassandraPartitioner.java:63-65) — "
+    "MD5 BigIntegerToken = abs(BigInteger(md5(typed key))), ring [0, 2^127), "
+    "128-bit tokens carried as zero-padded sortable strings. 8 buckets, "
+    "unshuffled mapping. Oracle = golden-token fixture join.",
 )
 def token_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.partitioning import binary_key_expr
-
-    cust = load_table(spark, sf_dir, "customer")
-    df = cust.select("c_custkey", binary_key_expr(cust, ["c_custkey"]).alias("_pk"))
-    df = with_token(df, "_pk")
-    return (
-        with_bucket(df, 8, shuffle_seed=None)
-        .select("c_custkey", "token", "bucket")
-        .orderBy("c_custkey")
-    )
-
-
-@declare(
-    "md5_route_customer",
-    oracle=f"""
-    SELECT c.c_custkey, f.md5_token, CAST(f.md5_bucket8 AS INTEGER) AS md5_bucket
-    FROM customer c
-    JOIN read_parquet('{FIXTURES}/tokens_customer.parquet') f USING (c_custkey)
-    ORDER BY c.c_custkey
-    """,
-    doc="G2 RandomPartitioner branch (CassandraPartitioner.java:63-65): MD5 "
-    "BigIntegerToken = abs(BigInteger(md5(typed key))), ring [0, 2^127), "
-    "bucket = token div rangePerReducer. 128-bit tokens ride as zero-padded "
-    "sortable strings. Oracle = golden-token fixture join.",
-)
-def md5_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.partitioning import binary_key_expr, with_md5_token_bucket
 
     cust = load_table(spark, sf_dir, "customer")
     df = cust.select("c_custkey", binary_key_expr(cust, ["c_custkey"]).alias("_pk"))
-    routed = with_md5_token_bucket(df, "_pk", 8, shuffle_seed=None)
-    return routed.select(
-        "c_custkey",
-        F.col("token").alias("md5_token"),
-        F.col("bucket").alias("md5_bucket"),
-    ).orderBy("c_custkey")
+    df = (
+        with_md5_token_bucket(df, "_pk", 8, shuffle_seed=None)
+        .withColumnRenamed("token", "md5_token")
+        .withColumnRenamed("bucket", "md5_bucket")
+    )
+    df = with_token(df, "_pk")
+    return (
+        with_bucket(df, 8, shuffle_seed=None)
+        .select("c_custkey", "token", "bucket", "md5_token", "md5_bucket")
+        .orderBy("c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------

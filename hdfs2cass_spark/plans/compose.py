@@ -1,19 +1,24 @@
-"""Composed corpus curation: the training-data stages chained as ONE lazy plan.
+"""Composed corpus curation: the training-data stages chained end to end.
 
 The individual catalog queries prove each stage against its oracle; this
 module proves they COMPOSE the way a production curation pipeline runs them —
-quality filter -> exact-dedup keep-first -> decontamination gate -> sequence
-packing — as a single DataFrame whose Catalyst plan contains the whole chain
-(no materialization, no driver round-trip between stages). At 100 TB that
-composition is the difference between one job and four jobs with three
-intermediate datasets.
+quality filter -> exact-dedup keep-first -> near-dup cluster dedup ->
+decontamination gate -> sequence packing — as a single DataFrame-valued
+function. At 100 TB that composition is the difference between one pipeline
+and five jobs with four intermediate datasets.
 
 Stage order is the canonical one (cheapest-first, so each shuffle sees fewer
 rows): the quality filter is a map-side predicate, keep-first dedup shuffles
-the survivors once on the text hash, the decontamination gate aggregates
-shingle stats for the remaining docs against the broadcast benchmark set, and
-packing lays the final corpus on the token axis with the distributed
-prefix-sum. Tested against a DuckDB oracle chain in tests/test_compose.py.
+the survivors once on the text hash, near-dup dedup generates LSH candidates
+over what remains and closes them into clusters, the decontamination gate
+aggregates shingle stats for the remaining docs against the broadcast
+benchmark set, and packing lays the final corpus on the token axis with the
+distributed prefix-sum. Two stages are necessarily not lazy (see the
+curate_corpus docstring): connected components iterates (eager
+localCheckpoint per round) and the prefix-sum runs one tiny count job per
+level — data rows never reach the driver in either. Tested against a DuckDB
+oracle chain in tests/test_compose.py and hash-verified by the driver's
+correctness gate (the declared `curate_corpus` query).
 """
 
 from __future__ import annotations
@@ -22,8 +27,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .llm import SH_ON_WS_SPARK, W_SPARK, hash60_spark
-from .pipeline import _BENCH_SPARK, PACK_BUDGET, PACK_SHARD_DOCS
+from .llm import (
+    CLUSTER_EDGES_FRAGMENT,
+    SH_DUCK,
+    SH_ON_WS_SPARK,
+    W_DUCK,
+    W_SPARK,
+    connected_components,
+    hash60_duck,
+    hash60_spark,
+    mh_cte_fragment,
+    near_dup_pairs_df,
+)
+from .pipeline import _BENCH_DUCK, _BENCH_SPARK, PACK_BUDGET, PACK_SHARD_DOCS
+from .registry import declare
 
 # quality gate: droppable junk a crawl always contains — too-short docs and
 # boilerplate-heavy docs with almost no unique words
@@ -33,20 +50,102 @@ MIN_UNIQ_RATIO = 0.3
 # distinct shingles with the benchmark set
 MAX_CONTAM_FRAC = 0.5
 
+# The DuckDB oracle CHAIN — each stage the verbatim oracle pattern of its
+# standalone query (quality predicate, keep-first window, minhash-band +
+# jaccard-verify + recursive-closure clusters from dedup_clusters, SHH_DUCK
+# shingle hashing, decontam HAVING, pack prefix-sum), composed in the same
+# order the Spark plan composes. The minhash/cluster CTEs (`sh`, `m`, bands,
+# ..., `reach`) run over `dd` (the exact-dedup survivors); the decontam
+# shingle table is `dsh` to avoid colliding with the minhash `sh`. Final SUMs
+# cast to BIGINT (DuckDB promotes SUM(BIGINT) to INT128, which the driver's
+# hasher serializes differently).
+ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, {W_DUCK} AS ws FROM documents
+  WHERE NOT ({_BENCH_DUCK})),
+q AS (
+  SELECT doc_id, text, ws FROM base
+  WHERE len(ws) >= {MIN_WORDS}
+    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= {MIN_UNIQ_RATIO}),
+dd AS (
+  SELECT doc_id, text, ws FROM (
+    SELECT doc_id, text, ws,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q) t
+  WHERE rn = 1),
+{mh_cte_fragment("dd")},{CLUSTER_EDGES_FRAGMENT},
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS keeper FROM reach GROUP BY src),
+nd AS (
+  SELECT dd.doc_id, dd.ws FROM dd LEFT JOIN comp ON comp.doc_id = dd.doc_id
+  WHERE comp.keeper IS NULL OR comp.keeper = dd.doc_id),
+dsh AS (
+  SELECT doc_id, {hash60_duck("s")} AS h FROM (
+    SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ws) >= 3 THEN
+        list_transform(generate_series(1, len(ws) - 2), i ->
+        ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+        ELSE []::VARCHAR[] END) AS s FROM nd) t0) t1),
+bench AS (
+  SELECT DISTINCT {hash60_duck("s")} AS h FROM (
+    SELECT unnest({SH_DUCK}) AS s FROM documents WHERE {_BENCH_DUCK}) t),
+contaminated AS (
+  SELECT dsh.doc_id FROM dsh LEFT JOIN bench USING (h)
+  GROUP BY dsh.doc_id
+  HAVING CAST(COUNT(bench.h) AS DOUBLE) / COUNT(*) >= {MAX_CONTAM_FRAC}),
+clean AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM nd
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {PACK_BUDGET} AS BIGINT) AS seq_id
+FROM clean ORDER BY doc_id
+"""
 
+
+@declare(
+    "curate_corpus",
+    oracle=ORACLE,
+    doc="The composed curation chain: quality filter -> exact-dedup "
+    "keep-first -> near-dup cluster dedup (LSH pairs + jaccard verify + "
+    "connected components, keep min per cluster) -> decontamination gate -> "
+    "sequence packing — the artifact that proves the pipeline stages COMPOSE "
+    "the way a production curation job runs them (each stage individually "
+    "oracle-verified by its standalone query; this verifies the chain, "
+    "including the recursive-CTE cluster closure in the oracle). The quality "
+    "gate is a map-side predicate under the dedup shuffle, candidate "
+    "generation is capped-bucket LSH over survivors only, the benchmark set "
+    "broadcasts, and packing's prefix-sum shards ride the survivors.",
+)
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, start_offset, seq_id) for the curated corpus.
 
-    One lazy plan, four stages:
+    Five stages, one logical chain:
       1. quality filter — in-row predicate (n_words, uniq_ratio), map-only
       2. exact dedup    — keep-first (min doc_id) per md5(text), one shuffle
-      3. decontam gate  — per-doc overlap vs the broadcast benchmark shingle
+      3. near-dup dedup — minhash-LSH candidates + jaccard verify over the
+                          exact-dedup survivors (near_dup_pairs_df), closed
+                          into clusters by connected_components; keep the
+                          min-doc_id keeper per cluster (round 5 — the one
+                          production stage the chain previously skipped)
+      4. decontam gate  — per-doc overlap vs the broadcast benchmark shingle
                           set (shingles dedup in-row, corpus never shuffled
                           for the membership check), keep contam_frac < 0.5;
                           benchmark docs themselves are excluded from the
                           training corpus, matching decontamination_overlap
-      4. packing        — distributed prefix-sum over the survivors in
+      5. packing        — distributed prefix-sum over the survivors in
                           doc_id order (operators/prefixsum.py)
+
+    NOT one Spark job: connected_components is iterative (one shuffle per
+    round, eager localCheckpoint between rounds — the standard distributed-CC
+    shape), and the prefix-sum runs one tiny count job per level, so the
+    pre-near-dup chain executes during construction and the post-near-dup
+    chain on each action. Everything else stays one lazy Catalyst plan, and
+    no stage ever collects data rows to the driver.
     """
     from ..operators.prefixsum import exclusive_cumsum
 
@@ -67,8 +166,20 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("_rn", F.row_number().over(keep)).filter(F.col("_rn") == 1).drop("_rn")
     )
 
-    # --- 3. decontamination gate (in-row shingle dedup; bench set broadcast) ---
-    sh = deduped.select(
+    # --- 3. near-dup dedup: LSH pairs -> clusters -> keep min per cluster ---
+    # spread=False: the survivors sit downstream of the dedup window's
+    # shuffle, so scan parallelism is already established
+    pairs = near_dup_pairs_df(
+        deduped.select("doc_id", "text"), spread=False
+    ).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    losers = comps.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    nd = deduped.join(losers, "doc_id", "left_anti")
+
+    # --- 4. decontamination gate (in-row shingle dedup; bench set broadcast) ---
+    sh = nd.select(
         "doc_id", F.explode(F.array_distinct(F.expr(SH_ON_WS_SPARK))).alias("s")
     ).select("doc_id", F.expr(hash60_spark("s")).alias("h"))
     bench = (
@@ -85,9 +196,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contam_frac") >= MAX_CONTAM_FRAC)
         .select("doc_id")
     )
-    clean = deduped.join(contam, "doc_id", "left_anti")
+    clean = nd.join(contam, "doc_id", "left_anti")
 
-    # --- 4. sequence packing over the curated corpus ---
+    # --- 5. sequence packing over the curated corpus ---
     toks = clean.select(
         "doc_id", F.expr("CAST(size(ws) AS BIGINT)").alias("n_tokens")
     )

@@ -526,11 +526,22 @@ def _minhash_wide(
     per-shingle hashing that way measured 7x slower at sf0.1 than the same
     hashes in a codegen'd aggregate.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return minhash_wide_df(
+        load_table(spark, sf_dir, "documents"), fast=fast, with_sets=with_sets
+    )
+
+
+def minhash_wide_df(
+    d: DataFrame, fast: bool = False, with_sets: bool = False, spread: bool = True
+) -> DataFrame:
+    """_minhash_wide over an arbitrary (doc_id, text, ...) DataFrame — the
+    composable form curate_corpus feeds its dedup survivors through.
+    ``spread=False`` skips the scan-parallelism check for inputs that already
+    sit downstream of a shuffle."""
     # explode WITHOUT the _shingles .distinct(): collect_set dedups and min is
     # duplicate-insensitive, so the extra (doc_id, s) shuffle buys nothing
     sh = (
-        _spread_docs(d)
+        (_spread_docs(d) if spread else d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
     )
@@ -577,10 +588,15 @@ _MH_MINS = ",\n           ".join(
     f"MIN(({a} * g1 + {b} * g2 + {c}) % {_MH_P}) AS mh{i}"
     for i, (a, b, c) in enumerate(MH_ABC)
 )
-_MH_CTE = f"""
-    WITH sh AS (
+
+
+def mh_cte_fragment(src: str = "documents") -> str:
+    """The sh/m minhash CTE bodies (no leading WITH) over any source relation
+    with (doc_id, text) — `documents` for the standalone queries, `dd` (the
+    exact-dedup survivors) for the composed curation chain."""
+    return f"""sh AS (
       SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id, unnest({SH_DUCK}) AS s FROM documents) t),
+        SELECT doc_id, unnest({SH_DUCK}) AS s FROM {src}) t),
     m AS (
       SELECT doc_id,
            {_MH_MINS}
@@ -591,6 +607,9 @@ _MH_CTE = f"""
         FROM (SELECT doc_id, md5(s) AS mhex FROM sh) t1) t2
       GROUP BY doc_id)
 """
+
+
+_MH_CTE = "\n    WITH " + mh_cte_fragment()
 
 
 _R = N_HASHES // N_BANDS  # rows per band
@@ -867,6 +886,15 @@ _NEAR_DUP_ORACLE = (
     "and recomputed per use.",
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def near_dup_pairs_df(
+    d: DataFrame, threshold: float = 0.5, spread: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) LSH+verified near-dup pairs over an arbitrary
+    (doc_id, text, ...) DataFrame — the composable form of
+    dedup_near_duplicates (which binds it to the documents table)."""
     # ONE aggregate carries signatures AND shingle sets; each candidate pair
     # MELTS into an (a-side, b-side) row pair so the set table joins ONCE —
     # with per-side joins the shared subtree executed three times (candidates
@@ -874,7 +902,7 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # melt holds it to two, trading a full corpus md5+aggregate pass for a
     # candidate-sized reassembly aggregate (candidates << corpus at any
     # scale). Still no persist anywhere.
-    full = _minhash_wide(spark, sf_dir, with_sets=True)
+    full = minhash_wide_df(d, with_sets=True, spread=spread)
     cand = _band_candidates(full)
     sides = cand.select(
         "doc_a",
@@ -896,7 +924,7 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_common = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        ver.filter(jac >= 0.5)
+        ver.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -1165,13 +1193,13 @@ def connected_components(
     return comps.select("node", "comp")
 
 
-# the dedup_clusters oracle re-derives the verified pair list (same CTEs as
-# dedup_near_duplicates) and closes it transitively with a RECURSIVE CTE —
-# cluster label = min doc_id reachable, exactly the alternating-min fixpoint
-_CLUSTERS_ORACLE = (
-    "    WITH RECURSIVE"
-    + _MH_CTE.split("WITH", 1)[1]
-    + f""",
+# the LSH-band + Jaccard-verify + transitive-closure CTE chain (assumes the
+# sh/m minhash CTEs are already in scope; must sit under a WITH RECURSIVE):
+# verified pairs -> symmetric edges -> reachability -> keeper = min doc_id
+# reachable, exactly the alternating-min fixpoint connected_components
+# converges to. Shared verbatim by the dedup_clusters oracle (over documents)
+# and the curate_corpus oracle (over the exact-dedup survivors).
+CLUSTER_EDGES_FRAGMENT = f"""
     bands AS (
 {_BANDS_SQL}),
 {_OKB_SQL},
@@ -1196,7 +1224,14 @@ _CLUSTERS_ORACLE = (
     reach AS (
       SELECT node AS src, node AS dst FROM nodes
       UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)"""
+
+_CLUSTERS_ORACLE = (
+    "    WITH RECURSIVE"
+    + _MH_CTE.split("WITH", 1)[1]
+    + ","
+    + CLUSTER_EDGES_FRAGMENT
+    + """
     SELECT src AS doc_id, MIN(dst) AS keeper
     FROM reach GROUP BY src ORDER BY doc_id
     """

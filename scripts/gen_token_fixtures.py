@@ -1,7 +1,7 @@
 """Generate golden-token parquet fixtures for the token-routing oracles.
 
 Cassandra Murmur3/MD5 tokens are not expressible in DuckDB SQL, so the oracle
-for `token_route_customer` / `bulk_route_lineitem` / `md5_route_customer` is a
+for `token_route_customer` (both partitioner branches) / `bulk_route_lineitem` is a
 JOIN against fixtures computed ONCE here by the golden-tested Python
 implementations (functions/murmur3.py — golden constants from the reference's
 CassandraKeyComparatorTest.java:53-67 — and functions/md5token.py).

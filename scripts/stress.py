@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument(
+        "--freq-skew",
+        action="store_true",
+        help="run ONLY the gram-frequency-skew probe: --docs documents, ~30%% "
+        "carrying one identical boilerplate sentence (a df~0.3*docs hot gram "
+        "— the adversarial shape the capped_buckets gate defends against)",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -49,6 +56,52 @@ def main() -> int:
         out[label + "_sec"] = round(dt, 2)
         out[label + "_rows_per_sec"] = round(n_rows / dt)
         print(f"# {label}: {dt:.2f}s  ({n_rows / dt:,.0f} rows/s)", file=sys.stderr)
+
+    if args.freq_skew:
+        # --- gram-FREQUENCY skew probe (round-5): one boilerplate sentence in
+        # ~30% of the corpus. Every boilerplate doc contributes the SAME
+        # shingle hashes, band keys, and 8-gram window hashes, so the hot keys
+        # have df ~ 0.3 * docs (~300k at 1M) — the shape that, before
+        # capped_buckets, piled the full occurrence list into one aggregation
+        # buffer. The length-skew probe (r4) covered 667x document LENGTH;
+        # this covers key frequency. exact_substring_spans keeps its
+        # Window.partitionBy(h) over the hot gram — a streaming min/max whose
+        # partition spills via ExternalAppendOnlyUnsafeRowArray (disk-bounded,
+        # one linear straggler task, never an OOM); its time here IS that
+        # documented bound.
+        boiler = " ".join(f"bp{i}" for i in range(10))
+        words = F.expr(
+            "transform(sequence(1, 20), i -> "
+            "concat('w', pmod(hash(id * 31 + i), 5000)))"
+        )
+        docs = spark.range(args.docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 10 < 3,
+                F.concat(F.lit(boiler + " "), F.concat_ws(" ", words)),
+            )
+            .otherwise(F.concat_ws(" ", words))
+            .alias("text"),
+        )
+        tmp = "/tmp/stress_skew"
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        from hdfs2cass_spark.plans.llm import (
+            minhash_lsh_pairs_fast,
+            ngram_jaccard_pairs,
+        )
+        from hdfs2cass_spark.plans.pipeline import (
+            decontamination_overlap,
+            exact_substring_spans,
+        )
+
+        run("skew_minhash_lsh", minhash_lsh_pairs_fast(spark, tmp), args.docs)
+        run("skew_jaccard", ngram_jaccard_pairs(spark, tmp), args.docs)
+        run("skew_substring_spans", exact_substring_spans(spark, tmp), args.docs)
+        run("skew_decontamination", decontamination_overlap(spark, tmp), args.docs)
+        out["docs"] = args.docs
+        out["hot_gram_df"] = 3 * args.docs // 10
+        print(json.dumps(out))
+        return 0
 
     # --- bulk routing (typed bigint key) ---
     rows = spark.range(args.rows).select(

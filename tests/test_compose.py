@@ -5,52 +5,8 @@ import duckdb
 import pandas as pd
 import pytest
 
-from hdfs2cass_spark.plans.compose import (
-    MAX_CONTAM_FRAC,
-    MIN_UNIQ_RATIO,
-    MIN_WORDS,
-    curate_corpus,
-)
-from hdfs2cass_spark.plans.llm import SH_DUCK, W_DUCK, hash60_duck
-from hdfs2cass_spark.plans.pipeline import _BENCH_DUCK, PACK_BUDGET
-
-
-ORACLE = f"""
-WITH base AS (
-  SELECT doc_id, text, {W_DUCK} AS ws FROM documents
-  WHERE NOT ({_BENCH_DUCK})),
-q AS (
-  SELECT doc_id, text, ws FROM base
-  WHERE len(ws) >= {MIN_WORDS}
-    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= {MIN_UNIQ_RATIO}),
-dd AS (
-  SELECT doc_id, text, ws FROM (
-    SELECT doc_id, text, ws,
-           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM q) t
-  WHERE rn = 1),
-sh AS (
-  SELECT doc_id, {hash60_duck("s")} AS h FROM (
-    SELECT DISTINCT doc_id, s FROM (
-      SELECT doc_id, unnest({SH_DUCK}) AS s FROM dd) t0) t1),
-bench AS (
-  SELECT DISTINCT {hash60_duck("s")} AS h FROM (
-    SELECT unnest({SH_DUCK}) AS s FROM documents WHERE {_BENCH_DUCK}) t),
-contaminated AS (
-  SELECT sh.doc_id FROM sh LEFT JOIN bench USING (h)
-  GROUP BY sh.doc_id
-  HAVING CAST(COUNT(bench.h) AS DOUBLE) / COUNT(*) >= {MAX_CONTAM_FRAC}),
-clean AS (
-  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM dd
-  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
-SELECT doc_id, n_tokens,
-       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
-       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {PACK_BUDGET} AS seq_id
-FROM clean ORDER BY doc_id
-"""
+from hdfs2cass_spark.plans.compose import ORACLE, curate_corpus
+from hdfs2cass_spark.plans.pipeline import _BENCH_DUCK
 
 
 @pytest.fixture(scope="module")
@@ -72,10 +28,11 @@ def test_curate_corpus_matches_oracle_chain(spark, sf_dir, duck):
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
 
 
-def test_curate_corpus_is_one_lazy_plan(spark, sf_dir):
-    """The whole chain must live in ONE Catalyst plan: no row-Python, no
-    cartesian, the benchmark set broadcast, and the packing window sharded —
-    i.e. composing the stages keeps every per-stage scale property."""
+def test_curate_corpus_keeps_scale_properties(spark, sf_dir):
+    """Composing the stages must keep every per-stage scale property in the
+    final (post-clustering) plan: no row-Python, no cartesian, the benchmark
+    set broadcast, the packing window sharded, and the LSH bucket gate's
+    count-before-collect intact."""
     df = curate_corpus(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p
@@ -95,3 +52,16 @@ def test_curate_corpus_gates_actually_gate(spark, sf_dir, duck):
         f"SELECT COUNT(*) FROM documents WHERE {_BENCH_DUCK}"
     ).fetchone()[0]
     assert n_out <= n_all - n_bench
+
+
+def test_curate_corpus_near_dup_stage_gates(spark, sf_dir, duck):
+    """The near-dup stage must drop the non-keeper member of at least one
+    verified cluster among the exact-dedup survivors (the fixture corpus
+    plants near-dups), and every kept doc_id must be its own cluster keeper."""
+    kept = {r.doc_id for r in curate_corpus(spark, sf_dir).select("doc_id").collect()}
+    clusters = duck.execute(ORACLE.split("comp AS")[0].rstrip().rstrip(",")
+                            + " SELECT src AS doc_id, MIN(dst) AS keeper"
+                            " FROM reach GROUP BY src").fetchall()
+    losers = {d for d, k in clusters if k != d}
+    assert losers, "fixture corpus must contain near-dup clusters post-dedup"
+    assert not (kept & losers)
