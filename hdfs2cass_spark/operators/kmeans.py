@@ -97,13 +97,16 @@ def quantized_assign_udf(centroids: list[list[float]]):
         q = np.empty((n, C.shape[0]), dtype=np.int64)
         tmp = np.empty_like(arr)
         # floored per-dim distances are integer-VALUED floats; as long as
-        # every one is <= 2^53/d the float64 row sum is exact (each addend
-        # and every partial sum is exactly representable), so the n*d int64
-        # materialization + integer sum can be skipped — measured 7x on the
-        # assignment loop (0.23s vs 1.61s per 50k x 64 x 16 batch). Distances
-        # past that cap (pathological magnitudes) fall back to the int64
-        # path, which is the exact-by-construction original.
-        exact_cap = 2.0**53 / d
+        # every one is <= (2^53 - d)/d the float64 row sum is exact (each
+        # addend and every partial sum stays strictly under 2^53, so exactly
+        # representable), so the n*d int64 materialization + integer sum can
+        # be skipped — measured 7x on the assignment loop (0.23s vs 1.61s per
+        # 50k x 64 x 16 batch). Distances past that cap (pathological
+        # magnitudes) fall back to the int64 path, which is the
+        # exact-by-construction original. The -d in the numerator keeps the
+        # cap strictly safe for non-power-of-two d, where 2^53/d can round UP
+        # and a max-cap row could sum past 2^53.
+        exact_cap = (2.0**53 - d) / d
         # in-place per-cell pass keeps the temp at n*d doubles, not n*k*d
         for j in range(C.shape[0]):
             np.subtract(arr, C[j], out=tmp)

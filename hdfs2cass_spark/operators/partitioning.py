@@ -129,11 +129,14 @@ def with_md5_token_bucket(
     from ..functions.md5token import md5_token_bucket_udf
 
     tb = md5_token_bucket_udf(num_buckets)
-    dig = F.expr(
-        f"CASE WHEN {key_col} IS NULL OR length({key_col}) = 0 "
-        f"THEN unhex('{'0' * 32}') "
-        f"ELSE unhex(md5(CAST({key_col} AS BINARY))) END"
-    )
+    # Column API, not an interpolated SQL string: key_col names containing
+    # dots/spaces/hyphens would need backticks in F.expr and either fail to
+    # parse or resolve as a field path (F.col parses dots as field paths too,
+    # hence the backtick quoting)
+    key = F.col("`" + key_col.replace("`", "``") + "`")
+    dig = F.when(
+        key.isNull() | (F.length(key) == 0), F.unhex(F.lit("0" * 32))
+    ).otherwise(F.unhex(F.md5(key.cast("binary"))))
     out = df.withColumn("_dig", dig).withColumn("_tb", tb(F.col("_dig"))).select(
         "*", F.col("_tb.token").alias("token"), F.col("_tb.bucket").alias("bucket")
     ).drop("_tb", "_dig")

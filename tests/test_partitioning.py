@@ -372,3 +372,15 @@ def test_md5_route_digest_path_edge_keys(spark):
     )
     got = [int(r["token"]) for r in with_md5_token_bucket(bdf, "k", 8).collect()]
     assert sorted(got) == sorted([md5_token(b"\x00\xff\x80"), 0])
+
+
+def test_md5_route_dotted_column_name(spark):
+    """Key columns whose NAMES need backticks (dots, spaces, hyphens) must
+    route — the digest is built with Column APIs, not an interpolated SQL
+    string that would parse the dot as a field path."""
+    from hdfs2cass_spark.functions.md5token import md5_token
+    from hdfs2cass_spark.operators.partitioning import with_md5_token_bucket
+
+    sdf = spark.range(1).select(F.lit("foo").alias("user.key"))
+    got = with_md5_token_bucket(sdf, "user.key", 8).collect()
+    assert int(got[0]["token"]) == md5_token(b"foo")
