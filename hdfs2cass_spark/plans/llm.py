@@ -998,10 +998,10 @@ def _ivf_dist_spark(vec_col: str, cent: list[float]) -> str:
     )
 
 
-def _ivf_cell_struct_array(vec_col: str) -> str:
+def _ivf_cell_struct_array(vec_col: str, cents: list[list[float]] | None = None) -> str:
     structs = ", ".join(
         f"struct({_ivf_dist_spark(vec_col, c)} AS dist, {j} AS cell)"
-        for j, c in enumerate(_IVF_CENTS)
+        for j, c in enumerate(_IVF_CENTS if cents is None else cents)
     )
     return f"array({structs})"
 
@@ -1062,9 +1062,24 @@ _IVF_DIST_DUCK = (
     "query drops to the probed cells' share of the data.",
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_probe_topk(e, _IVF_CENTS)
+
+
+def ivf_probe_topk(
+    e: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = _NPROBE,
+    topk: int = 3,
+    n_queries: int = 5,
+) -> DataFrame:
+    """IVF search given a coarse quantizer: assign every corpus vector to its
+    nearest centroid, probe the `nprobe` nearest cells per query, exact
+    cosine only within probed cells. Shared by embedding_ivf_topk (committed
+    fixture model, oracle-checked) and embedding_ivf_learned_topk (model fit
+    at call time)."""
     from ..operators.kmeans import quantized_assign_udf
 
-    e = load_table(spark, sf_dir, "embeddings")
     # index build (offline in a real system, inline here): nearest learned
     # centroid per vector as ONE Arrow-batched numpy pass — bit-exact vs the
     # oracle (same quantized int64 per-dim distance, same lowest-cell
@@ -1075,25 +1090,25 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.69s for this form at sf0.1 (1.7x), and its amplification grows with
     # k*dims at 100 TB while the batch pass stays one scan (interpreted HOF
     # lambdas were 2.5x slower still).
-    assign = quantized_assign_udf(_IVF_CENTS)
+    assign = quantized_assign_udf(cents)
     ecell = e.select(
         "vec_id",
         "embedding",
         assign(F.col("embedding")).alias("cell"),
         F.expr(_norm_sql("embedding")).alias("_en"),
     )
-    q = e.filter(F.col("vec_id") < 5).select(
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.expr(_norm_sql("embedding")).alias("_qn"),
     )
-    # probe cells: the nprobe nearest of the 8 (dist, cell) structs, sorted
+    # probe cells: the nprobe nearest of the k (dist, cell) structs, sorted
     qcells = q.select(
         "q_id",
         "qe",
         "_qn",
         F.explode(
-            F.expr(f"slice(array_sort({_ivf_cell_struct_array('qe')}), 1, {_NPROBE})")
+            F.expr(f"slice(array_sort({_ivf_cell_struct_array('qe', cents)}), 1, {nprobe})")
         ).alias("pc"),
     ).select("q_id", "qe", "_qn", F.col("pc.cell").alias("cell"))
     sim = F.round(_cosine_prenormed("qe", "embedding", "_qn", "_en"), 6)
@@ -1108,10 +1123,34 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn(
             "rnk", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id"))
         )
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= topk)
         .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
+
+
+@declare(
+    "embedding_ivf_learned_topk",
+    oracle=None,  # the quantizer is FIT at call time (iterative Lloyd's — not SQL-expressible); the fixture-model twin embedding_ivf_topk is the oracle-checked one
+    doc="IVF ANN with the quantizer LEARNED in the query itself: "
+    "operators/kmeans.fit_kmeans (farthest-point init, Lloyd's rounds, "
+    "driver sees only k x dims model scalars) -> Arrow-batched cell "
+    "assignment -> nprobe probe — the full index-build + search loop the "
+    "fixture-model twin (embedding_ivf_topk) freezes for oracle "
+    "determinism. Deterministic end-to-end (hash-sample + lowest-id "
+    "tiebreaks), so re-runs return identical rows; recall vs brute force "
+    "is bounded in tests/test_kmeans.py on a planted clustered corpus.",
+)
+def embedding_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import fit_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = fit_kmeans(e, k=8, iters=4, init="spread")
+    # nprobe=3 of 8 cells: Lloyd's routinely splits a natural cluster across
+    # fitted cells, so a query's true neighbors can sit in its 3rd-nearest
+    # cell; 3/8 probed holds recall >= 0.9 on the clustered test corpus
+    # while still skipping >60% of the data per query
+    return ivf_probe_topk(e, cents, nprobe=3)
 
 
 @declare(

@@ -112,6 +112,42 @@ def test_sample_fraction_validation(spark):
         fit_kmeans(emb, k=2, iters=1, sample_fraction=1.5)
 
 
+def test_ivf_learned_topk_recall_and_determinism(spark, tmp_path):
+    """The declared learned-quantizer IVF query (fit_kmeans -> assignment ->
+    probe) must (a) recover >= 0.9 of the brute-force top-3 neighbors on a
+    clustered corpus — the workload IVF exists for — and (b) return
+    identical rows on a re-run (hash-sample + lowest-id tiebreaks, no
+    rand())."""
+    from hdfs2cass_spark.plans import CATALOG
+
+    emb = _clustered_corpus(spark, n_per=200, k=4, dims=16)
+    d = str(tmp_path / "ivf")
+    emb.write.parquet(f"{d}/embeddings.parquet")
+
+    fn = CATALOG["embedding_ivf_learned_topk"].fn
+    got = fn(spark, d).collect()
+    assert {(r.q_id, r.rnk) for r in got} == {(q, r) for q in range(4) for r in (1, 2, 3)} | {
+        (4, r) for r in (1, 2, 3)
+    }
+    again = fn(spark, d).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+    # brute-force top-3 per query in numpy (same cosine, same id tiebreak)
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    want = set()
+    for q in range(5):
+        order = sorted(
+            (i for i in range(len(rows)) if i != q), key=lambda i: (-sims[q, i], i)
+        )
+        want |= {(q, i) for i in order[:3]}
+    got_pairs = {(r.q_id, r.vec_id) for r in got}
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} vs brute force"
+
+
 def test_quantized_assign_udf_matches_codegen_twin(spark):
     """quantized_assign_udf (numpy batch pass) must agree with the codegen'd
     quantized expression form on every vector — same floor((v-c)^2 * 1e12)
