@@ -54,8 +54,10 @@ SECTIONS = [
         "decode), min-folded inside a whole-stage-codegen'd `HashAggregate` with a `partial_min` "
         "map-side pass (NOT inside an interpreted higher-order-function lambda — measured 7x slower). "
         "Candidates come from in-bucket pair expansion after a `(band, bkey)` group: one shuffle on "
-        "band keys, bucket size capped at 100 (the `Filter size(ids) <= 100` kills the "
-        "degenerate-corpus quadratic), NO self-join, nothing persisted.",
+        "band keys, and the bucket-size cap (2..100) is enforced by a streaming `Window` COUNT + "
+        "`Filter` BEFORE the `collect_list` (round 5 — a degenerate band signature shared by millions "
+        "of docs is dropped by a spillable linear pass, never materialized in one aggregation "
+        "buffer), NO self-join, nothing persisted.",
     ),
     (
         "embedding_topk_cosine (brute-force ANN baseline)",
@@ -90,7 +92,8 @@ SECTIONS = [
         "ONE corpus pass: the per-doc full distinct-shingle count is embedded in the explode's struct "
         "(`inline(transform(shs, x -> struct(x, size(shs))))` — the array stays a materialized column), "
         "one aggregate on the 60-bit hash buckets the corpus, and buckets of 2..50 docs expand ordered "
-        "pairs in-row carrying both counts. No self-join, no per-doc-count branch (lambda-bearing "
+        "pairs in-row carrying both counts — with the bucket cap enforced by a window COUNT before the "
+        "collect (round 5, hot-shingle safe). No self-join, no per-doc-count branch (lambda-bearing "
         "subtrees never ReuseExchange — the prior form planned 13 exchanges over three corpus passes; "
         "this plans 4 over one). The only joins are the final candidate-sized text lookups for the "
         "levenshtein verify.",
