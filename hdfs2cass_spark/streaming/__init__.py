@@ -7,6 +7,7 @@ from .ingest import (
 from .bulk_ingest import stream_bulk_load
 from .stateful import streaming_dedup_first
 from .decontam import read_scored, stream_documents, stream_decontamination
+from .neardup import near_dup_decisions_batch, read_decisions, stream_near_dup
 
 __all__ = [
     "stream_events",
@@ -18,4 +19,7 @@ __all__ = [
     "stream_documents",
     "stream_decontamination",
     "read_scored",
+    "stream_near_dup",
+    "near_dup_decisions_batch",
+    "read_decisions",
 ]

@@ -186,6 +186,59 @@ def test_stream_decontamination_checkpoint_resume(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dup decisions against the accumulating signature index
+    must equal the batch twin exactly when files arrive in doc_id order
+    (arrival order IS the 'earlier' relation both sides use), including
+    in-batch pairs and cross-batch pairs."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        near_dup_decisions_batch,
+        read_decisions,
+        stream_documents,
+        stream_near_dup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    flat = tmp_path / "nd_flat"
+    flat.mkdir()
+    for i in range(3):  # doc_id RANGES: batch order == doc_id order
+        part = tmp_path / f"nd_p{i}"
+        d.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("nd_idx", "nd_out", "nd_ck"))
+    q = stream_near_dup(
+        stream_documents(spark, str(flat)), idx, out, ck, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_decisions(spark, out).collect())
+    want = sorted(tuple(r) for r in near_dup_decisions_batch(d).collect())
+    assert got == want
+    assert any(r[1] for r in want), "fixture corpus must contain near-dups"
+
+    # replay idempotency: a fresh checkpoint re-processes every file into the
+    # SAME index + sink (worst-case at-least-once replay); batch-directory
+    # overwrite must leave both row sets unchanged — in particular a replayed
+    # batch must NOT match against its own earlier index append.
+    q2 = stream_near_dup(
+        stream_documents(spark, str(flat)), idx, out, str(tmp_path / "nd_ck2"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    replayed = sorted(tuple(r) for r in read_decisions(spark, out).collect())
+    assert replayed == want
+
+
 def test_stream_bulk_load(spark, events_dir, tmp_path):
     """The reference dataflow fed by a stream: per-micro-batch token-sorted
     bucket files; total rows equal the batch source."""
