@@ -1,0 +1,120 @@
+"""Bucketed-table co-located joins: the pre-shuffled big-big join path.
+
+Asserts the property the sink exists for — after bucketing both sides on the
+join key, the join and follow-on aggregation plan with ZERO exchanges — plus
+correctness of the joined rows against the unbucketed plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    from hdfs2cass_spark.sinks.bucketed import write_bucketed
+
+    root = tmp_path_factory.mktemp("bucketed")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    write_bucketed(li, "bt_lineitem", str(root / "li"), "l_orderkey", 8)
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bt_orders",
+        str(root / "od"),
+        "l_orderkey",
+        8,
+    )
+    yield "bt_lineitem", "bt_orders"
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):
+    """The whole point: equi-join on the bucket key reads both sides
+    co-located — no Exchange anywhere in the joined + aggregated plan."""
+    t1, t2 = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the bare join: ZERO exchanges, both scans read Bucketed: true
+        j = spark.table(t1).join(spark.table(t2), "l_orderkey")
+        p = _explain(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert p.count("Bucketed: true") == 2
+        # with a follow-on aggregate on a DIFFERENT key, the ONLY exchange is
+        # the aggregate's own (on o_orderstatus) — the join side still rides
+        # the buckets
+        j2 = (
+            spark.table(t1)
+            .join(spark.table(t2), "l_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        p2 = _explain(j2)
+        assert p2.count("Exchange") == 1
+        assert "hashpartitioning(o_orderstatus" in p2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_aggregation_skips_exchange(spark, bucketed_tables):
+    """groupBy on the bucket key rides the bucketing — no exchange before
+    the aggregate."""
+    t1, _ = bucketed_tables
+    p = _explain(
+        spark.table(t1).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    )
+    assert "Exchange" not in p, p
+
+
+def test_bucketed_join_rows_match_unbucketed(spark, sf_dir, bucketed_tables):
+    t1, t2 = bucketed_tables
+    got = sorted(
+        tuple(r)
+        for r in spark.table(t1)
+        .join(spark.table(t2), "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty"),
+        )
+        .collect()
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = sorted(
+        tuple(r)
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_bucketed_write_file_layout(spark, bucketed_tables):
+    """Every bucket holds exactly its hash class: re-reading with the bucket
+    metadata and filtering to one key touches one bucket's files (the
+    planner exposes this as SelectedBucketsCount). autoBucketedScan is
+    pinned off for the check — with it on, a filter-only scan has no
+    operator needing the bucket distribution, so the planner marks the scan
+    non-bucketed and silently loses the pruning."""
+    t1, _ = bucketed_tables
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table(t1).filter(F.col("l_orderkey") == 1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
