@@ -12,6 +12,47 @@ from hdfs2cass_spark.sinks.pipeline import bulk_load
 from hdfs2cass_spark.sinks.wire import encode_cql_wire
 
 
+def test_capped_buckets_equals_naive_form(spark):
+    """Semantic differential for the hot-key-safe bucket gate: on a corpus
+    mixing singletons, in-range buckets, boundary-size buckets (exactly 2 and
+    exactly cap), and one hot key far over the cap, capped_buckets must
+    return exactly what the naive groupBy+collect_list+size-filter returns —
+    the rewrite only changes WHERE the size gate runs, never the result."""
+    import random
+
+    from hdfs2cass_spark.operators.buckets import capped_buckets
+
+    cap = 7
+    rng = random.Random(303)
+    rows, next_id = [], 0
+
+    def bucket(key, n):
+        nonlocal next_id
+        for _ in range(n):
+            rows.append((key, next_id))
+            next_id += 1
+
+    for k in range(40):
+        bucket(f"k{k}", rng.choice([1, 1, 2, 3, cap - 1, cap, cap + 1]))
+    bucket("hot", 500)  # the adversarial key the gate exists for
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+
+    got = {
+        r["k"]: r["ids"]
+        for r in capped_buckets(df, ["k"], "v", cap=cap).collect()
+    }
+    naive = {
+        r["k"]: r["ids"]
+        for r in df.groupBy("k")
+        .agg(F.sort_array(F.collect_list("v")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
+        .collect()
+    }
+    assert got == naive
+    assert "hot" not in got and all(2 <= len(v) <= cap for v in got.values())
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("k"), "o_orderkey"
