@@ -503,12 +503,19 @@ def full_outer_balance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
       SELECT c_custkey, c_nationkey, c_acctbal,
              CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
-             CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk
+             CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
+             CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS drnk,
+             CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
+             PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS pct_rank,
+             CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cum_dist
       FROM customer) t
     WHERE rn <= 3 ORDER BY c_nationkey, rn
     """,
-    doc="Window ranking: top-3 customers per nation by balance "
-    "(row_number with unique tiebreak + rank).",
+    doc="Window ranking family: top-3 customers per nation by balance — "
+    "row_number (unique tiebreak), rank, dense_rank, ntile quartiles (over "
+    "the tiebreaked order, where ntile is deterministic), percent_rank and "
+    "cume_dist (exact rank fractions — identical double division in both "
+    "engines). One window partitioning, every ranking function riding it.",
 )
 def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -523,6 +530,10 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
             F.row_number().over(w).alias("rn"),
             F.rank().over(wr).alias("rnk"),
+            F.dense_rank().over(wr).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(wr).alias("pct_rank"),
+            F.cume_dist().over(wr).alias("cum_dist"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
@@ -537,7 +548,9 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(*) OVER w AS moving_avg,
            LAG(value) OVER o AS prev_value,
            value - LAG(value) OVER o AS value_delta,
-           LEAD(value) OVER o AS next_value
+           LEAD(value) OVER o AS next_value,
+           FIRST_VALUE(value) OVER o AS first_value,
+           NTH_VALUE(value, 2) OVER o AS second_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
@@ -565,6 +578,8 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_value"),
         (F.col("value") - prev).alias("value_delta"),
         F.lead("value").over(o).alias("next_value"),
+        F.first("value").over(o).alias("first_value"),
+        F.nth_value("value", 2).over(o).alias("second_value"),
     ).orderBy("user_id", "event_id")
 
 
