@@ -621,11 +621,26 @@ def topk_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
            regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
            CAST(regexp_matches(p_brand, '^Brand#[0-9]+$') AS BOOLEAN) AS brand_well_formed,
-           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(str_split(p_name, ' ')) AS INTEGER) AS n_words,
+           array_to_string(list_sort(str_split(p_name, ' ')), ',') AS words_sorted,
+           list_contains(str_split(p_name, ' '), 'green') AS has_green,
+           array_to_string(list_slice(str_split(p_name, ' '), 1, 2), ' ') AS first_two,
+           array_to_string(list_transform(str_split(p_name, ' '), w -> upper(w)), ',') AS words_upper,
+           CAST(len(list_filter(str_split(p_name, ' '), w -> len(w) > 5)) AS INTEGER) AS n_long_words,
+           CAST(list_reduce(list_transform(str_split(p_name, ' '), w -> len(w)),
+                            (a, b) -> a + b) AS INTEGER) AS total_word_chars,
+           map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS map_brand
     FROM part ORDER BY p_partkey
     """,
-    doc="String/math/regex scalar surface — all whole-stage-codegen built-ins "
-    "(regex patterns kept in the RE2∩Java common subset so engines agree).",
+    doc="String/math/regex + array/map/higher-order scalar surface — all "
+    "whole-stage-codegen built-ins except the HOF lambdas, which Catalyst "
+    "evaluates interpreted (the measured reason hot paths keep hashes OUT of "
+    "lambdas; here they demonstrate the transform/filter/aggregate API on "
+    "short per-row arrays, where interpretation is immaterial). Regex "
+    "patterns kept in the RE2∩Java common subset so engines agree; map "
+    "access via map_from_arrays + element_at (DuckDB's map[k] returns a "
+    "list, hence the [1] unwrap in the oracle).",
 )
 def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -643,6 +658,26 @@ def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
         F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_well_formed"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.array_join(F.array_sort(F.split("p_name", " ")), ",").alias("words_sorted"),
+        F.array_contains(F.split("p_name", " "), "green").alias("has_green"),
+        F.array_join(F.slice(F.split("p_name", " "), 1, 2), " ").alias("first_two"),
+        F.array_join(
+            F.transform(F.split("p_name", " "), lambda w: F.upper(w)), ","
+        ).alias("words_upper"),
+        F.size(
+            F.filter(F.split("p_name", " "), lambda w: F.length(w) > 5)
+        ).alias("n_long_words"),
+        F.aggregate(
+            F.split("p_name", " "), F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("total_word_chars"),
+        F.element_at(
+            F.map_from_arrays(
+                F.array(F.lit("brand"), F.lit("type")),
+                F.array(F.col("p_brand"), F.col("p_type")),
+            ),
+            F.lit("brand"),
+        ).alias("map_brand"),
     ).orderBy("p_partkey")
 
 
@@ -657,10 +692,17 @@ def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS o_dow,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_week,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_doy,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
     FROM orders ORDER BY o_orderkey
     """,
-    doc="Date/time scalar surface (outputs as DATE/INT to stay tz-neutral).",
+    doc="Date/time scalar surface (outputs as DATE/INT to stay tz-neutral; "
+    "the oracle maps DuckDB's 0-based Sunday dayofweek to Spark's 1-based; "
+    "add_months and +INTERVAL MONTH agree on month-end clamping).",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -675,6 +717,11 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("o_dow"),
+        F.weekofyear(d).alias("o_week"),
+        F.dayofyear(d).alias("o_doy"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
     ).orderBy("o_orderkey")
 
 
