@@ -54,6 +54,53 @@ def test_curate_corpus_gates_actually_gate(spark, sf_dir, duck):
     assert n_out <= n_all - n_bench
 
 
+def test_curate_corpus_degenerate_corpora(spark, tmp_path):
+    """The chain must not die on the degenerate shapes a real crawl throws
+    at it: an all-identical corpus (exact dedup leaves ONE doc, the near-dup
+    stage sees zero pairs — the connected-components empty-edges path) and a
+    corpus the quality gate annihilates (empty downstream everywhere,
+    including the prefix-sum over zero rows)."""
+    import pyspark.sql.functions as F
+
+    import hashlib
+
+    def is_bench(i):
+        return int(hashlib.md5(f"bench:{i}".encode()).hexdigest()[:15], 16) % 20 == 0
+
+    # 40 identical docs, ids chosen so NONE is benchmark (empty bench set:
+    # the broadcast-empty decontam path): exact dedup -> exactly 1 survivor
+    ids = [i for i in range(200) if not is_bench(i)][:40]
+    same = spark.createDataFrame(
+        [(i, "the same document body with plenty of distinct words here") for i in ids],
+        "doc_id long, text string",
+    )
+    d1 = str(tmp_path / "same")
+    same.write.parquet(f"{d1}/documents.parquet")
+    rows = curate_corpus(spark, d1).collect()
+    assert len(rows) == 1 and rows[0]["start_offset"] == 0
+
+    # identical corpus WITH benchmark members: the bench sample contains the
+    # same text, so decontamination correctly drops the lone dedup survivor
+    allsame = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same document body with plenty of distinct words here").alias(
+            "text"
+        ),
+    )
+    d3 = str(tmp_path / "same_bench")
+    allsame.write.parquet(f"{d3}/documents.parquet")
+    assert any(is_bench(i) for i in range(40))
+    assert curate_corpus(spark, d3).count() == 0
+
+    # all docs fail the quality gate (too short) -> empty output, no crash
+    junk = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("tiny doc").alias("text")
+    )
+    d2 = str(tmp_path / "junk")
+    junk.write.parquet(f"{d2}/documents.parquet")
+    assert curate_corpus(spark, d2).count() == 0
+
+
 def test_curate_corpus_near_dup_stage_gates(spark, sf_dir, duck):
     """The near-dup stage must drop the non-keeper member of at least one
     verified cluster among the exact-dedup survivors (the fixture corpus
