@@ -1017,7 +1017,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
     )
-    # running max of click timestamps per user over a RANGE frame ending 1µs
+    # running max of click timestamps per user over a RANGE frame ending 1us
     # before the current event time: exactly the oracle's strict c.ts < e.ts.
     # (A ROWS frame ordered by (ts, event_id) would silently include a click
     # sharing the error's timestamp — a latent divergence the fixtures happen

@@ -37,6 +37,15 @@ def main() -> int:
         "carrying one identical boilerplate sentence (a df~0.3*docs hot gram "
         "— the adversarial shape the capped_buckets gate defends against)",
     )
+    ap.add_argument(
+        "--events",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run ONLY the events-family probe at N synthetic events "
+        "(sessionize / as-of join / tumbling+sliding windows — the "
+        "window-heavy analytics the sf0.1 fixture is too small to stress)",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -56,6 +65,42 @@ def main() -> int:
         out[label + "_sec"] = round(dt, 2)
         out[label + "_rows_per_sec"] = round(n_rows / dt)
         print(f"# {label}: {dt:.2f}s  ({n_rows / dt:,.0f} rows/s)", file=sys.stderr)
+
+    if args.events:
+        # --- events-family probe: window-heavy analytics at scale ---
+        # ~N/1000 users x 1000 events each over ~35 days; 10% clicks (the
+        # as-of build side), microsecond-jittered timestamps so session gaps
+        # exercise the full-precision (us) gap test, not whole seconds.
+        n = args.events
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % (n // 1000)).alias("user_id"),
+            F.expr(
+                "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
+                "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"
+            ).alias("ts"),
+            F.expr(
+                "element_at(array('click','view','scroll','purchase','hover', "
+                "'focus','blur','load','unload','error'), "
+                "CAST(pmod(hash(id * 13), 10) + 1 AS INT))"
+            ).alias("event_type"),
+            (F.pmod(F.hash(F.col("id") * 31), 10000) / 100.0).alias("value"),
+            F.lit('{"k":1}').alias("props"),
+        )
+        tmp = "/tmp/stress_events"
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        from hdfs2cass_spark.plans.catalog import (
+            asof_join_events,
+            sessionize_events_batch,
+            tumbling_window_events,
+        )
+
+        run("events_sessionize", sessionize_events_batch(spark, tmp), n)
+        run("events_asof_join", asof_join_events(spark, tmp), n)
+        run("events_windows", tumbling_window_events(spark, tmp), n)
+        out["events"] = n
+        print(json.dumps(out))
+        return 0
 
     if args.freq_skew:
         # --- gram-FREQUENCY skew probe (round-5): one boilerplate sentence in
