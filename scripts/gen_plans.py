@@ -122,6 +122,16 @@ SECTIONS = [
         "Chunk starts come from a `sequence()` expression and the 1->N explode is codegen'd `Generate` "
         "— NOTHING shuffles until the presentation sort. At 100 TB chunking is a pure map stage.",
     ),
+    (
+        "curate_corpus (composed curation chain)",
+        "curate_corpus",
+        "The five composed stages in ONE final plan: the quality predicate sits under the exact-dedup "
+        "window's shuffle, the near-dup losers arrive as a small `Scan ExistingRDD` (the eagerly-"
+        "materialized connected-components labels — the ONLY non-lazy stage) anti-joined by broadcast, "
+        "the benchmark shingle set broadcasts into the decontam gate, and packing's `_shard`-partitioned "
+        "prefix-sum windows close the chain. No BatchEvalPython, no cartesian, nothing persisted in the "
+        "SQL cache.",
+    ),
 ]
 
 
