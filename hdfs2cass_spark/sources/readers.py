@@ -114,12 +114,14 @@ def has_avro_support(spark: SparkSession) -> bool:
 
 
 def read_records(
-    spark: SparkSession, paths: str | list[str], fmt: str = "parquet"
+    spark: SparkSession, paths: str | list[str], fmt: str = "parquet", **options: str
 ) -> DataFrame:
     """S1: the record source. Accepts one path or many — multiple --input
     paths are concatenated by the source, the reference's only union-like
     behavior (Hdfs2Cass.java:107-108,135-137).
 
+    Any Spark datasource format works (parquet, csv, json, orc, text);
+    ``options`` pass through to the reader (e.g. ``header="true"`` for CSV).
     `fmt="avro"` requires the spark-avro module; absent, this raises with the
     exact package coordinates instead of Spark's opaque lookup error.
     """
@@ -131,4 +133,4 @@ def read_records(
             "(e.g. spark.jars.packages). Parquet and text inputs need no extra jars."
         )
     # pass the list, not *p: load()'s 2nd positional parameter is `format`
-    return spark.read.format(fmt).load(p)
+    return spark.read.format(fmt).options(**options).load(p)

@@ -73,6 +73,28 @@ def test_read_records_multi_path_union(spark, sf_dir, tmp_path):
     assert two.count() == 2 * one.count()
 
 
+def test_read_records_csv_json_feed_the_same_pipeline(spark, sf_dir, tmp_path):
+    """CSV and JSON inputs (with reader options passed through) run the
+    identical reshape -> route dataflow the parquet path runs — a reference
+    user's flat files need no staging conversion."""
+    from hdfs2cass_spark.sinks.pipeline import bulk_load
+    from hdfs2cass_spark.sources.readers import read_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    csv_dir, json_dir = str(tmp_path / "c.csv"), str(tmp_path / "c.json")
+    cust.write.option("header", "true").csv(csv_dir)
+    cust.write.json(json_dir)
+
+    from_csv = read_records(spark, csv_dir, fmt="csv", header="true", inferSchema="true")
+    from_json = read_records(spark, json_dir, fmt="json")
+    for src in (from_csv, from_json):
+        routed = bulk_load(src, "cql://h/ks/t?reducers=4", rowkey="c_custkey", now_ms=42)
+        assert routed.count() == cust.count()
+        assert {r["bucket"] for r in routed.select("bucket").distinct().collect()} <= set(range(4))
+
+
 def test_cli_random_partitioner_end_to_end(spark, sf_dir, tmp_path):
     """--partitioner random routes over the MD5/BigIntegerToken ring: tokens
     are 39-digit zero-padded strings, sorted within each bucket, all rows
