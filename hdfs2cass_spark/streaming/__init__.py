@@ -8,6 +8,7 @@ from .bulk_ingest import stream_bulk_load
 from .stateful import streaming_dedup_first
 from .decontam import read_scored, stream_documents, stream_decontamination
 from .neardup import near_dup_decisions_batch, read_decisions, stream_near_dup
+from .curate import curate_decisions_batch, read_curated, stream_curate
 
 __all__ = [
     "stream_events",
@@ -22,4 +23,7 @@ __all__ = [
     "stream_near_dup",
     "near_dup_decisions_batch",
     "read_decisions",
+    "stream_curate",
+    "curate_decisions_batch",
+    "read_curated",
 ]

@@ -1,0 +1,221 @@
+"""Streaming corpus curation: the full on-ingest chain per micro-batch.
+
+plans/compose.py curates a CORPUS (offline: connected-components cluster
+dedup, global packing). A live crawl curates a STREAM: each arriving doc is
+judged once, against what arrived before it, and the verdict is final. This
+module chains the proven per-stage streaming mechanisms into that pipeline:
+
+  1. quality gate  — the same MIN_WORDS / MIN_UNIQ_RATIO in-row predicate as
+     the batch chain; rejects never touch any index
+  2. exact dedup   — md5(text) against an ACCUMULATING hash index (the
+     neardup index pattern: batch-id-keyed parquet appends, arriving side
+     broadcast, `index.doc_id < arriving.doc_id` so a replayed batch's own
+     rows resolve to the in-batch keep-first, not self-matches)
+  3. near-dup      — minhash signatures of the exact-dedup survivors against
+     the accumulating signature index (streaming/neardup.py machinery:
+     band-key join, Broder-estimator verify — no shingle sets stored)
+  4. decontam gate — the broadcast benchmark-shingle scoring of
+     streaming/decontam.py; drop contam_frac >= MAX_CONTAM_FRAC
+
+ONLINE vs OFFLINE semantics, stated precisely: exact dedup is keep-first in
+arrival order — identical to the batch chain's min-doc_id keeper when files
+arrive in doc_id order. Near-dup is GREEDY: a doc is dropped iff it
+estimator-matches any EARLIER exact-dedup survivor (kept or itself dropped).
+Offline connected components can differ on chains (a~b, b~c, a!~c: offline
+keeps only a; greedy keeps a AND c, since c never meets b's verdict). That
+is the inherent online/offline dedup gap, not an implementation artifact —
+so this module's batch twin (:func:`curate_decisions_batch`) defines the
+greedy semantics exactly, and tests assert stream == THAT twin, while the
+offline chain keeps its own oracle in plans/compose.py.
+
+Only surviving docs enter the near-dup signature index (stage-2 losers never
+pollute candidate generation); the exact-dedup index records every
+quality-passing doc (keep-first needs to see prior copies). Every index and
+sink write is batch-id-keyed and overwritten on replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.compose import MAX_CONTAM_FRAC, MIN_UNIQ_RATIO, MIN_WORDS
+from ..plans.llm import W_SPARK
+from .decontam import score_batch
+from .neardup import EST_THRESHOLD, _candidates, signature_bands
+
+
+def _quality(d: DataFrame) -> DataFrame:
+    ws = d.select("doc_id", "text", F.expr(W_SPARK).alias("ws"))
+    return ws.filter(
+        (F.size("ws") >= MIN_WORDS)
+        & (
+            F.expr("size(array_distinct(ws))").cast("double") / F.size("ws")
+            >= MIN_UNIQ_RATIO
+        )
+    ).select("doc_id", "text")
+
+
+def _hashes(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+
+
+def _exact_losers(index_hashes: DataFrame, arriving: DataFrame) -> DataFrame:
+    """Arriving doc_ids that share an md5 with any EARLIER doc."""
+    return (
+        index_hashes.select(F.col("doc_id").alias("prev_id"), "h")
+        .join(F.broadcast(_hashes(arriving)), "h")
+        .filter(F.col("prev_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def curate_decisions_batch(
+    d: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """The greedy arrival-order twin: per doc —
+    (doc_id, quality_pass, exact_dup, near_dup, contaminated, kept).
+    Stage columns are null once an earlier stage rejected the doc (the
+    stream never evaluates later stages for rejects)."""
+    q = _quality(d)
+    h = _hashes(q)
+    prev = h.select(F.col("doc_id").alias("prev_id"), "h")
+    exact_losers = (
+        prev.join(h, "h")
+        .filter(F.col("prev_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
+    )
+    dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
+    bands = signature_bands(dd)
+    nd_losers = (
+        _candidates(bands, bands)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    nd = dd.join(nd_losers.select("doc_id"), "doc_id", "left_anti")
+    contaminated = (
+        score_batch(nd, bench_shingles)
+        .filter(F.col("contam_frac") >= MAX_CONTAM_FRAC)
+        .select("doc_id")
+        .withColumn("contaminated", F.lit(True))
+    )
+    qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
+    out = (
+        d.select("doc_id")
+        .join(qual, "doc_id", "left")
+        .join(exact_losers, "doc_id", "left")
+        .join(nd_losers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    qp = F.coalesce("quality_pass", F.lit(False))
+    ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
+    ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
+    cont = F.when(
+        qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
+        F.coalesce("contaminated", F.lit(False)),
+    )
+    return out.select(
+        "doc_id",
+        qp.alias("quality_pass"),
+        ed.alias("exact_dup"),
+        ndp.alias("near_dup"),
+        cont.alias("contaminated"),
+        (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def stream_curate(
+    stream: DataFrame,
+    bench_shingles: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Start the streaming curation query; returns the StreamingQuery.
+
+    Per-doc decisions (same schema as :func:`curate_decisions_batch`) land
+    under ``sink_path``; the exact-hash and near-dup-signature indexes
+    accumulate under ``index_path``/{exact,sig}. All writes batch-id-keyed.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = batch_df.select("doc_id", "text")
+        q = _quality(d)
+
+        # stage 2: exact keep-first vs the accumulated hash index
+        _hashes(q).write.mode("overwrite").parquet(
+            f"{index_path}/exact/batch-{batch_id:09d}"
+        )
+        exact_index = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{index_path}/exact"
+        )
+        exact_losers = _exact_losers(exact_index, q).withColumn(
+            "exact_dup", F.lit(True)
+        )
+        dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
+
+        # stage 3: near-dup vs the accumulated signature index (survivors only)
+        arriving_bands = signature_bands(dd)
+        arriving_bands.write.mode("overwrite").parquet(
+            f"{index_path}/sig/batch-{batch_id:09d}"
+        )
+        sig_index = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{index_path}/sig"
+        )
+        nd_losers = (
+            _candidates(sig_index, arriving_bands)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("near_dup", F.lit(True))
+        )
+        nd = dd.join(nd_losers.select("doc_id"), "doc_id", "left_anti")
+
+        # stage 4: decontamination gate
+        contaminated = (
+            score_batch(nd, bench_shingles)
+            .filter(F.col("contam_frac") >= MAX_CONTAM_FRAC)
+            .select("doc_id")
+            .withColumn("contaminated", F.lit(True))
+        )
+
+        qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
+        out = (
+            d.select("doc_id")
+            .join(qual, "doc_id", "left")
+            .join(exact_losers, "doc_id", "left")
+            .join(nd_losers, "doc_id", "left")
+            .join(contaminated, "doc_id", "left")
+        )
+        qp = F.coalesce("quality_pass", F.lit(False))
+        ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
+        ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
+        cont = F.when(
+            qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
+            F.coalesce("contaminated", F.lit(False)),
+        )
+        out.select(
+            "doc_id",
+            qp.alias("quality_pass"),
+            ed.alias("exact_dup"),
+            ndp.alias("near_dup"),
+            cont.alias("contaminated"),
+            (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
+        ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_curated(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Read everything stream_curate wrote under ``sink_path``."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)

@@ -239,6 +239,71 @@ def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
+    """The full on-ingest curation chain (quality -> exact keep-first vs hash
+    index -> near-dup vs signature index -> decontam) must produce exactly
+    the greedy arrival-order twin's per-doc decisions when files arrive in
+    doc_id order — and each stage must actually reject something on the
+    fixture corpus."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.curate import (
+        curate_decisions_batch,
+        read_curated,
+        stream_curate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _shingles(docs.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    base = docs.filter(~F.expr(_BENCH_SPARK)).select("doc_id", "text")
+    # seed exact duplicates (the sf0.001 fixture has near-dups but no exact
+    # text copies): re-emit 10 early docs under fresh high ids, so the exact
+    # keep-first stage has real work in BOTH the stream and the twin
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    dupes = (
+        base.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    train = base.unionByName(dupes)
+
+    n = train.agg(F.max("doc_id")).first()[0] + 1
+    flat = tmp_path / "cu_flat"
+    flat.mkdir()
+    for i in range(3):  # doc_id RANGES: batch order == doc_id order
+        part = tmp_path / f"cu_p{i}"
+        train.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("cu_idx", "cu_out", "cu_ck"))
+    q = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck, available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in read_curated(spark, out).collect())
+    want_df = curate_decisions_batch(train, bench)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    # every stage does real work on the fixture corpus
+    stages = want_df.agg(
+        F.sum(F.when(~F.col("quality_pass"), 1).otherwise(0)).alias("q"),
+        F.sum(F.when(F.col("exact_dup"), 1).otherwise(0)).alias("e"),
+        F.sum(F.when(F.col("near_dup"), 1).otherwise(0)).alias("n"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("k"),
+    ).first()
+    assert stages["e"] > 0 and stages["n"] > 0 and stages["k"] > 0
+
+
 def test_stream_bulk_load(spark, events_dir, tmp_path):
     """The reference dataflow fed by a stream: per-micro-batch token-sorted
     bucket files; total rows equal the batch source."""
