@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..plans.compose import MAX_CONTAM_FRAC, MIN_UNIQ_RATIO, MIN_WORDS
 from ..plans.llm import W_SPARK
 from .decontam import score_batch
-from .neardup import EST_THRESHOLD, _candidates, signature_bands
+from .neardup import _candidates, bands_of, signatures
 
 
 def _quality(d: DataFrame) -> DataFrame:
@@ -61,7 +61,10 @@ def _hashes(d: DataFrame) -> DataFrame:
 
 
 def _exact_losers(index_hashes: DataFrame, arriving: DataFrame) -> DataFrame:
-    """Arriving doc_ids that share an md5 with any EARLIER doc."""
+    """Arriving doc_ids that share an md5 with any EARLIER doc. The arriving
+    hashes broadcast explicitly (bounded by the trigger size; AQE is off
+    inside foreachBatch, so without the hint the static planner sort-merges,
+    shuffling the unbounded accumulated index every micro-batch)."""
     return (
         index_hashes.select(F.col("doc_id").alias("prev_id"), "h")
         .join(F.broadcast(_hashes(arriving)), "h")
@@ -89,9 +92,10 @@ def curate_decisions_batch(
         .withColumn("exact_dup", F.lit(True))
     )
     dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
-    bands = signature_bands(dd)
+    sigs = signatures(dd)
+    bands = bands_of(sigs)
     nd_losers = (
-        _candidates(bands, bands)
+        _candidates((bands, sigs), (bands, sigs))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
@@ -144,69 +148,101 @@ def stream_curate(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Each stage's verdict feeds several downstream subtrees, and lazy
+        # evaluation would re-run the whole upstream chain once per action
+        # (measured ~4x: 40s per 200k-doc batch where the stage sum is ~11s).
+        # So the per-batch dataflow MATERIALIZES each reused intermediate
+        # exactly once: the quality survivors persist for the batch duration,
+        # and the signature/hash tables are read back from the index files
+        # the batch just wrote (a free materialization — the write is part of
+        # the protocol anyway). The loser/verdict tables are tiny id lists;
+        # persist + eager count pins them.
         spark = batch_df.sparkSession
-        d = batch_df.select("doc_id", "text")
-        q = _quality(d)
+        pinned = []
 
-        # stage 2: exact keep-first vs the accumulated hash index
-        _hashes(q).write.mode("overwrite").parquet(
-            f"{index_path}/exact/batch-{batch_id:09d}"
-        )
-        exact_index = spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{index_path}/exact"
-        )
-        exact_losers = _exact_losers(exact_index, q).withColumn(
-            "exact_dup", F.lit(True)
-        )
-        dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
+        def pin(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            df.count()
+            pinned.append(df)
+            return df
 
-        # stage 3: near-dup vs the accumulated signature index (survivors only)
-        arriving_bands = signature_bands(dd)
-        arriving_bands.write.mode("overwrite").parquet(
-            f"{index_path}/sig/batch-{batch_id:09d}"
-        )
-        sig_index = spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{index_path}/sig"
-        )
-        nd_losers = (
-            _candidates(sig_index, arriving_bands)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-            .withColumn("near_dup", F.lit(True))
-        )
-        nd = dd.join(nd_losers.select("doc_id"), "doc_id", "left_anti")
+        try:
+            # a micro-batch often arrives as ONE file = ONE scan partition —
+            # without this spread the whole md5-minhash chain runs on a
+            # single core (measured 31s vs 12s per 200k-doc batch)
+            n = spark.sparkContext.defaultParallelism
+            d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
+            q = pin(_quality(d))
 
-        # stage 4: decontamination gate
-        contaminated = (
-            score_batch(nd, bench_shingles)
-            .filter(F.col("contam_frac") >= MAX_CONTAM_FRAC)
-            .select("doc_id")
-            .withColumn("contaminated", F.lit(True))
-        )
+            # stage 2: exact keep-first vs the accumulated hash index
+            _hashes(q).write.mode("overwrite").parquet(
+                f"{index_path}/exact/batch-{batch_id:09d}"
+            )
+            exact_index = spark.read.option("recursiveFileLookup", "true").parquet(
+                f"{index_path}/exact"
+            )
+            exact_losers = pin(
+                _exact_losers(exact_index, q).withColumn("exact_dup", F.lit(True))
+            )
+            dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
 
-        qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
-        out = (
-            d.select("doc_id")
-            .join(qual, "doc_id", "left")
-            .join(exact_losers, "doc_id", "left")
-            .join(nd_losers, "doc_id", "left")
-            .join(contaminated, "doc_id", "left")
-        )
-        qp = F.coalesce("quality_pass", F.lit(False))
-        ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
-        ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
-        cont = F.when(
-            qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
-            F.coalesce("contaminated", F.lit(False)),
-        )
-        out.select(
-            "doc_id",
-            qp.alias("quality_pass"),
-            ed.alias("exact_dup"),
-            ndp.alias("near_dup"),
-            cont.alias("contaminated"),
-            (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
-        ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
+            # stage 3: near-dup vs the accumulated signature index (survivors
+            # only); arriving signatures/bands are read back from the files
+            # just written so candidate generation never recomputes the md5
+            # minhash chain
+            signatures(dd).write.mode("overwrite").parquet(
+                f"{index_path}/sig/batch-{batch_id:09d}"
+            )
+            asig = spark.read.parquet(f"{index_path}/sig/batch-{batch_id:09d}")
+            bands_of(asig).write.mode("overwrite").parquet(
+                f"{index_path}/bands/batch-{batch_id:09d}"
+            )
+            ab = spark.read.parquet(f"{index_path}/bands/batch-{batch_id:09d}")
+            rec = {"recursiveFileLookup": "true"}
+            isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
+            ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
+            nd_losers = pin(
+                _candidates((ib, isig), (ab, asig))
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+                .withColumn("near_dup", F.lit(True))
+            )
+            nd = dd.join(nd_losers.select("doc_id"), "doc_id", "left_anti")
+
+            # stage 4: decontamination gate
+            contaminated = pin(
+                score_batch(nd, bench_shingles)
+                .filter(F.col("contam_frac") >= MAX_CONTAM_FRAC)
+                .select("doc_id")
+                .withColumn("contaminated", F.lit(True))
+            )
+
+            qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
+            out = (
+                d.select("doc_id")
+                .join(qual, "doc_id", "left")
+                .join(exact_losers, "doc_id", "left")
+                .join(nd_losers, "doc_id", "left")
+                .join(contaminated, "doc_id", "left")
+            )
+            qp = F.coalesce("quality_pass", F.lit(False))
+            ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
+            ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
+            cont = F.when(
+                qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
+                F.coalesce("contaminated", F.lit(False)),
+            )
+            out.select(
+                "doc_id",
+                qp.alias("quality_pass"),
+                ed.alias("exact_dup"),
+                ndp.alias("near_dup"),
+                cont.alias("contaminated"),
+                (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
+            ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
+        finally:
+            for df in pinned:
+                df.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -8,23 +8,28 @@ that check per micro-batch via foreachBatch:
 
   1. the arriving docs' 16-function minhash signatures (the md5-derived
      universal-hash family — identical math to the oracle-checked batch
-     queries) are APPENDED to a parquet signature index, denormalized to one
-     row per (doc_id, band, bkey, mh[16]) so candidate generation needs ONE
-     index scan and no second lookup;
-  2. candidates = arriving band keys joined against the index — the arriving
-     side is a micro-batch (small by construction), so it BROADCASTS and the
-     index is never shuffled; `index.doc_id < arriving.doc_id` keeps only
+     queries) are APPENDED to a parquet index in TWO narrow tables —
+     `bands` (doc_id, band, bkey) for candidate generation and `sig`
+     (doc_id, mh[16]) for verification. Narrow beats denormalized: an
+     earlier layout carried the 16-component signature on every band row
+     and the per-batch index re-scan paid ~4x the bytes for data only the
+     (few) candidates ever need;
+  2. candidates = arriving band keys joined against the index's bands —
+     the arriving side is a micro-batch (small by construction), so it
+     BROADCASTS and the index is never shuffled; `doc_a < doc_b` keeps only
      matches against earlier arrivals (and makes a replayed batch, whose own
      rows are already in the index, produce exactly the in-batch pairs —
      no separate in-batch code path);
   3. verification is the Broder resemblance estimator — est_jaccard =
-     (# equal signature components) / 16 — computed from the signatures
-     already riding the join, so NO shingle sets are stored or shipped;
+     (# equal signature components) / 16 — computed by joining the
+     candidate pairs (broadcast: candidates << corpus) against the sig
+     table, so NO shingle sets are stored or shipped and the wide arrays
+     ride only candidate-sized joins;
   4. per-doc decisions (is_dup, first_match, best_est, n_earlier_matches)
      land under the sink, one overwritten subdirectory per batch id (the
      same exactly-once-under-replay pattern as stream_decontamination:
      foreachBatch is at-least-once, overwriting the batch's own directory
-     makes replays no-ops — for BOTH the index append and the decisions).
+     makes replays no-ops — for BOTH the index appends and the decisions).
 
 Equivalence contract (tests/test_streaming.py): with files arriving in
 doc_id order, the streamed decisions are row-identical to
@@ -50,24 +55,27 @@ from ..plans.llm import N_HASHES, _band_structs, minhash_wide_df
 EST_THRESHOLD = 0.5  # matches >= 8 of 16 signature components
 
 
-def signature_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey, mh: array<long>) — the denormalized index rows
-    for a (doc_id, text) DataFrame. One row per band per doc; the full
-    16-component signature rides every row so candidate joins verify without
-    a second lookup."""
+def signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, mh: array<long>) — one row per doc, the verification table."""
     wide = minhash_wide_df(d, spread=False)
     mh = F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+    return wide.select("doc_id", mh.alias("mh"))
+
+
+def bands_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — 4 narrow rows per doc, the candidate table."""
+    mh_cols = [F.col("mh").getItem(i).alias(f"mh{i}") for i in range(N_HASHES)]
     return (
-        wide.withColumn("mh", mh)
-        .select("doc_id", "mh", F.explode(F.array(*_band_structs())).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bkey", "mh")
+        sigs.select("doc_id", *mh_cols)
+        .select("doc_id", F.explode(F.array(*_band_structs())).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bkey")
     )
 
 
-def _decisions(arriving_ids: DataFrame, cand: DataFrame) -> DataFrame:
-    """Fold candidate matches (doc_a = earlier, doc_b = arriving, est) into
+def _decisions(arriving_ids: DataFrame, verified: DataFrame) -> DataFrame:
+    """Fold verified matches (doc_a = earlier, doc_b = arriving, est) into
     one decision row per arriving doc."""
-    agg = cand.groupBy(F.col("doc_b").alias("doc_id")).agg(
+    agg = verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.min("doc_a").alias("first_match"),
         F.max("est").alias("best_est"),
         F.count(F.lit(1)).alias("n_earlier_matches"),
@@ -90,35 +98,63 @@ _EST = (
 )
 
 
-def _candidates(index_bands: DataFrame, arriving_bands: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, est): earlier index docs sharing a band key with an
-    arriving doc, Broder-estimated similarity >= EST_THRESHOLD. The arriving
-    side broadcasts; the index is scanned, never shuffled."""
-    a = index_bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "bkey", F.col("mh").alias("a_mh")
-    )
+def _candidate_pairs(index_bands: DataFrame, arriving_bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): earlier index docs sharing a band key with an arriving
+    doc. The arriving side carries an EXPLICIT broadcast hint: AQE is
+    disabled inside streaming foreachBatch, so without the hint the static
+    planner sort-merges — shuffling the ever-growing index on every
+    micro-batch. A micro-batch's band table is bounded by the trigger size
+    (a 200k-doc batch broadcasts ~25 MB; typical triggers far less), while
+    the index side is unbounded — broadcasting the bounded side is the only
+    shape that never moves the index."""
+    a = index_bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = F.broadcast(
-        arriving_bands.select(
-            F.col("doc_id").alias("doc_b"), "band", "bkey", F.col("mh").alias("b_mh")
-        )
+        arriving_bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     )
     return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "a_mh", "b_mh")
+        .select("doc_a", "doc_b")
         .distinct()  # a pair can collide in several bands
-        .select("doc_a", "doc_b", F.expr(_EST).alias("est"))
+    )
+
+
+def _verify(pairs: DataFrame, index_sigs: DataFrame, arriving_sigs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est >= EST_THRESHOLD): Broder-estimate the candidate
+    pairs from the narrow sig tables. The candidate pairs and the arriving
+    signatures broadcast explicitly (candidates << corpus, arriving bounded
+    by the trigger; AQE is off inside foreachBatch) — the unbounded index
+    sig table is scanned, never shuffled."""
+    withA = index_sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("a_mh")
+    ).join(F.broadcast(pairs), "doc_a")
+    full = withA.join(
+        F.broadcast(
+            arriving_sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("b_mh"))
+        ),
+        "doc_b",
+    )
+    return (
+        full.select("doc_a", "doc_b", F.expr(_EST).alias("est"))
         .filter(F.col("est") >= EST_THRESHOLD)
     )
+
+
+def _candidates(index_bands_sigs, arriving_bands_sigs) -> DataFrame:
+    """(doc_a, doc_b, est) verified pairs from (bands, sigs) table pairs."""
+    ib, isig = index_bands_sigs
+    ab, asig = arriving_bands_sigs
+    return _verify(_candidate_pairs(ib, ab), isig, asig)
 
 
 def near_dup_decisions_batch(d: DataFrame) -> DataFrame:
     """The batch twin: for every doc, is it a near-dup (est_jaccard >=
     threshold) of any EARLIER doc (lower doc_id = earlier arrival). Same
     signatures, same band keys, same estimator as the stream."""
-    bands = signature_bands(d)
-    cand = _candidates(bands, bands)
-    return _decisions(d.select("doc_id"), cand).orderBy("doc_id")
+    sigs = signatures(d)
+    bands = bands_of(sigs)
+    verified = _candidates((bands, sigs), (bands, sigs))
+    return _decisions(d.select("doc_id"), verified).orderBy("doc_id")
 
 
 def stream_near_dup(
@@ -131,23 +167,32 @@ def stream_near_dup(
     """Start the streaming near-dup query; returns the StreamingQuery.
 
     ``stream`` is a streaming (doc_id, text, ...) DataFrame (see
-    decontam.stream_documents). Signatures accumulate under ``index_path``,
-    decisions under ``sink_path`` — both batch-id-keyed for replay
-    idempotence; read decisions back with :func:`read_decisions`.
+    decontam.stream_documents). Signatures accumulate under
+    ``index_path``/{bands,sig}, decisions under ``sink_path`` — all
+    batch-id-keyed for replay idempotence; read decisions back with
+    :func:`read_decisions`.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        arriving = signature_bands(batch_df.select("doc_id", "text"))
-        # 1. index append FIRST (overwrite-own-batch => replay no-op); the
+        # one-file micro-batches scan as one partition: spread before the
+        # md5-minhash chain or it runs single-core
+        n = spark.sparkContext.defaultParallelism
+        d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
+        asig = signatures(d)
+        ab = bands_of(asig)
+        # index appends FIRST (overwrite-own-batch => replay no-op); the
         # subsequent candidate join then sees this batch's rows too, so
         # in-batch pairs come out of the same `doc_a < doc_b` path
-        arriving.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id:09d}")
-        index = spark.read.option("recursiveFileLookup", "true").parquet(index_path)
-        cand = _candidates(index, arriving)
-        _decisions(batch_df.select("doc_id"), cand).write.mode("overwrite").parquet(
-            f"{sink_path}/batch-{batch_id:09d}"
-        )
+        asig.write.mode("overwrite").parquet(f"{index_path}/sig/batch-{batch_id:09d}")
+        ab.write.mode("overwrite").parquet(f"{index_path}/bands/batch-{batch_id:09d}")
+        rec = {"recursiveFileLookup": "true"}
+        isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
+        ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
+        verified = _candidates((ib, isig), (ab, asig))
+        _decisions(batch_df.select("doc_id"), verified).write.mode(
+            "overwrite"
+        ).parquet(f"{sink_path}/batch-{batch_id:09d}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
