@@ -42,8 +42,12 @@ def stream_bulk_load(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # tokens come from the TYPED key bytes (_pk), exactly like the batch
         # pipeline — tokenizing the stringified rowkey diverges from the real
-        # ring for every non-string key
+        # ring for every non-string key. The upfront repartition spreads a
+        # one-file micro-batch (ONE scan partition) so the token UDF doesn't
+        # run single-core before the bucket shuffle.
         rk = resolve_rowkey(batch_df.columns, rowkey)
+        npart = batch_df.sparkSession.sparkContext.defaultParallelism
+        batch_df = batch_df.repartition(npart)
         keyed = batch_df.withColumn("_pk", binary_key_expr(batch_df, [rk]))
         reshaped = reshape_cql(
             keyed, rk, timestamp, ttl, ignore, now_ms=now_ms, passthrough=["_pk"]

@@ -96,9 +96,13 @@ def stream_decontamination(
         # replay a no-op (a flat append would duplicate the micro-batch).
         # The dir name deliberately has no '=' so readers see data columns
         # only, not a discovered partition column.
-        score_batch(batch_df, bench_shingles).write.mode("overwrite").parquet(
-            f"{sink_path}/batch-{batch_id:09d}"
-        )
+        # The repartition spreads a one-file micro-batch (ONE scan partition)
+        # before the shingle explode — otherwise the scoring chain runs
+        # single-core (same hazard measured at 2.6x on the curation chain).
+        n = batch_df.sparkSession.sparkContext.defaultParallelism
+        score_batch(
+            batch_df.repartition(n, "doc_id"), bench_shingles
+        ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
