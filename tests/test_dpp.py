@@ -26,12 +26,19 @@ def partitioned_events(spark, sf_dir, tmp_path_factory):
 
 def test_dim_filter_prunes_fact_partitions_at_runtime(spark, partitioned_events):
     fact = spark.read.parquet(partitioned_events)
-    n_types = fact.select("event_type").distinct().count()
-    # dimension with a filter the fact scan can't see statically
+    types = sorted(
+        r[0] for r in fact.select("event_type").distinct().collect()
+    )
+    n_types = len(types)
+    assert n_types >= 2
+    # dimension with a filter the fact scan can't see statically; keep the
+    # first half of the types so the filter is selective REGARDLESS of what
+    # values a regenerated fixture carries
+    kept_types = set(types[: n_types // 2])
     dim = (
         fact.select("event_type")
         .distinct()
-        .withColumn("keep", F.length("event_type") % 2 == 0)
+        .withColumn("keep", F.col("event_type").isin(kept_types))
     )
     j = fact.join(F.broadcast(dim.filter("keep")), "event_type").groupBy(
         "event_type"
