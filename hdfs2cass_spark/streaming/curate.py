@@ -61,16 +61,22 @@ def _hashes(d: DataFrame) -> DataFrame:
 
 
 def _exact_losers(index_hashes: DataFrame, arriving: DataFrame) -> DataFrame:
-    """Arriving doc_ids that share an md5 with any EARLIER doc. The arriving
-    hashes broadcast explicitly (bounded by the trigger size; AQE is off
-    inside foreachBatch, so without the hint the static planner sort-merges,
+    """Arriving doc_ids that share an md5 with any EARLIER doc.
+
+    Keep-first via the MIN-KEEPER aggregate, not a raw hash-table self-join:
+    a raw join goes quadratic on a hot text (k copies -> k^2 pairs before
+    any distinct — exactly the all-identical-crawl shape), while min() has
+    map-side partial aggregation, so a million copies of one text collapse
+    to one row per mapper before the shuffle. The keeper table has ONE row
+    per hash, so the arriving-side join fans out 1:1. The arriving hashes
+    broadcast explicitly (bounded by the trigger size; AQE is off inside
+    foreachBatch, so without the hint the static planner sort-merges,
     shuffling the unbounded accumulated index every micro-batch)."""
+    keepers = index_hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     return (
-        index_hashes.select(F.col("doc_id").alias("prev_id"), "h")
-        .join(F.broadcast(_hashes(arriving)), "h")
-        .filter(F.col("prev_id") < F.col("doc_id"))
+        keepers.join(F.broadcast(_hashes(arriving)), "h")
+        .filter(F.col("keeper") < F.col("doc_id"))
         .select("doc_id")
-        .distinct()
     )
 
 
@@ -83,12 +89,12 @@ def curate_decisions_batch(
     stream never evaluates later stages for rejects)."""
     q = _quality(d)
     h = _hashes(q)
-    prev = h.select(F.col("doc_id").alias("prev_id"), "h")
+    # min-keeper aggregate, mirroring _exact_losers: skew-safe keep-first
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     exact_losers = (
-        prev.join(h, "h")
-        .filter(F.col("prev_id") < F.col("doc_id"))
+        h.join(keepers, "h")
+        .filter(F.col("doc_id") > F.col("keeper"))
         .select("doc_id")
-        .distinct()
         .withColumn("exact_dup", F.lit(True))
     )
     dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")

@@ -101,6 +101,31 @@ def test_curate_corpus_degenerate_corpora(spark, tmp_path):
     assert curate_corpus(spark, d2).count() == 0
 
 
+def test_streaming_twin_exact_dedup_is_skew_safe(spark):
+    """20k identical copies of one text must dedup in seconds: the exact
+    stage aggregates a min-keeper per hash (map-side combinable) instead of
+    self-joining the hash table, which would expand 20k^2 = 4e8 rows on this
+    hot-text shape — the all-identical-crawl case streaming dedup exists
+    for."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from hdfs2cass_spark.streaming.curate import curate_decisions_batch
+
+    hot = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same document body with plenty of distinct words here").alias(
+            "text"
+        ),
+    )
+    bench = spark.createDataFrame([("no such shingle anywhere",)], "s string")
+    t0 = time.monotonic()
+    rows = curate_decisions_batch(hot, bench).filter("kept").collect()
+    assert time.monotonic() - t0 < 60
+    assert [r["doc_id"] for r in rows] == [0]
+
+
 def test_curate_corpus_near_dup_stage_gates(spark, sf_dir, duck):
     """The near-dup stage must drop the non-keeper member of at least one
     verified cluster among the exact-dedup survivors (the fixture corpus
