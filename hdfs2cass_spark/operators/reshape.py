@@ -106,6 +106,43 @@ def reshape_cql(
     )
 
 
+def cql_record_from_map(
+    df: DataFrame,
+    target_columns: Sequence[str],
+    rowkey: str | None = None,
+    timestamp: str | None = None,
+    ttl: str | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """The library-embedding constructor: values keyed by column NAME,
+    resolved to the TARGET table's column order — `CQLRecord.create(conf,
+    valueMap)` (CQLRecord.java:68-81, positions via
+    CrunchCqlBulkOutputFormat.getColumnIndex, CrunchCqlBulkOutputFormat.java:
+    93-99). A user's DataFrame columns may arrive in any order and with
+    extras; the emitted value list follows ``target_columns`` (the prepared
+    INSERT's column list, fetched from the cluster in the reference /
+    supplied via TargetInfo here) exactly. Missing target columns raise at
+    plan time — the reference throws per-record at write time
+    (CrunchRuntimeException), Spark can fail earlier and say which.
+
+    Output schema matches reshape_cql: _rowkey + target columns in target
+    order + writetime (us) + ttl (s).
+    """
+    missing = [c for c in target_columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"input is missing target columns {missing}; have {df.columns}"
+        )
+    rk = _resolve_rowkey(list(target_columns), rowkey)
+    now_us = (now_ms if now_ms is not None else int(time.time() * 1000)) * 1000
+    return df.select(
+        F.col(rk).cast("string").alias("_rowkey"),
+        *[F.col(c) for c in target_columns],
+        _ts_col(df, timestamp, now_us).alias("writetime"),
+        _ttl_col(df, ttl).alias("ttl"),
+    )
+
+
 def reshape_thrift(
     df: DataFrame,
     rowkey: str | None = None,

@@ -177,3 +177,34 @@ def test_thrift_counter_columns_end_to_end(spark):
     routed = route_to_buckets(keyed, 2, "_pk")
     wire = {r["pk"]: r for r in encode_thrift_counter_wire(routed).collect()}
     assert [tuple(m) for m in wire[b"u2"]["mutations"]] == [(b"plays", 7), (b"skips", 0)]
+
+
+def test_cql_record_from_map_name_to_index_resolution(spark):
+    """The library-embedding constructor (CQLRecord.create's name->index
+    lookup): input columns in ANY order with extras resolve to the TARGET
+    column order exactly; missing target columns fail at plan time with the
+    column named."""
+    import pytest
+
+    from hdfs2cass_spark.operators.reshape import cql_record_from_map, reshape_cql
+
+    # input deliberately scrambled vs the target order, with an extra column
+    df = spark.createDataFrame(
+        [Row(plays=3, user="u1", junk="x", added=10), Row(plays=7, user="u2", junk="y", added=20)]
+    )
+    target = ["user", "added", "plays"]  # the prepared INSERT's column list
+    out = cql_record_from_map(df, target, rowkey="user", now_ms=42)
+    assert out.columns == ["_rowkey", "user", "added", "plays", "writetime", "ttl"]
+    rows = {r["_rowkey"]: r for r in out.collect()}
+    assert (rows["u1"]["added"], rows["u1"]["plays"]) == (10, 3)
+    assert rows["u1"]["writetime"] == 42_000 and rows["u1"]["ttl"] == 0
+
+    # same shape as reshape_cql on a pre-ordered frame (the two entry points
+    # are interchangeable downstream)
+    pre = df.select("user", "added", "plays")
+    twin = reshape_cql(pre, rowkey="user", now_ms=42)
+    assert out.schema == twin.schema
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, twin.collect()))
+
+    with pytest.raises(ValueError, match="missing target columns \\['nope'\\]"):
+        cql_record_from_map(df, ["user", "nope"], rowkey="user")
