@@ -119,16 +119,24 @@ def test_sink_partition_pruning(spark, sf_dir, tmp_path):
 def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
     """Blanket plan-quality net over the WHOLE catalog: no query may plan a
     row-at-a-time Python UDF (BatchEvalPython — Arrow-batched ArrowEvalPython
-    and MapInPandas are the only permitted Python crossings) or an
-    unbroadcast CartesianProduct. Catches any future query sneaking in the
-    two classic scale-killers."""
+    and MapInPandas are the only permitted Python crossings), an unbroadcast
+    CartesianProduct, or a leaked persist (InMemoryTableScan — eager
+    localCheckpoint shows as Scan ExistingRDD and is the sanctioned
+    materialization; SQL-cache entries outlive the query and poison the
+    session). Catches any future query sneaking in the classic
+    scale-killers."""
     flagged = {}
     for name, q in CATALOG.items():
         p = _explain(spark, q.fn(spark, sf_dir))
-        marks = [m for m in ("BatchEvalPython", "CartesianProduct") if m in p]
+        marks = [
+            m
+            for m in ("BatchEvalPython", "CartesianProduct", "InMemoryTableScan")
+            if m in p
+        ]
         if marks:
             flagged[name] = marks
     assert flagged == {}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_range_join_plans_as_bucketed_equi_join(spark, sf_dir):
