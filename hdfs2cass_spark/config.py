@@ -43,6 +43,29 @@ class TargetInfo:
     def partition_key_indexes(self) -> list[int]:
         return [self.columns.index(c) for c in self.partition_key_columns]
 
+    def prepared_statement(self, column_names: list[str] | None = None) -> str:
+        """The generated CQL insert the bulk writer binds rows against —
+        byte-identical to CassandraClusterInfo.buildPreparedStatement
+        (CassandraClusterInfo.java:160-172): columns in the given order
+        (the columnnames= URI override, CassandraParams.java:87-94) or the
+        table's, each value a bind marker, with the trailing
+        ``USING TIMESTAMP ? AND TTL ?`` the per-row writetime/ttl bind to."""
+        cols = list(column_names) if column_names is not None else list(self.columns)
+        if not cols:
+            raise ValueError("no columns to build the insert statement from")
+        missing = [c for c in cols if c not in self.columns]
+        if missing:
+            raise ValueError(f"columns not in target table: {missing}")
+        # the trailing space before each ')' is the reference's own quirk —
+        # deleteCharAt removes only the final comma of "c1, c2, ", leaving
+        # "c1, c2 " — kept so the statement text matches byte-for-byte
+        names = "".join(f"{c}, " for c in cols)[:-2] + " "
+        marks = "".join("?, " for _ in cols)[:-2] + " "
+        return (
+            f"INSERT INTO {self.keyspace}.{self.table} "
+            f"({names}) VALUES ({marks}) USING TIMESTAMP ? AND TTL ?;"
+        )
+
 
 @dataclass
 class CassandraParams:

@@ -384,3 +384,30 @@ def test_md5_route_dotted_column_name(spark):
     sdf = spark.range(1).select(F.lit("foo").alias("user.key"))
     got = with_md5_token_bucket(sdf, "user.key", 8).collect()
     assert int(got[0]["token"]) == md5_token(b"foo")
+
+
+def test_prepared_statement_matches_reference_builder():
+    """TargetInfo.prepared_statement == CassandraClusterInfo.buildPreparedStatement
+    byte-for-byte (CassandraClusterInfo.java:160-172), including the
+    reference's trailing-space-before-paren quirk, the columnnames= order
+    override, and the USING TIMESTAMP/TTL tail the per-row binds fill."""
+    import pytest
+
+    from hdfs2cass_spark.config import TargetInfo
+
+    ti = TargetInfo(
+        keyspace="ks",
+        table="songstreams",
+        columns=["user_id", "ts", "track"],
+        partition_key_columns=["user_id"],
+    )
+    assert ti.prepared_statement() == (
+        "INSERT INTO ks.songstreams (user_id, ts, track ) VALUES (?, ?, ? ) "
+        "USING TIMESTAMP ? AND TTL ?;"
+    )
+    # columnnames= override reorders; single column keeps the quirk
+    assert ti.prepared_statement(["track"]) == (
+        "INSERT INTO ks.songstreams (track ) VALUES (? ) USING TIMESTAMP ? AND TTL ?;"
+    )
+    with pytest.raises(ValueError, match="not in target table"):
+        ti.prepared_statement(["nope"])
