@@ -151,6 +151,50 @@ def main() -> int:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # events-family stress: the window-heavy analytics (sessionize, as-of
+    # join, tumbling+sliding) at a synthetic scale the sf0.1 events fixture
+    # can't reach — us-jittered timestamps, ~1000 events/user
+    ev_n = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000"))
+    if ev_n > 0:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="bench_events_")
+        try:
+            ev = spark.range(ev_n).select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % (ev_n // 1000)).alias("user_id"),
+                F.expr(
+                    "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
+                    "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"
+                ).alias("ts"),
+                F.expr(
+                    "element_at(array('click','view','scroll','purchase','hover', "
+                    "'focus','blur','load','unload','error'), "
+                    "CAST(pmod(hash(id * 13), 10) + 1 AS INT))"
+                ).alias("event_type"),
+                (F.pmod(F.hash(F.col("id") * 31), 10000) / 100.0).alias("value"),
+                F.lit('{"k":1}').alias("props"),
+            )
+            ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+            for name in ("sessionize_events_batch", "asof_join_events", "tumbling_window_events"):
+                df = CATALOG[name].fn(spark, tmp)
+                df.write.mode("overwrite").format("noop").save()  # warm
+                dt = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    dt = min(dt, time.perf_counter() - t0)
+                stress[name + "_events_per_sec"] = round(ev_n / dt, 1)
+                print(
+                    f"# events stress {name}: {dt:.2f}s ({ev_n / dt:,.0f} events/s)",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     result = {
         "metric": "headline-queries-total-sec",
         "value": round(sum(timings.values()), 4),
@@ -160,6 +204,7 @@ def main() -> int:
         "pipeline_total_sec": round(sum(pipeline_timings.values()), 4),
         "curate_corpus_sec": round(curate_best, 4),
         "stress_docs": stress_docs,
+        "stress_events": ev_n,
         **stress,
         "bulk_load_rows_per_sec": bulk_rows_per_sec,
         "sf": sf_dir,
