@@ -1,0 +1,78 @@
+"""Distributed text embedding via feature hashing (the hashing trick).
+
+Closes the text -> embedding -> ANN loop with a featurizer that actually
+scales: each word deterministically maps to one of ``dims`` buckets with a
++/-1 sign (both carved from one xxhash64), a document's raw vector is the
+signed bucket-count histogram, L2-normalized. Classic feature hashing
+(Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+Learning") — unsupervised, vocabulary-free, and embarrassingly parallel, so
+it is the right baseline encoder when a learned model is unavailable or the
+pipeline needs a deterministic cross-run featurization (e.g. for the
+embedding-cosine near-dup family in operators/hyperplane.py).
+
+100 TB shape: explode words, map each to (bucket, sign) with codegen'd
+xxhash64, then TWO cascaded aggregations — (doc, bucket) signed counts, then
+the per-doc map — both with map-side partial combine, so the raw exploded
+word stream never crosses an exchange (only <= min(words, dims) aggregated
+rows per doc move, twice). The dense array assembles in-row. No vocabulary
+is built, broadcast, or fit; no Python crosses the row path (plan-checked:
+zero Eval/MapInPandas nodes, xxhash64 in codegen). Near-dup texts share
+most words and land on near-identical vectors (cosine ~ jaccard of the word
+multisets), which is what the downstream LSH expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.llm import W_SPARK
+
+
+def embed_texts(
+    d: DataFrame,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, out_col: array<float>) — L2-normalized hashed bag-of-words.
+
+    Words hash once (xxhash64, JVM-side); bucket = low bits mod dims, sign =
+    one extra hash bit (unbiased). Empty/too-short docs embed as the zero
+    vector (norm guard avoids NULL/NaN from 0/0).
+    """
+    if dims < 2 or dims > 4096:
+        raise ValueError(f"dims must be in [2, 4096], got {dims}")
+    words = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(W_SPARK.replace("text", text_col))
+        ).alias("_w"),
+    ).select(
+        id_col,
+        F.expr(f"CAST(pmod(xxhash64(_w), {dims}) AS INT)").alias("_b"),
+        F.expr(f"CASE WHEN (pmod(xxhash64(_w), {2 * dims}) DIV {dims}) = 0 "
+               "THEN 1 ELSE -1 END").alias("_s"),
+    )
+    # map_from_entries on raw (bucket, sign) pairs would fail on duplicate
+    # keys; aggregate per (doc, bucket) FIRST (partial map-side combine — the
+    # signed count per bucket), then assemble the per-doc map
+    sparse = (
+        words.groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+        .groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m"))
+    )
+    dense = f"transform(sequence(0, {dims - 1}), i -> CAST(coalesce(element_at(_m, i), 0) AS DOUBLE))"
+    norm = "sqrt(aggregate(_raw, 0D, (a, x) -> a + x * x))"
+    return (
+        sparse.withColumn("_raw", F.expr(dense))
+        .withColumn("_n", F.expr(norm))
+        .select(
+            id_col,
+            F.expr(
+                "transform(_raw, x -> CAST(CASE WHEN _n = 0 THEN 0.0 ELSE x / _n END AS FLOAT))"
+            ).alias(out_col),
+        )
+    )

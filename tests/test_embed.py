@@ -1,0 +1,76 @@
+"""Feature-hashing text embedder: determinism, geometry, and the full
+text -> embedding -> hyperplane-LSH near-dup loop."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.operators.embed import embed_texts
+
+
+def _vecs(df):
+    return {r[0]: list(r[1]) for r in df.collect()}
+
+
+def test_embeddings_are_normalized_and_deterministic(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    a = _vecs(embed_texts(d, dims=32))
+    b = _vecs(embed_texts(d, dims=32))
+    assert a == b  # pure hash function of the text
+    for v in a.values():
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == 0 or abs(n - 1.0) < 1e-5
+        assert len(v) == 32
+
+
+def test_geometry_tracks_word_overlap(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog tonight"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="completely different words about spark shuffles and rings"),
+    ]
+    v = _vecs(embed_texts(spark.createDataFrame(rows), dims=64))
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    near = cos(v[0], v[1])
+    far = max(cos(v[0], v[2]), cos(v[1], v[2]))
+    assert near > 0.8  # 9 of 10 words shared
+    assert near > far + 0.3  # disjoint text is clearly separated
+
+
+def test_empty_and_degenerate_texts(spark):
+    rows = [Row(doc_id=0, text=""), Row(doc_id=1, text="word")]
+    v = _vecs(embed_texts(spark.createDataFrame(rows), dims=16))
+    # single-word doc: unit vector on one bucket; empty text explodes to a
+    # single empty-string word -> still a defined unit vector, never NaN
+    for vec in v.values():
+        assert all(x == x for x in vec)  # no NaNs
+    with pytest.raises(ValueError, match="dims"):
+        embed_texts(spark.range(1).selectExpr("id AS doc_id", "'x' AS text"), dims=1)
+
+
+def test_text_to_embedding_to_lsh_near_dup_loop(spark):
+    """The loop the embedder exists for: near-dup TEXTS become near-dup
+    VECTORS that hyperplane-LSH recovers."""
+    from hdfs2cass_spark.operators.hyperplane import hyperplane_near_dup_pairs
+
+    base = "w{} x{} y{} z{} a{} b{} c{} d{} e{} f{}"
+    rows = []
+    for i in range(40):
+        words = base.format(*([i] * 10))
+        rows.append(Row(doc_id=2 * i, text=words + " shared tail one"))
+        rows.append(Row(doc_id=2 * i + 1, text=words + " shared tail two"))
+    emb = embed_texts(spark.createDataFrame(rows), dims=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    pairs = hyperplane_near_dup_pairs(
+        emb, threshold=0.8, id_col="vec_id", n_planes=6, multiprobe=1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
