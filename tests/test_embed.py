@@ -74,3 +74,15 @@ def test_text_to_embedding_to_lsh_near_dup_loop(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(40)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, f"planted-pair recall {recall}"
+
+
+def test_embed_plan_stays_codegen(spark, sf_dir):
+    """The aggregation must stay a plain HashAggregate of conditional sums:
+    no ObjectHashAggregate (collect_list path), no Python, exactly one
+    exchange — the measured 23x at 1M docs lives or dies on this shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = embed_texts(d, dims=32)._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in p
+    assert "HashAggregate" in p and "partial_sum" in p  # map-side combine
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert p.count("Exchange") == 1
