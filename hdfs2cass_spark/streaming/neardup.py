@@ -36,13 +36,14 @@ doc_id order, the streamed decisions are row-identical to
 :func:`near_dup_decisions_batch` over the full corpus — including
 checkpoint-kill-resume replays.
 
-Deliberate divergence from the batch LSH family's bucket cap, documented:
-candidate generation here has NO per-band-key cap, because a cap over an
-accumulating index is time-dependent (a key crosses the cap at some batch)
-and would break the exact stream==batch twin this module is checked by. The
-production policy is to FREEZE a band key once its index df exceeds the cap
-(stop generating candidates for it — the capped_buckets policy applied at
-index-build time); the join shape is already index-shuffle-free either way.
+The batch LSH family's bucket cap appears here as the OPT-IN ``band_cap``
+freeze policy (round 5): a band key whose index df exceeds the cap stops
+generating candidates — the capped_buckets idea applied to an accumulating
+index, with the freeze set computed by a skew-safe COUNT. It is opt-in
+because freezing is time-dependent (a key crosses the cap at some batch) and
+therefore NOT reproducible by the arrival-order batch twin; the default
+(None) keeps the exact stream==batch contract the equivalence tests assert,
+and the join shape is index-shuffle-free either way.
 """
 
 from __future__ import annotations
@@ -140,10 +141,33 @@ def _verify(pairs: DataFrame, index_sigs: DataFrame, arriving_sigs: DataFrame) -
     )
 
 
-def _candidates(index_bands_sigs, arriving_bands_sigs) -> DataFrame:
-    """(doc_a, doc_b, est) verified pairs from (bands, sigs) table pairs."""
+def _frozen_keys(index_bands: DataFrame, band_cap: int) -> DataFrame:
+    """(band, bkey) keys whose index document frequency exceeds the cap —
+    the FREEZE policy: a band signature shared by more docs than the cap is
+    degenerate boilerplate, and joining new arrivals against its full
+    occurrence list is the unbounded fan-out this guard exists to stop.
+    COUNT aggregates with map-side partial combine, so the hot key itself
+    collapses per mapper — computing the freeze set is skew-safe by
+    construction (the capped_buckets argument, applied to the index)."""
+    return (
+        index_bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > band_cap)
+        .select("band", "bkey")
+    )
+
+
+def _candidates(index_bands_sigs, arriving_bands_sigs, band_cap: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, est) verified pairs from (bands, sigs) table pairs.
+    ``band_cap`` applies the freeze policy: arriving rows under a frozen key
+    generate no candidates (left_anti against the frozen-key set, which is
+    tiny — only keys past the cap — and broadcasts)."""
     ib, isig = index_bands_sigs
     ab, asig = arriving_bands_sigs
+    if band_cap is not None:
+        ab = ab.join(
+            F.broadcast(_frozen_keys(ib, band_cap)), ["band", "bkey"], "left_anti"
+        )
     return _verify(_candidate_pairs(ib, ab), isig, asig)
 
 
@@ -163,6 +187,7 @@ def stream_near_dup(
     sink_path: str,
     checkpoint: str,
     available_now: bool = False,
+    band_cap: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery.
 
@@ -171,6 +196,14 @@ def stream_near_dup(
     ``index_path``/{bands,sig}, decisions under ``sink_path`` — all
     batch-id-keyed for replay idempotence; read decisions back with
     :func:`read_decisions`.
+
+    ``band_cap`` (production setting) FREEZES band keys whose index df
+    exceeds the cap: new arrivals under a frozen key generate no candidates,
+    bounding the join fan-out against boilerplate signatures. Freezing is
+    time-dependent (a key crosses the cap at some batch), so decisions with
+    a cap are NOT comparable to the arrival-order batch twin — leave it None
+    where the exact stream==batch contract matters (the default, and what
+    the equivalence tests run).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,7 +222,7 @@ def stream_near_dup(
         rec = {"recursiveFileLookup": "true"}
         isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
         ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
-        verified = _candidates((ib, isig), (ab, asig))
+        verified = _candidates((ib, isig), (ab, asig), band_cap=band_cap)
         _decisions(batch_df.select("doc_id"), verified).write.mode(
             "overwrite"
         ).parquet(f"{sink_path}/batch-{batch_id:09d}")

@@ -239,6 +239,53 @@ def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_stream_near_dup_band_cap_freezes_hot_keys(spark, tmp_path):
+    """With band_cap set, a boilerplate band signature shared by many docs
+    stops generating candidates once its index df crosses the cap — the
+    arrivals after the freeze are NOT flagged against the hot key's full
+    occurrence list (bounded fan-out), while genuinely distinct docs still
+    pass through untouched."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.streaming import read_decisions, stream_documents, stream_near_dup
+
+    # batch 0: 60 identical docs (hot signature); batch 1: 60 more of the
+    # same + 5 distinct docs
+    hot_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = spark.createDataFrame(
+        [(i, hot_text) for i in range(60)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(60 + i, hot_text) for i in range(60)]
+        + [(200 + i, f"unique words only here {i} one two three four five") for i in range(5)],
+        "doc_id long, text string",
+    )
+    flat = tmp_path / "bc_flat"
+    flat.mkdir()
+    for j, b in enumerate((b0, b1)):
+        part = tmp_path / f"bc_p{j}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{j}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("bc_idx", "bc_out", "bc_ck"))
+    q = stream_near_dup(
+        stream_documents(spark, str(flat)), idx, out, ck,
+        available_now=True, band_cap=50,
+    )
+    q.awaitTermination(120)
+    dec = {r["doc_id"]: r for r in read_decisions(spark, out).collect()}
+    assert len(dec) == 125
+    # batch 0 wrote 60 copies at once: its own keys were already past the
+    # cap when its candidates ran (index-first protocol), so the WHOLE hot
+    # key is frozen from the start — bounded fan-out, by construction
+    assert not any(dec[i]["is_dup"] for i in range(120))
+    # distinct docs are unaffected by the freeze
+    assert not any(dec[200 + i]["is_dup"] for i in range(5))
+
+
 def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
     """The full on-ingest curation chain (quality -> exact keep-first vs hash
     index -> near-dup vs signature index -> decontam) must produce exactly
