@@ -145,12 +145,15 @@ def stream_curate(
     sink_path: str,
     checkpoint: str,
     available_now: bool = False,
+    band_cap: int | None = None,
 ):
     """Start the streaming curation query; returns the StreamingQuery.
 
     Per-doc decisions (same schema as :func:`curate_decisions_batch`) land
     under ``sink_path``; the exact-hash and near-dup-signature indexes
-    accumulate under ``index_path``/{exact,sig}. All writes batch-id-keyed.
+    accumulate under ``index_path``/{exact,sig,bands}. All writes
+    batch-id-keyed. ``band_cap`` applies the near-dup stage's freeze policy
+    (see stream_near_dup) — opt-in, outside the exact twin contract.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -208,7 +211,7 @@ def stream_curate(
             isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
             ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
             nd_losers = pin(
-                _candidates((ib, isig), (ab, asig))
+                _candidates((ib, isig), (ab, asig), band_cap=band_cap)
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
                 .withColumn("near_dup", F.lit(True))
