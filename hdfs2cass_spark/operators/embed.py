@@ -29,9 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.llm import W_SPARK
-
-
 def embed_texts(
     d: DataFrame,
     dims: int = 64,
@@ -49,9 +46,7 @@ def embed_texts(
         raise ValueError(f"dims must be in [2, 4096], got {dims}")
     words = d.select(
         F.col(id_col),
-        F.explode(
-            F.expr(W_SPARK.replace("text", text_col))
-        ).alias("_w"),
+        F.explode(F.expr(rf"split(trim({text_col}), '\\s+')")).alias("_w"),
     ).select(
         id_col,
         F.expr(f"CAST(pmod(xxhash64(_w), {dims}) AS INT)").alias("_b"),

@@ -160,8 +160,10 @@ def _frozen_keys(index_bands: DataFrame, band_cap: int) -> DataFrame:
 def _candidates(index_bands_sigs, arriving_bands_sigs, band_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, est) verified pairs from (bands, sigs) table pairs.
     ``band_cap`` applies the freeze policy: arriving rows under a frozen key
-    generate no candidates (left_anti against the frozen-key set, which is
-    tiny — only keys past the cap — and broadcasts)."""
+    generate no candidates (left_anti against the frozen-key set — bounded
+    by index_rows / cap keys, so it broadcasts for any realistic cap; a
+    deployment where even that bound is large should materialize the freeze
+    set to parquet once per compaction instead of per batch)."""
     ib, isig = index_bands_sigs
     ab, asig = arriving_bands_sigs
     if band_cap is not None:
