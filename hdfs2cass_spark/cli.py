@@ -33,7 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timestamp", default=None)
     p.add_argument("--ttl", default=None)
     p.add_argument("--ignore", action="append", default=[])
-    p.add_argument("--format", default="parquet", choices=["parquet", "avro", "text"])
+    p.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "avro", "text", "csv", "json", "orc"],
+    )
+    p.add_argument(
+        "--input-option",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="reader option passed to the source (repeatable), e.g. "
+        "--input-option header=true --input-option inferSchema=true for CSV",
+    )
     p.add_argument("--simulated-path", default=None)
     p.add_argument("--now-ms", type=int, default=None)
     p.add_argument(
@@ -52,7 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session("hdfs2cass_spark.cli")
     # --format avro needs the external spark-avro module (read_records raises
     # with the --packages coordinates when it's absent)
-    df = read_records(spark, args.input, fmt=args.format)
+    opts = {}
+    for kv in args.input_option:
+        if "=" not in kv:
+            raise SystemExit(f"--input-option must be KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        opts[k] = v
+    df = read_records(spark, args.input, fmt=args.format, **opts)
     target = None
     if args.partitioner == "random":
         from .config import RANDOM, CassandraParams, TargetInfo
