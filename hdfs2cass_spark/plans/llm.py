@@ -1166,6 +1166,38 @@ def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_candidates(wide).orderBy("doc_a", "doc_b")
 
 
+@declare(
+    "text_embed_near_dup_pairs",
+    oracle=None,  # the featurizer is xxhash64-based by design (operators/embed.py) — its geometry and LSH recall are test-asserted, and the shingle-based near-dup family carries the oracle checks
+    doc="The text -> embedding -> ANN loop as one query: documents are "
+    "feature-hash embedded (operators/embed.py — vocabulary-free signed "
+    "bucket histograms, one codegen'd aggregation) and near-dup pairs come "
+    "from hyperplane-LSH over the resulting vectors (capped buckets, "
+    "Hamming-1 multiprobe). The embedding-space twin of the shingle-based "
+    "dedup family: catches near-dups that token-level minhash misses when "
+    "wording shifts but the word DISTRIBUTION doesn't, at the cost of an "
+    "embedding pass — both run from the same raw text at 100 TB.",
+)
+def text_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embed import embed_texts
+    from ..operators.hyperplane import hyperplane_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = embed_texts(_spread_docs(d), dims=64).withColumnRenamed("doc_id", "vec_id")
+    # 0.95: on the fixture corpus (small shared vocabulary, so hashed-BoW
+    # cosine runs high between unrelated docs) this keeps the 20-odd
+    # genuinely near-identical pairs and drops the vocabulary-overlap noise
+    # (0.8 admits ~4% of ALL pairs there; real corpora separate much harder)
+    pairs = hyperplane_near_dup_pairs(
+        emb, threshold=0.95, id_col="vec_id", n_planes=8, multiprobe=1, cap=BAND_CAP
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("sim", 6).alias("cosine"),
+    ).orderBy("doc_a", "doc_b")
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
