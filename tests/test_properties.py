@@ -93,3 +93,55 @@ def test_md5_token_matches_inline_udf_logic(key):
         inline = abs(int.from_bytes(hashlib.md5(bytes(k)).digest(), "big", signed=True))
     assert md5_token(key) == inline
     assert 0 <= inline < RING_SIZE_MD5
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=MIN_TOKEN, max_value=MAX_TOKEN),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=MIN_TOKEN, max_value=MAX_TOKEN),
+)
+def test_ring_every_token_has_consistent_replicas(tokens, probe):
+    """Ring invariants for arbitrary token layouts: every probe resolves to
+    rf distinct endpoints led by the range owner, and the owner is the
+    smallest ring token >= probe (wrapping to the smallest overall)."""
+    from hdfs2cass_spark.sinks.ring import Ring, replicas_for_token
+
+    tokens = sorted(tokens)
+    eps = [f"n{i % max(2, len(tokens))}" for i in range(len(tokens))]
+    ring = Ring(tokens, eps, rf=min(2, len(set(eps))))
+    reps = replicas_for_token(ring, probe)
+    assert len(reps) == ring.rf and len(set(reps)) == len(reps)
+    above = [t for t in tokens if t >= probe]
+    owner_token = above[0] if above else tokens[0]
+    assert reps[0] == eps[tokens.index(owner_token)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=-1200, max_value=1200),
+    st.integers(min_value=0, max_value=400),
+)
+def test_ring_span_ranges_cover_every_token_in_span(tokens, lo, width):
+    """ranges_for_span must include the owning range of EVERY token inside
+    the span (sampled densely on a small ring) and nothing fails on
+    wraparound spans."""
+    from hdfs2cass_spark.sinks.ring import Ring, ranges_for_span, replicas_for_token
+
+    tokens = sorted(tokens)
+    ring = Ring(tokens, [f"e{i}" for i in range(len(tokens))])
+    hi = lo + width
+    owners = {t for t, _ in ranges_for_span(ring, lo, hi)}
+    for probe in range(lo, hi + 1, max(1, width // 37)):
+        above = [t for t in tokens if t >= probe]
+        assert (above[0] if above else tokens[0]) in owners
