@@ -351,6 +351,79 @@ def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
     assert stages["e"] > 0 and stages["n"] > 0 and stages["k"] > 0
 
 
+def test_stream_curate_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Stopping and restarting the curation stream against the same
+    checkpoint must process each file exactly once; the resumed run's
+    decisions for the NEW batch must see the prior batches' indexes (a
+    cross-batch exact duplicate arriving after the restart is still
+    caught)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.curate import (
+        curate_decisions_batch,
+        read_curated,
+        stream_curate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _shingles(docs.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    base = docs.filter(~F.expr(_BENCH_SPARK)).select("doc_id", "text")
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    # batch 2 (arriving after the restart) re-emits 5 early docs verbatim —
+    # chosen from quality-PASSING docs so their copies must be flagged
+    # exact_dup regardless of how a regenerated fixture distributes junk
+    from hdfs2cass_spark.streaming.curate import _quality
+
+    dupes = (
+        _quality(base)
+        .orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    n = hi
+    flat = tmp_path / "cr_flat"
+    flat.mkdir()
+
+    def seed(i, df):
+        part = tmp_path / f"cr_p{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    seed(0, base.filter(F.col("doc_id") < n / 2))
+    seed(1, base.filter(F.col("doc_id") >= n / 2))
+    idx, out, ck = (str(tmp_path / p) for p in ("cr_idx", "cr_out", "cr_ck"))
+    q = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck, available_now=True
+    )
+    q.awaitTermination(180)
+    first = read_curated(spark, out).count()
+
+    seed(2, dupes)
+    q2 = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck, available_now=True
+    )
+    q2.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in read_curated(spark, out).collect())
+    want = sorted(
+        tuple(r)
+        for r in curate_decisions_batch(base.unionByName(dupes), bench).collect()
+    )
+    assert got == want  # nothing double-processed, nothing skipped
+    assert first < len(got)
+    # the post-restart duplicates were caught against the PRE-restart index
+    dup_ids = {r[0] for r in want if r[0] >= hi}
+    dec = {r[0]: r for r in got}
+    assert dup_ids and all(dec[i][2] for i in dup_ids)  # exact_dup=True
+
+
 def test_stream_bulk_load(spark, events_dir, tmp_path):
     """The reference dataflow fed by a stream: per-micro-batch token-sorted
     bucket files; total rows equal the batch source."""
