@@ -80,6 +80,48 @@ def _exact_losers(index_hashes: DataFrame, arriving: DataFrame) -> DataFrame:
     )
 
 
+def _verdicts(
+    all_ids: DataFrame,
+    qual: DataFrame,
+    exact_losers: DataFrame,
+    nd_losers: DataFrame,
+    contaminated: DataFrame,
+) -> DataFrame:
+    """Fold the four stage verdict tables into one decision row per doc —
+    (doc_id, quality_pass, exact_dup, near_dup, contaminated, kept), stage
+    columns null once an earlier stage rejected the doc. ONE implementation
+    shared by the stream and its batch twin so their row semantics cannot
+    drift."""
+    out = (
+        all_ids.join(qual, "doc_id", "left")
+        .join(exact_losers, "doc_id", "left")
+        .join(nd_losers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    qp = F.coalesce("quality_pass", F.lit(False))
+    ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
+    ndp = F.when(
+        qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False))
+    )
+    cont = F.when(
+        qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
+        F.coalesce("contaminated", F.lit(False)),
+    )
+    return out.select(
+        "doc_id",
+        qp.alias("quality_pass"),
+        ed.alias("exact_dup"),
+        ndp.alias("near_dup"),
+        cont.alias("contaminated"),
+        (
+            qp
+            & ~F.coalesce(ed, F.lit(True))
+            & ~F.coalesce(ndp, F.lit(True))
+            & ~F.coalesce(cont, F.lit(True))
+        ).alias("kept"),
+    )
+
+
 def curate_decisions_batch(
     d: DataFrame, bench_shingles: DataFrame
 ) -> DataFrame:
@@ -114,27 +156,8 @@ def curate_decisions_batch(
         .withColumn("contaminated", F.lit(True))
     )
     qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
-    out = (
-        d.select("doc_id")
-        .join(qual, "doc_id", "left")
-        .join(exact_losers, "doc_id", "left")
-        .join(nd_losers, "doc_id", "left")
-        .join(contaminated, "doc_id", "left")
-    )
-    qp = F.coalesce("quality_pass", F.lit(False))
-    ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
-    ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
-    cont = F.when(
-        qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
-        F.coalesce("contaminated", F.lit(False)),
-    )
-    return out.select(
-        "doc_id",
-        qp.alias("quality_pass"),
-        ed.alias("exact_dup"),
-        ndp.alias("near_dup"),
-        cont.alias("contaminated"),
-        (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
+    return _verdicts(
+        d.select("doc_id"), qual, exact_losers, nd_losers, contaminated
     ).orderBy("doc_id")
 
 
@@ -227,27 +250,8 @@ def stream_curate(
             )
 
             qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
-            out = (
-                d.select("doc_id")
-                .join(qual, "doc_id", "left")
-                .join(exact_losers, "doc_id", "left")
-                .join(nd_losers, "doc_id", "left")
-                .join(contaminated, "doc_id", "left")
-            )
-            qp = F.coalesce("quality_pass", F.lit(False))
-            ed = F.when(qp, F.coalesce("exact_dup", F.lit(False)))
-            ndp = F.when(qp & ~F.coalesce("exact_dup", F.lit(False)), F.coalesce("near_dup", F.lit(False)))
-            cont = F.when(
-                qp & ~F.coalesce("exact_dup", F.lit(False)) & ~F.coalesce("near_dup", F.lit(False)),
-                F.coalesce("contaminated", F.lit(False)),
-            )
-            out.select(
-                "doc_id",
-                qp.alias("quality_pass"),
-                ed.alias("exact_dup"),
-                ndp.alias("near_dup"),
-                cont.alias("contaminated"),
-                (qp & ~F.coalesce(ed, F.lit(True)) & ~F.coalesce(ndp, F.lit(True)) & ~F.coalesce(cont, F.lit(True))).alias("kept"),
+            _verdicts(
+                d.select("doc_id"), qual, exact_losers, nd_losers, contaminated
             ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
         finally:
             for df in pinned:
