@@ -239,6 +239,66 @@ def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
+    """Pins the documented contract when files arrive OUT of doc_id order:
+    a doc is judged against what the index held AT ITS ARRIVAL, with doc_id
+    as the logical 'earlier' relation. So when high ids arrive first, (a)
+    their decisions cannot see the not-yet-arrived low ids (the stream
+    diverges from the order-independent twin exactly there), while (b)
+    late-arriving low ids still get twin-identical decisions (their
+    candidates are lower ids only, all present by then)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from hdfs2cass_spark.streaming import (
+        near_dup_decisions_batch,
+        read_decisions,
+        stream_documents,
+        stream_near_dup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = [
+        Row(doc_id=i, text=f"only unique words {i} one two three four five six")
+        for i in range(2, 50)
+    ] + [
+        Row(doc_id=100 + i, text=f"more unique words {i} six seven eight nine ten")
+        for i in range(2, 50)
+    ]
+    high = spark.createDataFrame([Row(doc_id=100, text=text), Row(doc_id=101, text=text)]
+                                 + [r for r in filler if r.doc_id >= 100])
+    low = spark.createDataFrame([Row(doc_id=0, text=text), Row(doc_id=1, text=text)]
+                                + [r for r in filler if r.doc_id < 100])
+    flat = tmp_path / "oo_flat"
+    flat.mkdir()
+    for j, b in enumerate((high, low)):  # HIGH ids arrive FIRST
+        part = tmp_path / f"oo_p{j}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{j}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("oo_idx", "oo_out", "oo_ck"))
+    q = stream_near_dup(stream_documents(spark, str(flat)), idx, out, ck, available_now=True)
+    q.awaitTermination(120)
+    dec = {r["doc_id"]: r for r in read_decisions(spark, out).collect()}
+    twin = {
+        r["doc_id"]: r
+        for r in near_dup_decisions_batch(high.unionByName(low)).collect()
+    }
+    # (a) 101 arrived before 0/1 existed: in-batch it matches 100 — same as
+    # the twin here; but 100's own decision (twin: not dup; no lower match
+    # arrives EVER since 0/1 > ... wait ids 0,1 < 100) — the twin flags 100
+    # as dup of 0; the stream, which judged 100 before 0 arrived, does NOT
+    assert twin[100]["is_dup"] and twin[100]["first_match"] == 0
+    assert not dec[100]["is_dup"]  # the documented divergence
+    # (b) late-arriving low ids: twin-identical (their candidates are lower
+    # ids only, all present by their arrival)
+    assert tuple(dec[1]) == tuple(twin[1])
+    assert dec[1]["is_dup"] and dec[1]["first_match"] == 0
+    assert tuple(dec[0]) == tuple(twin[0])  # the first copy stays kept
+
+
 def test_stream_near_dup_band_cap_freezes_hot_keys(spark, tmp_path):
     """With band_cap set, a boilerplate band signature shared by many docs
     stops generating candidates once its index df crosses the cap — the
