@@ -286,10 +286,8 @@ def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
         r["doc_id"]: r
         for r in near_dup_decisions_batch(high.unionByName(low)).collect()
     }
-    # (a) 101 arrived before 0/1 existed: in-batch it matches 100 — same as
-    # the twin here; but 100's own decision (twin: not dup; no lower match
-    # arrives EVER since 0/1 > ... wait ids 0,1 < 100) — the twin flags 100
-    # as dup of 0; the stream, which judged 100 before 0 arrived, does NOT
+    # (a) the order-independent twin flags 100 as a dup of 0 (lower id,
+    # same text); the stream judged 100 before 0 had arrived, so it does NOT
     assert twin[100]["is_dup"] and twin[100]["first_match"] == 0
     assert not dec[100]["is_dup"]  # the documented divergence
     # (b) late-arriving low ids: twin-identical (their candidates are lower
