@@ -165,7 +165,8 @@ def main() -> int:
         try:
             ev = spark.range(ev_n).select(
                 F.col("id").alias("event_id"),
-                (F.col("id") % (ev_n // 1000)).alias("user_id"),
+                # max(1, ...): 0 < ev_n < 1000 would otherwise divide by zero
+                (F.col("id") % max(1, ev_n // 1000)).alias("user_id"),
                 F.expr(
                     "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
                     "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"

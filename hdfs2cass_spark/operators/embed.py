@@ -39,8 +39,12 @@ def embed_texts(
     """(id_col, out_col: array<float>) — L2-normalized hashed bag-of-words.
 
     Words hash once (xxhash64, JVM-side); bucket = low bits mod dims, sign =
-    one extra hash bit (unbiased). Empty/too-short docs embed as the zero
-    vector (norm guard avoids NULL/NaN from 0/0).
+    one extra hash bit (unbiased). Edge semantics (pinned by
+    tests/test_embed.py): an EMPTY text still embeds — split(trim('')) yields
+    one empty-string token, so the doc lands on the ''-token bucket as a unit
+    basis vector; a NULL text yields a NULL words array, the explode drops it,
+    and the doc is ABSENT from the output. The norm guard (0 -> 0.0) only
+    fires for callers that pre-tokenize to an empty bucket set.
     """
     if dims < 2 or dims > 4096:
         raise ValueError(f"dims must be in [2, 4096], got {dims}")

@@ -74,7 +74,8 @@ def main() -> int:
         n = args.events
         ev = spark.range(n).select(
             F.col("id").alias("event_id"),
-            (F.col("id") % (n // 1000)).alias("user_id"),
+            # max(1, ...): 0 < n < 1000 would otherwise divide by zero
+            (F.col("id") % max(1, n // 1000)).alias("user_id"),
             F.expr(
                 "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
                 "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"
