@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.readers import load_table
 from .llm import (
@@ -270,16 +271,20 @@ SUBSTR_K = 8  # words per duplicated-substring detection window
     f"consecutive duplicated run (max_dup_run + {SUBSTR_K - 1} words = the "
     f"longest duplicated substring, the span a scrubber would cut). Docs "
     f"shorter than {SUBSTR_K} words have no windows and are excluded. "
-    f"100 TB shape: a window min/max over the gram hash marks duplicated "
-    f"positions in ONE shuffle of the gram table (min(doc_id) != max(doc_id) "
-    f"within an h-group == the gram occurs in >= 2 docs — no DF aggregate, "
-    f"no join-back, and crucially no broadcast of a dup-set that scales with "
-    f"the corpus; no suffix array, no driver state), then ONE "
-    f"(doc_id, isdup)-partitioned window marks gaps-and-islands run ids and "
-    f"two cascaded aggregations (run segments, then per-doc stats) ride that "
-    f"same shuffle — counts, fraction, AND longest run come out of a single "
-    f"branch-free pass, so the gram subtree is never recomputed per output "
-    f"column.",
+    f"100 TB shape: the gram table is materialized ONCE (localCheckpoint), "
+    f"then duplicated positions are marked by a groupBy(h) min/max aggregate "
+    f"(min(doc_id) != max(doc_id) == the gram occurs in >= 2 docs) joined "
+    f"back on h — map-side partial combine collapses a hot gram's rows per "
+    f"mapper BEFORE the shuffle, and the join-back's hot partition is "
+    f"AQE-skew-splittable, so no single task ever streams a "
+    f"df-in-the-billions gram (the Window.partitionBy(h) form this replaced "
+    f"sent every position of one hot gram to ONE linear task — disk-bounded "
+    f"but an hours-long straggler at adversarial scale); still no broadcast "
+    f"of a dup-set that scales with the corpus, no suffix array, no driver "
+    f"state. Then ONE (doc_id, isdup)-partitioned window marks "
+    f"gaps-and-islands run ids and two cascaded aggregations (run segments, "
+    f"then per-doc stats) ride that same shuffle — counts, fraction, AND "
+    f"longest run come out of a single pass over the checkpointed grams.",
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -294,19 +299,32 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
         .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        # lazy localCheckpoint: the gram table feeds TWO branches (the dup-set
+        # aggregate and the join-back probe) and its explode carries a lambda
+        # subtree that never passes ReuseExchange — without materialization
+        # the heaviest map stage would run twice. RDD-level storage (Scan
+        # ExistingRDD), not SQL cache, so nothing outlives the query.
+        # DISK_ONLY: the gram table is ~10-20x the corpus row count — at the
+        # default MEMORY_AND_DISK the stored blocks pin the unified pool
+        # (execution can only evict storage to 50%) and the downstream 32-way
+        # hash aggregate dies with AGGREGATE_OUT_OF_MEMORY (observed at the
+        # 6.7M-doc skew probe); a disk-resident gram table streams into both
+        # branches with zero pool contention.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    # duplicated-position marking in ONE shuffle: within an h-partition,
-    # min(doc_id) != max(doc_id) iff the gram occurs in >= 2 distinct docs.
-    # The round-4a aggregate+join-back form computed the gram subtree TWICE
-    # (two plan branches) and broadcast the dup-set — which scales with the
-    # corpus, so the broadcast dies at 100 TB; this form has one branch, one
-    # exchange on h, and no join at all.
-    wh = Window.partitionBy("h")
-    marked = pos.select(
-        "doc_id",
-        "pos",
-        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("isdup"),
+    # duplicated-position marking, SKEW-SAFE (round 6): groupBy(h) min/max has
+    # map-side partial combine, so a hot gram (df in the millions: boilerplate
+    # present in a third of the corpus) collapses to one row per mapper BEFORE
+    # the exchange; the join back on h is AQE-skew-splittable. The round-5
+    # Window.partitionBy(h) form used one exchange and no join, but a window
+    # partition cannot be split — every position of the hot gram streamed
+    # through ONE task (disk-bounded via the spillable row buffer, yet a
+    # linear straggler that at 100 TB is an hours-long tail). No broadcast
+    # anywhere: the dup-flag table scales with the corpus and rides a shuffle.
+    dupflag = pos.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("isdup")
     )
+    marked = pos.join(dupflag, "h").select("doc_id", "pos", "isdup")
     # gaps-and-islands over BOTH dup and non-dup rows in one window: the
     # island id is constant within each consecutive same-flag run, so run
     # lengths, totals, and the longest dup run all fall out of two cascaded

@@ -53,7 +53,11 @@ def main() -> int:
     from hdfs2cass_spark.session import get_session
     from hdfs2cass_spark.sinks.pipeline import bulk_load
 
-    spark = get_session("stress")
+    # the UI is normally off (session.py default); the freq-skew probe needs
+    # its REST API for per-task durations of the hot stage
+    spark = get_session(
+        "stress", extra_conf={"spark.ui.enabled": "true"} if args.freq_skew else None
+    )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, float] = {}
 
@@ -110,11 +114,11 @@ def main() -> int:
         # have df ~ 0.3 * docs (~300k at 1M) — the shape that, before
         # capped_buckets, piled the full occurrence list into one aggregation
         # buffer. The length-skew probe (r4) covered 667x document LENGTH;
-        # this covers key frequency. exact_substring_spans keeps its
-        # Window.partitionBy(h) over the hot gram — a streaming min/max whose
-        # partition spills via ExternalAppendOnlyUnsafeRowArray (disk-bounded,
-        # one linear straggler task, never an OOM); its time here IS that
-        # documented bound.
+        # this covers key frequency. exact_substring_spans (round 6) marks
+        # dups with a groupBy(h) min/max + join-back over a checkpointed gram
+        # table: map-side combine collapses the hot gram per mapper and the
+        # join-back partition is AQE-splittable — no single-task window
+        # straggler remains. Probe at --docs 6700000 for a df>=2M hot gram.
         boiler = " ".join(f"bp{i}" for i in range(10))
         words = F.expr(
             "transform(sequence(1, 20), i -> "
@@ -142,7 +146,45 @@ def main() -> int:
 
         run("skew_minhash_lsh", minhash_lsh_pairs_fast(spark, tmp), args.docs)
         run("skew_jaccard", ngram_jaccard_pairs(spark, tmp), args.docs)
+
+        # substring spans: also record per-task skew of its heaviest stage via
+        # the UI REST API — the direct evidence that the groupBy+join-back dup
+        # marking left no dominant task (the old h-partitioned window put the
+        # whole hot gram in ONE task; max/median task time exposed that)
+        import urllib.request
+
+        def _stages():
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete"
+            ) as r:
+                return json.load(r)
+
+        before = {s["stageId"] for s in _stages()}
         run("skew_substring_spans", exact_substring_spans(spark, tmp), args.docs)
+        new = [s for s in _stages() if s["stageId"] not in before]
+        if new:
+            worst = max(new, key=lambda s: s.get("executorRunTime", 0))
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages/{worst['stageId']}/"
+                f"{worst['attemptId']}/taskSummary?quantiles=0.5,1.0"
+            ) as r:
+                q = json.load(r)
+            med, mx = q["executorRunTime"]
+            out["substring_hot_stage_tasks"] = worst["numCompleteTasks"]
+            out["substring_hot_stage_task_median_ms"] = round(med)
+            out["substring_hot_stage_task_max_ms"] = round(mx)
+            out["substring_hot_stage_max_over_median"] = round(mx / max(med, 1.0), 2)
+            print(
+                f"# substring hot stage: {worst['numCompleteTasks']} tasks, "
+                f"task median {med:.0f}ms max {mx:.0f}ms "
+                f"(ratio {mx / max(med, 1.0):.2f})",
+                file=sys.stderr,
+            )
+
         run("skew_decontamination", decontamination_overlap(spark, tmp), args.docs)
         out["docs"] = args.docs
         out["hot_gram_df"] = 3 * args.docs // 10

@@ -139,6 +139,20 @@ def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_substring_spans_skew_safe_dup_marking(spark, sf_dir):
+    """exact_substring_spans must NOT mark duplicated positions with a Window
+    partitioned on the gram hash: a window partition cannot be split, so one
+    hot gram (boilerplate in a third of a crawl) streams through a single
+    task. The skew-safe shape (round 6) is a checkpointed gram table +
+    groupBy(h) min/max — map-side partial combine collapses the hot key per
+    mapper — joined back on h (AQE-splittable). The only windows left are
+    per-doc (gaps-and-islands)."""
+    p = _explain(spark, CATALOG["exact_substring_spans"].fn(spark, sf_dir))
+    assert "windowspecdefinition(h#" not in p  # no gram-partitioned window
+    assert "Scan ExistingRDD" in p  # gram table materialized exactly once
+    assert "partial_min" in p and "partial_max" in p  # map-side combine on h
+
+
 def test_range_join_plans_as_bucketed_equi_join(spark, sf_dir):
     """The declared range join must plan as an equi-join on the bucket column
     — never the nested-loop join Spark produces for a raw range predicate."""
