@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
 from .llm import (
@@ -142,10 +143,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT one Spark job: connected_components is iterative (one shuffle per
     round, eager localCheckpoint between rounds — the standard distributed-CC
-    shape), and the prefix-sum runs one tiny count job per level, so the
-    pre-near-dup chain executes during construction and the post-near-dup
-    chain on each action. Everything else stays one lazy Catalyst plan, and
-    no stage ever collects data rows to the driver.
+    shape), and the prefix-sum runs one tiny count job per level. The
+    exact-dedup survivors are localCheckpointed (round 6), so the
+    quality-filter + dedup-window prefix executes exactly ONCE — at
+    construction, when the first CC job pulls it — and every later action
+    re-reads the materialized survivors instead of re-running the two
+    heaviest stages (plan-asserted in tests/test_compose.py). Everything
+    else stays one lazy Catalyst plan, and no stage ever collects data rows
+    to the driver.
     """
     from ..operators.prefixsum import exclusive_cumsum
 
@@ -164,6 +169,18 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     deduped = (
         q.withColumn("_rn", F.row_number().over(keep)).filter(F.col("_rn") == 1).drop("_rn")
+        # Materialize the survivors ONCE (RDD-level localCheckpoint — the
+        # no-SQL-cache materialization, same as connected_components): they
+        # feed BOTH the eager near-dup stage (LSH pairs -> connected
+        # components, which runs at construction) and the returned lazy chain
+        # (stages 4-5, re-run per action). Without this the quality filter +
+        # dedup window — the two heaviest stages — executed twice per action
+        # (measured 41-51s -> expected ~10-20% off at the 1M-doc stress; the
+        # streaming twin already materializes survivors for the same reason,
+        # streaming/curate.py). Lazy: the first CC job populates it.
+        # DISK_ONLY so the stored survivors never pin the unified memory pool
+        # against the chain's own aggregates (see exact_substring_spans).
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     # --- 3. near-dup dedup: LSH pairs -> clusters -> keep min per cluster ---

@@ -41,6 +41,21 @@ def test_curate_corpus_keeps_scale_properties(spark, sf_dir):
     assert "windowspecdefinition(_shard" in p  # distributed prefix-sum intact
 
 
+def test_curate_corpus_upstream_chain_executes_once(spark, sf_dir):
+    """The returned (lazy) plan must read the exact-dedup SURVIVORS from the
+    round-6 localCheckpoint, not re-run quality + dedup per action: before
+    the fix every action paid the two heaviest stages a second time (they
+    already ran at construction to feed connected components). Evidence: the
+    action plan contains a materialized-RDD scan and NO keep-first
+    row_number window (the only row_number in the chain), and no SQL-cache
+    entry leaks into the session."""
+    df = curate_corpus(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in p  # survivors read from the checkpoint
+    assert "row_number" not in p  # dedup window absent from the action plan
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_curate_corpus_gates_actually_gate(spark, sf_dir, duck):
     """Each stage must drop something on the fixture corpus (otherwise the
     composition test proves nothing about the gates)."""
