@@ -31,7 +31,11 @@ offline chain keeps its own oracle in plans/compose.py.
 Only surviving docs enter the near-dup signature index (stage-2 losers never
 pollute candidate generation); the exact-dedup index records every
 quality-passing doc (keep-first needs to see prior copies). Every index and
-sink write is batch-id-keyed and overwritten on replay.
+sink write is batch-id-keyed and overwritten on replay. Round 6: the indexes
+COMPACT every ``compact_every`` batches (streaming/index.py) — the exact
+index folds to its min-keeper, so per-batch keep-first work is one keeper
+scan plus an aggregate over the bounded recent appends, never a
+re-aggregation of the full history.
 """
 
 from __future__ import annotations
@@ -60,24 +64,45 @@ def _hashes(d: DataFrame) -> DataFrame:
     return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
 
 
-def _exact_losers(index_hashes: DataFrame, arriving: DataFrame) -> DataFrame:
+def _exact_losers(
+    keeper: DataFrame | None, recent: DataFrame, arriving: DataFrame
+) -> DataFrame:
     """Arriving doc_ids that share an md5 with any EARLIER doc.
 
-    Keep-first via the MIN-KEEPER aggregate, not a raw hash-table self-join:
-    a raw join goes quadratic on a hot text (k copies -> k^2 pairs before
-    any distinct — exactly the all-identical-crawl shape), while min() has
-    map-side partial aggregation, so a million copies of one text collapse
-    to one row per mapper before the shuffle. The keeper table has ONE row
-    per hash, so the arriving-side join fans out 1:1. The arriving hashes
-    broadcast explicitly (bounded by the trigger size; AQE is off inside
-    foreachBatch, so without the hint the static planner sort-merges,
-    shuffling the unbounded accumulated index every micro-batch)."""
-    keepers = index_hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    return (
-        keepers.join(F.broadcast(_hashes(arriving)), "h")
-        .filter(F.col("keeper") < F.col("doc_id"))
-        .select("doc_id")
+    ``keeper`` is the COMPACTED index — already folded to one min-doc_id row
+    per hash (streaming/index.py, min fold) — and ``recent`` the union of
+    post-compaction raw appends, bounded by compact_every x trigger size.
+    Keep-first stays the MIN-KEEPER aggregate, but ONLY over the bounded
+    recent rows: a raw join against k copies of a hot text would fan out k^2
+    (the all-identical-crawl shape), while min() map-side-combines them to
+    one row per mapper. The unbounded keeper is NEVER re-aggregated or
+    shuffled (the round-5 form re-ran groupBy(h).min over the FULL
+    accumulated index every micro-batch — quadratic over the stream's
+    life): one row per hash already, it streams scan-only into the join.
+    The arriving hashes broadcast explicitly (bounded by the trigger; AQE is
+    off inside foreachBatch, so without the hint the static planner
+    sort-merges, shuffling the unbounded side). An arriving doc can match
+    both a keeper row and a recent row — hence the distinct."""
+    recent_min = recent.groupBy("h").agg(F.min("doc_id").alias("_idx_doc"))
+    cand = (
+        recent_min
+        if keeper is None
+        else keeper.select("h", F.col("doc_id").alias("_idx_doc")).unionByName(
+            recent_min
+        )
     )
+    return (
+        cand.join(F.broadcast(_hashes(arriving)), "h")
+        .filter(F.col("_idx_doc") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _min_keeper(df: DataFrame) -> DataFrame:
+    """Compaction fold for the exact index: only the minimum doc_id per hash
+    can ever decide keep-first, so the keeper holds exactly that."""
+    return df.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
 
 
 def _verdicts(
@@ -169,6 +194,7 @@ def stream_curate(
     checkpoint: str,
     available_now: bool = False,
     band_cap: int | None = None,
+    compact_every: int | None = 16,
 ):
     """Start the streaming curation query; returns the StreamingQuery.
 
@@ -177,6 +203,13 @@ def stream_curate(
     accumulate under ``index_path``/{exact,sig,bands}. All writes
     batch-id-keyed. ``band_cap`` applies the near-dup stage's freeze policy
     (see stream_near_dup) — opt-in, outside the exact twin contract.
+    ``compact_every`` (round 6) folds each index's batch directories into a
+    keeper every N batches (streaming/index.py): the exact index folds to
+    its min-doc_id-per-hash keeper, bands/sig rewrite as-is, and the band
+    count side index sums — so per-batch cost stops growing with stream age
+    (the exact keeper is never re-aggregated, the directory count is
+    bounded, the freeze set derives from folded counts). Decisions are
+    identical with compaction on or off.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,7 +222,19 @@ def stream_curate(
         # the batch just wrote (a free materialization — the write is part of
         # the protocol anyway). The loser/verdict tables are tiny id lists;
         # persist + eager count pins them.
+        from .index import append, batch_dir, compact, read_index, read_split
+        from .neardup import _frozen_from_counts, _sum_counts
+
         spark = batch_df.sparkSession
+        exact_p, sig_p, bands_p, cnt_p = (
+            f"{index_path}/{t}" for t in ("exact", "sig", "bands", "cnt")
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact(spark, exact_p, batch_id, fold=_min_keeper)
+            compact(spark, sig_p, batch_id)
+            compact(spark, bands_p, batch_id)
+            if band_cap is not None:
+                compact(spark, cnt_p, batch_id, fold=_sum_counts)
         pinned = []
 
         def pin(df: DataFrame) -> DataFrame:
@@ -206,15 +251,12 @@ def stream_curate(
             d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
             q = pin(_quality(d))
 
-            # stage 2: exact keep-first vs the accumulated hash index
-            _hashes(q).write.mode("overwrite").parquet(
-                f"{index_path}/exact/batch-{batch_id:09d}"
-            )
-            exact_index = spark.read.option("recursiveFileLookup", "true").parquet(
-                f"{index_path}/exact"
-            )
+            # stage 2: exact keep-first vs the accumulated hash index — the
+            # compacted keeper (1 row/hash) plus bounded recent appends
+            append(_hashes(q), exact_p, batch_id)
+            keeper, recent = read_split(spark, exact_p)
             exact_losers = pin(
-                _exact_losers(exact_index, q).withColumn("exact_dup", F.lit(True))
+                _exact_losers(keeper, recent, q).withColumn("exact_dup", F.lit(True))
             )
             dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
 
@@ -222,19 +264,22 @@ def stream_curate(
             # only); arriving signatures/bands are read back from the files
             # just written so candidate generation never recomputes the md5
             # minhash chain
-            signatures(dd).write.mode("overwrite").parquet(
-                f"{index_path}/sig/batch-{batch_id:09d}"
-            )
-            asig = spark.read.parquet(f"{index_path}/sig/batch-{batch_id:09d}")
-            bands_of(asig).write.mode("overwrite").parquet(
-                f"{index_path}/bands/batch-{batch_id:09d}"
-            )
-            ab = spark.read.parquet(f"{index_path}/bands/batch-{batch_id:09d}")
-            rec = {"recursiveFileLookup": "true"}
-            isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
-            ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
+            append(signatures(dd), sig_p, batch_id)
+            asig = spark.read.parquet(batch_dir(sig_p, batch_id))
+            append(bands_of(asig), bands_p, batch_id)
+            ab = spark.read.parquet(batch_dir(bands_p, batch_id))
+            frozen = None
+            if band_cap is not None:
+                append(
+                    ab.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("cnt")),
+                    cnt_p,
+                    batch_id,
+                )
+                frozen = _frozen_from_counts(spark, cnt_p, band_cap)
+            isig = read_index(spark, sig_p)
+            ib = read_index(spark, bands_p)
             nd_losers = pin(
-                _candidates((ib, isig), (ab, asig), band_cap=band_cap)
+                _candidates((ib, isig), (ab, asig), frozen=frozen)
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
                 .withColumn("near_dup", F.lit(True))

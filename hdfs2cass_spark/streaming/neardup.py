@@ -44,6 +44,14 @@ because freezing is time-dependent (a key crosses the cap at some batch) and
 therefore NOT reproducible by the arrival-order batch twin; the default
 (None) keeps the exact stream==batch contract the equivalence tests assert,
 and the join shape is index-shuffle-free either way.
+
+Round 6 adds periodic index COMPACTION (streaming/index.py): without it the
+per-batch index read listed one parquet directory per prior batch and the
+freeze set was re-counted from the raw band table every batch — O(total
+index) re-aggregation, quadratic over a long ingest. Now batch directories
+fold into a keeper every ``compact_every`` batches, and the band-key df
+counts fold incrementally in a narrow ``cnt`` side index, so per-batch work
+is one keeper scan plus a bounded number of recent appends.
 """
 
 from __future__ import annotations
@@ -157,19 +165,26 @@ def _frozen_keys(index_bands: DataFrame, band_cap: int) -> DataFrame:
     )
 
 
-def _candidates(index_bands_sigs, arriving_bands_sigs, band_cap: int | None = None) -> DataFrame:
+def _candidates(
+    index_bands_sigs,
+    arriving_bands_sigs,
+    band_cap: int | None = None,
+    frozen: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, est) verified pairs from (bands, sigs) table pairs.
-    ``band_cap`` applies the freeze policy: arriving rows under a frozen key
-    generate no candidates (left_anti against the frozen-key set — bounded
-    by index_rows / cap keys, so it broadcasts for any realistic cap; a
-    deployment where even that bound is large should materialize the freeze
-    set to parquet once per compaction instead of per batch)."""
+    The freeze policy: arriving rows under a frozen key generate no
+    candidates (left_anti against the frozen-key set — bounded by
+    index_rows / cap keys, so it broadcasts for any realistic cap). Callers
+    pass the frozen keys one of two ways: ``frozen`` directly (the streams,
+    which derive it incrementally from the compacted count index — see
+    stream_near_dup), or ``band_cap`` to count the full band table here
+    (one-shot batch callers)."""
     ib, isig = index_bands_sigs
     ab, asig = arriving_bands_sigs
-    if band_cap is not None:
-        ab = ab.join(
-            F.broadcast(_frozen_keys(ib, band_cap)), ["band", "bkey"], "left_anti"
-        )
+    if frozen is None and band_cap is not None:
+        frozen = _frozen_keys(ib, band_cap)
+    if frozen is not None:
+        ab = ab.join(F.broadcast(frozen), ["band", "bkey"], "left_anti")
     return _verify(_candidate_pairs(ib, ab), isig, asig)
 
 
@@ -183,6 +198,27 @@ def near_dup_decisions_batch(d: DataFrame) -> DataFrame:
     return _decisions(d.select("doc_id"), verified).orderBy("doc_id")
 
 
+def _frozen_from_counts(spark, cnt_path: str, band_cap: int) -> DataFrame:
+    """(band, bkey) keys whose accumulated df exceeds the cap, from the
+    COMPACTED count index: the keeper holds one summed row per key, per-batch
+    appends hold that batch's counts, so the freeze set is an aggregation
+    over (1 row/key + <= compact_every tiny deltas) — never a re-count of
+    the raw band table (which grows with the stream)."""
+    from .index import read_index
+
+    return (
+        read_index(spark, cnt_path)
+        .groupBy("band", "bkey")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > band_cap)
+        .select("band", "bkey")
+    )
+
+
+def _sum_counts(df: DataFrame) -> DataFrame:
+    return df.groupBy("band", "bkey").agg(F.sum("cnt").alias("cnt"))
+
+
 def stream_near_dup(
     stream: DataFrame,
     index_path: str,
@@ -190,6 +226,7 @@ def stream_near_dup(
     checkpoint: str,
     available_now: bool = False,
     band_cap: int | None = None,
+    compact_every: int | None = 16,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery.
 
@@ -199,6 +236,15 @@ def stream_near_dup(
     batch-id-keyed for replay idempotence; read decisions back with
     :func:`read_decisions`.
 
+    ``compact_every`` (round 6): every N batches the index's batch
+    directories fold into one keeper directory (streaming/index.py), so the
+    per-batch read opens O(compact_every) directories instead of one per
+    prior batch, and — with ``band_cap`` — the band-key document frequencies
+    fold incrementally in a ``cnt`` side index instead of being re-counted
+    from the raw band table each batch. Folding rewrites the same rows, so
+    decisions are bit-identical with compaction on or off (the equivalence
+    tests run both). None disables it (not recommended beyond short tests).
+
     ``band_cap`` (production setting) FREEZES band keys whose index df
     exceeds the cap: new arrivals under a frozen key generate no candidates,
     bounding the join fan-out against boilerplate signatures. Freezing is
@@ -207,24 +253,40 @@ def stream_near_dup(
     where the exact stream==batch contract matters (the default, and what
     the equivalence tests run).
     """
+    from .index import append, batch_dir, compact, read_index
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        sig_p, bands_p, cnt_p = (f"{index_path}/{t}" for t in ("sig", "bands", "cnt"))
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact(spark, sig_p, batch_id)
+            compact(spark, bands_p, batch_id)
+            if band_cap is not None:
+                compact(spark, cnt_p, batch_id, fold=_sum_counts)
         # one-file micro-batches scan as one partition: spread before the
         # md5-minhash chain or it runs single-core
         n = spark.sparkContext.defaultParallelism
         d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
-        asig = signatures(d)
-        ab = bands_of(asig)
         # index appends FIRST (overwrite-own-batch => replay no-op); the
         # subsequent candidate join then sees this batch's rows too, so
-        # in-batch pairs come out of the same `doc_a < doc_b` path
-        asig.write.mode("overwrite").parquet(f"{index_path}/sig/batch-{batch_id:09d}")
-        ab.write.mode("overwrite").parquet(f"{index_path}/bands/batch-{batch_id:09d}")
-        rec = {"recursiveFileLookup": "true"}
-        isig = spark.read.options(**rec).parquet(f"{index_path}/sig")
-        ib = spark.read.options(**rec).parquet(f"{index_path}/bands")
-        verified = _candidates((ib, isig), (ab, asig), band_cap=band_cap)
+        # in-batch pairs come out of the same `doc_a < doc_b` path. The
+        # arriving tables are read BACK from the appended files so the
+        # md5-minhash chain runs once, not once per downstream use.
+        append(signatures(d), sig_p, batch_id)
+        asig = spark.read.parquet(batch_dir(sig_p, batch_id))
+        append(bands_of(asig), bands_p, batch_id)
+        ab = spark.read.parquet(batch_dir(bands_p, batch_id))
+        frozen = None
+        if band_cap is not None:
+            append(
+                ab.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("cnt")),
+                cnt_p,
+                batch_id,
+            )
+            frozen = _frozen_from_counts(spark, cnt_p, band_cap)
+        isig = read_index(spark, sig_p)
+        ib = read_index(spark, bands_p)
+        verified = _candidates((ib, isig), (ab, asig), frozen=frozen)
         _decisions(batch_df.select("doc_id"), verified).write.mode(
             "overwrite"
         ).parquet(f"{sink_path}/batch-{batch_id:09d}")

@@ -46,6 +46,17 @@ def main() -> int:
         "(sessionize / as-of join / tumbling+sliding windows — the "
         "window-heavy analytics the sf0.1 fixture is too small to stress)",
     )
+    ap.add_argument(
+        "--stream-batches",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run ONLY the long-stream curation probe: N single-file "
+        "micro-batches of (--docs / N) docs each through stream_curate with "
+        "index compaction firing every 8 batches; reports per-batch trigger "
+        "times (early-vs-late flatness is the evidence per-batch cost no "
+        "longer grows with stream age) and the bounded index dir counts",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -69,6 +80,99 @@ def main() -> int:
         out[label + "_sec"] = round(dt, 2)
         out[label + "_rows_per_sec"] = round(n_rows / dt)
         print(f"# {label}: {dt:.2f}s  ({n_rows / dt:,.0f} rows/s)", file=sys.stderr)
+
+    if args.stream_batches:
+        # --- long-stream curation probe: does per-batch cost stay flat? ---
+        # Before round 6 the accumulating indexes were re-read (one directory
+        # per prior batch) and re-aggregated from scratch every micro-batch —
+        # O(total index) per batch, quadratic over the stream. With
+        # compaction the late batches must cost what the early ones did.
+        import glob as _gl
+        import shutil as _sh
+
+        nb = args.stream_batches
+        per = max(1, args.docs // nb)
+        tmp = "/tmp/stress_stream"
+        _sh.rmtree(tmp, ignore_errors=True)
+        flat = f"{tmp}/flat"
+        os.makedirs(flat)
+        words = F.expr(
+            "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 5000)))"
+        )
+        for b in range(nb):
+            # doc_id ranges per file: batch order == doc_id order; ~2% exact
+            # duplicates of one shared text exercise the keeper fold
+            docs = spark.range(b * per, (b + 1) * per).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 50 == 7,
+                    F.lit("shared duplicate text body one two three four five six"),
+                )
+                .otherwise(F.concat_ws(" ", words))
+                .alias("text"),
+            )
+            docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part{b}")
+            _sh.copy(
+                sorted(_gl.glob(f"{tmp}/part{b}/*.parquet"))[0],
+                f"{flat}/{b:05d}.parquet",
+            )
+        bench = spark.createDataFrame([("no benchmark shingle here",)], "s string")
+        from hdfs2cass_spark.streaming.curate import stream_curate
+        from hdfs2cass_spark.streaming.decontam import stream_documents
+        from hdfs2cass_spark.streaming.index import n_subdirs
+
+        idx, sink, ck = f"{tmp}/idx", f"{tmp}/out", f"{tmp}/ck"
+        t0 = time.perf_counter()
+        q = stream_curate(
+            stream_documents(spark, flat),
+            bench,
+            idx,
+            sink,
+            ck,
+            available_now=True,
+            band_cap=100,
+            compact_every=8,
+        )
+        q.awaitTermination(3600)
+        wall = time.perf_counter() - t0
+        prog = [json.loads(p.json) for p in q.recentProgress]
+        secs = {
+            p["batchId"]: p["durationMs"]["triggerExecution"] / 1000.0
+            for p in prog
+            if p.get("numInputRows", 0) > 0
+        }
+        done = sorted(secs)
+        early = [secs[i] for i in done[2:7]]  # skip the 2 JIT-cold batches
+        late = [secs[i] for i in done[-5:]]
+        # steady-state late cost: the batches that did NOT also run a
+        # compaction fold (that amortized cost lands in every 8th trigger)
+        late_nc = [secs[i] for i in done[-12:] if i % 8][-5:]
+        out["stream_batches"] = len(done)
+        out["stream_docs_per_batch"] = per
+        out["stream_wall_sec"] = round(wall, 2)
+        out["stream_docs_per_sec"] = round(nb * per / wall, 1)
+        out["stream_batch_sec_early_avg"] = round(sum(early) / len(early), 2)
+        out["stream_batch_sec_late_avg"] = round(sum(late) / len(late), 2)
+        out["stream_late_over_early"] = round(
+            (sum(late) / len(late)) / (sum(early) / len(early)), 2
+        )
+        out["stream_batch_sec_late_steady_avg"] = round(sum(late_nc) / len(late_nc), 2)
+        out["stream_late_steady_over_early"] = round(
+            (sum(late_nc) / len(late_nc)) / (sum(early) / len(early)), 2
+        )
+        out["stream_batch_secs"] = [round(secs[i], 2) for i in done]
+        for sub in ("exact", "sig", "bands", "cnt"):
+            out[f"stream_dirs_{sub}"] = n_subdirs(spark, f"{idx}/{sub}")
+        print(
+            f"# stream: {len(done)} batches x {per} docs, wall {wall:.0f}s; "
+            f"batch sec early {out['stream_batch_sec_early_avg']} -> late "
+            f"{out['stream_batch_sec_late_avg']} "
+            f"(ratio {out['stream_late_over_early']}); dirs "
+            + ", ".join(f"{s}={out['stream_dirs_' + s]}" for s in ("exact", "sig", "bands", "cnt")),
+            file=sys.stderr,
+        )
+        print(json.dumps(out))
+        return 0
 
     if args.events:
         # --- events-family probe: window-heavy analytics at scale ---

@@ -297,53 +297,6 @@ def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
     assert tuple(dec[0]) == tuple(twin[0])  # the first copy stays kept
 
 
-def test_stream_near_dup_band_cap_freezes_hot_keys(spark, tmp_path):
-    """With band_cap set, a boilerplate band signature shared by many docs
-    stops generating candidates once its index df crosses the cap — the
-    arrivals after the freeze are NOT flagged against the hot key's full
-    occurrence list (bounded fan-out), while genuinely distinct docs still
-    pass through untouched."""
-    import glob
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from hdfs2cass_spark.streaming import read_decisions, stream_documents, stream_near_dup
-
-    # batch 0: 60 identical docs (hot signature); batch 1: 60 more of the
-    # same + 5 distinct docs
-    hot_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    b0 = spark.createDataFrame(
-        [(i, hot_text) for i in range(60)], "doc_id long, text string"
-    )
-    b1 = spark.createDataFrame(
-        [(60 + i, hot_text) for i in range(60)]
-        + [(200 + i, f"unique words only here {i} one two three four five") for i in range(5)],
-        "doc_id long, text string",
-    )
-    flat = tmp_path / "bc_flat"
-    flat.mkdir()
-    for j, b in enumerate((b0, b1)):
-        part = tmp_path / f"bc_p{j}"
-        b.coalesce(1).write.mode("overwrite").parquet(str(part))
-        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{j}.parquet")
-
-    idx, out, ck = (str(tmp_path / p) for p in ("bc_idx", "bc_out", "bc_ck"))
-    q = stream_near_dup(
-        stream_documents(spark, str(flat)), idx, out, ck,
-        available_now=True, band_cap=50,
-    )
-    q.awaitTermination(120)
-    dec = {r["doc_id"]: r for r in read_decisions(spark, out).collect()}
-    assert len(dec) == 125
-    # batch 0 wrote 60 copies at once: its own keys were already past the
-    # cap when its candidates ran (index-first protocol), so the WHOLE hot
-    # key is frozen from the start — bounded fan-out, by construction
-    assert not any(dec[i]["is_dup"] for i in range(120))
-    # distinct docs are unaffected by the freeze
-    assert not any(dec[200 + i]["is_dup"] for i in range(5))
-
-
 def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
     """The full on-ingest curation chain (quality -> exact keep-first vs hash
     index -> near-dup vs signature index -> decontam) must produce exactly
@@ -407,6 +360,134 @@ def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("k"),
     ).first()
     assert stages["e"] > 0 and stages["n"] > 0 and stages["k"] > 0
+
+
+@pytest.mark.parametrize("compact_every", [None, 1])
+def test_stream_near_dup_band_cap_with_and_without_compaction(
+    spark, tmp_path, compact_every
+):
+    """The freeze policy must behave identically whether the band-key df
+    comes from a per-batch re-count (compaction off) or from the folded cnt
+    side index (compact_every=1: every batch folds the previous ones into a
+    summed keeper before appending its own counts)."""
+    import glob
+    import shutil
+
+    from hdfs2cass_spark.streaming import read_decisions, stream_documents, stream_near_dup
+
+    hot_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = spark.createDataFrame(
+        [(i, hot_text) for i in range(60)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(60 + i, hot_text) for i in range(60)]
+        + [(200 + i, f"unique words only here {i} one two three four five") for i in range(5)],
+        "doc_id long, text string",
+    )
+    flat = tmp_path / "bcc_flat"
+    flat.mkdir()
+    for j, b in enumerate((b0, b1)):
+        part = tmp_path / f"bcc_p{j}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{j}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("bcc_idx", "bcc_out", "bcc_ck"))
+    q = stream_near_dup(
+        stream_documents(spark, str(flat)), idx, out, ck,
+        available_now=True, band_cap=50, compact_every=compact_every,
+    )
+    q.awaitTermination(120)
+    dec = {r["doc_id"]: r for r in read_decisions(spark, out).collect()}
+    assert len(dec) == 125
+    assert not any(dec[i]["is_dup"] for i in range(120))  # frozen hot key
+    assert not any(dec[200 + i]["is_dup"] for i in range(5))
+
+
+def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
+    spark, sf_dir, tmp_path
+):
+    """Compaction firing mid-stream (compact_every=2 over 6 single-file
+    batches, then a 7th after a checkpoint resume) must (a) leave decisions
+    row-identical to the greedy batch twin — folding rewrites the same rows —
+    (b) bound every index to one keeper + the post-compaction batch dirs,
+    and (c) fold the exact index to at most one row per hash."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.curate import (
+        curate_decisions_batch,
+        read_curated,
+        stream_curate,
+    )
+    from hdfs2cass_spark.streaming.index import _parts, n_subdirs, read_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _shingles(docs.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    base = docs.filter(~F.expr(_BENCH_SPARK)).select("doc_id", "text")
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    dupes = (
+        base.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    flat = tmp_path / "cc_flat"
+    flat.mkdir()
+
+    def seed(i, df):
+        part = tmp_path / f"cc_p{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    for i in range(6):  # doc_id RANGES: batch order == doc_id order
+        seed(i, base.filter(
+            (F.col("doc_id") >= i * hi / 6) & (F.col("doc_id") < (i + 1) * hi / 6)
+        ))
+    idx, out, ck = (str(tmp_path / p) for p in ("cc_idx", "cc_out", "cc_ck"))
+    q = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    # (b) directory bound: last compaction at batch 4 folded ids < 4 into one
+    # keeper; batches 4 and 5 remain raw
+    for sub in ("exact", "sig", "bands"):
+        keepers, batches = _parts(spark, f"{idx}/{sub}")
+        assert keepers == [4], f"{sub}: {keepers}"
+        assert batches == [4, 5], f"{sub}: {batches}"
+        assert n_subdirs(spark, f"{idx}/{sub}") == 3
+
+    # (c) the exact keeper is folded: at most one row per hash
+    keeper, _recent = read_split(spark, f"{idx}/exact")
+    dup_hashes = keeper.groupBy("h").count().filter("count > 1").count()
+    assert dup_hashes == 0
+
+    # (a) decisions equal the greedy twin — including across a resume whose
+    # new batch (id 6) triggers another compaction fold of ids < 6
+    seed(6, dupes)
+    q2 = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck,
+        available_now=True, compact_every=2,
+    )
+    q2.awaitTermination(300)
+    got = sorted(tuple(r) for r in read_curated(spark, out).collect())
+    want = sorted(
+        tuple(r)
+        for r in curate_decisions_batch(base.unionByName(dupes), bench).collect()
+    )
+    assert got == want
+    keepers, batches = _parts(spark, f"{idx}/exact")
+    assert keepers == [6] and batches == [6]
+    # the resumed batch's exact duplicates were caught against the KEEPER
+    dec = {r[0]: r for r in got}
+    dup_ids = {r[0] for r in want if r[0] >= hi and r[2]}
+    assert dup_ids and all(dec[i][2] for i in dup_ids)
 
 
 def test_stream_curate_checkpoint_resume(spark, sf_dir, tmp_path):
