@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..plans.compose import MAX_CONTAM_FRAC, MIN_UNIQ_RATIO, MIN_WORDS
 from ..plans.llm import W_SPARK
+from ..plans.pipeline import PACK_BUDGET, PACK_SHARD_DOCS
 from .decontam import score_batch
 from .neardup import _candidates, bands_of, signatures
 
@@ -147,6 +148,39 @@ def _verdicts(
     )
 
 
+_N_TOKENS = f"CAST(size({W_SPARK}) AS BIGINT)"
+
+
+def _sum_token_totals(df: DataFrame) -> DataFrame:
+    """Compaction fold for the per-batch token-total index: collapse to one
+    row carrying the folded sum under the HIGHEST folded batch id — every
+    future base-offset filter (`batch_id < current`) still includes it."""
+    return df.agg(
+        F.max("batch_id").alias("batch_id"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+def pack_kept_batch(d: DataFrame, bench_shingles: DataFrame) -> DataFrame:
+    """Batch twin of the streaming packing stage: the greedy-kept docs packed
+    on the token axis in doc_id order — (doc_id, n_tokens, start_offset,
+    seq_id). With files arriving in doc_id order the stream's per-batch
+    packing (base offset from the token index + in-batch prefix sum) is
+    row-identical to this."""
+    from ..operators.prefixsum import exclusive_cumsum
+
+    kept = curate_decisions_batch(d, bench_shingles).filter("kept").select("doc_id")
+    toks = d.join(kept, "doc_id").select("doc_id", F.expr(_N_TOKENS).alias("n_tokens"))
+    packed = exclusive_cumsum(
+        toks, "doc_id", "n_tokens", out="start_offset", shard_width=PACK_SHARD_DOCS
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_BUDGET}").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
 def curate_decisions_batch(
     d: DataFrame, bench_shingles: DataFrame
 ) -> DataFrame:
@@ -195,6 +229,7 @@ def stream_curate(
     available_now: bool = False,
     band_cap: int | None = None,
     compact_every: int | None = 16,
+    packed_path: str | None = None,
 ):
     """Start the streaming curation query; returns the StreamingQuery.
 
@@ -210,6 +245,17 @@ def stream_curate(
     (the exact keeper is never re-aggregated, the directory count is
     bounded, the freeze set derives from folded counts). Decisions are
     identical with compaction on or off.
+
+    ``packed_path`` (round 6) adds the one curation stage the stream
+    previously lacked — SEQUENCE PACKING: each batch's kept docs get
+    (doc_id, n_tokens, start_offset, seq_id) with globally monotone offsets.
+    The base offset comes from an accumulating per-batch token-total index
+    (``index_path``/tokens — one row per batch, folded to one row at
+    compaction), in-batch offsets from the distributed prefix-sum, so a
+    replayed batch recomputes the identical offsets (its own total is
+    excluded from its base by batch id). Offsets follow ARRIVAL order; with
+    files arriving in doc_id order the output is row-identical to
+    :func:`pack_kept_batch` (tested). Read back with :func:`read_packed`.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -226,8 +272,8 @@ def stream_curate(
         from .neardup import _frozen_from_counts, _sum_counts
 
         spark = batch_df.sparkSession
-        exact_p, sig_p, bands_p, cnt_p = (
-            f"{index_path}/{t}" for t in ("exact", "sig", "bands", "cnt")
+        exact_p, sig_p, bands_p, cnt_p, tok_p = (
+            f"{index_path}/{t}" for t in ("exact", "sig", "bands", "cnt", "tokens")
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact(spark, exact_p, batch_id, fold=_min_keeper)
@@ -235,6 +281,8 @@ def stream_curate(
             compact(spark, bands_p, batch_id)
             if band_cap is not None:
                 compact(spark, cnt_p, batch_id, fold=_sum_counts)
+            if packed_path is not None:
+                compact(spark, tok_p, batch_id, fold=_sum_token_totals)
         pinned = []
 
         def pin(df: DataFrame) -> DataFrame:
@@ -294,6 +342,48 @@ def stream_curate(
                 .withColumn("contaminated", F.lit(True))
             )
 
+            # stage 5 (opt-in): sequence packing with globally monotone
+            # offsets — base = sum of EARLIER batches' token totals (own
+            # batch excluded by id, so a replay recomputes identical
+            # offsets), in-batch offsets from the distributed prefix-sum;
+            # the base joins back as a broadcast 1-row cross join, no driver
+            # scalar
+            if packed_path is not None:
+                from ..operators.prefixsum import exclusive_cumsum
+
+                kept = nd.join(
+                    contaminated.select("doc_id"), "doc_id", "left_anti"
+                )
+                toks = kept.select("doc_id", F.expr(_N_TOKENS).alias("n_tokens"))
+                append(
+                    toks.agg(
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+                    ),
+                    tok_p,
+                    batch_id,
+                )
+                base = (
+                    read_index(spark, tok_p)
+                    .filter(F.col("batch_id") < batch_id)
+                    .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("_base"))
+                )
+                packed = exclusive_cumsum(
+                    toks,
+                    "doc_id",
+                    "n_tokens",
+                    out="_off",
+                    shard_width=PACK_SHARD_DOCS,
+                )
+                packed.crossJoin(F.broadcast(base)).select(
+                    "doc_id",
+                    "n_tokens",
+                    (F.col("_off") + F.col("_base")).alias("start_offset"),
+                    F.expr(f"(_off + _base) div {PACK_BUDGET}").alias("seq_id"),
+                ).write.mode("overwrite").parquet(
+                    f"{packed_path}/batch-{batch_id:09d}"
+                )
+
             qual = q.select("doc_id").withColumn("quality_pass", F.lit(True))
             _verdicts(
                 d.select("doc_id"), qual, exact_losers, nd_losers, contaminated
@@ -313,3 +403,9 @@ def stream_curate(
 def read_curated(spark: SparkSession, sink_path: str) -> DataFrame:
     """Read everything stream_curate wrote under ``sink_path``."""
     return spark.read.option("recursiveFileLookup", "true").parquet(sink_path)
+
+
+def read_packed(spark: SparkSession, packed_path: str) -> DataFrame:
+    """Read the packed sequences stream_curate wrote under ``packed_path``
+    (requires the query to have run with ``packed_path`` set)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(packed_path)

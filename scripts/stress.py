@@ -132,6 +132,7 @@ def main() -> int:
             available_now=True,
             band_cap=100,
             compact_every=8,
+            packed_path=f"{tmp}/packed",  # full chain incl. sequence packing
         )
         q.awaitTermination(3600)
         wall = time.perf_counter() - t0

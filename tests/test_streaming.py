@@ -490,6 +490,71 @@ def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
     assert dup_ids and all(dec[i][2] for i in dup_ids)
 
 
+def test_stream_curate_packing_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Streaming sequence packing (packed_path set): per-batch base offsets
+    from the accumulating token-total index + in-batch prefix sums must
+    produce globally monotone offsets row-identical to the pack_kept_batch
+    twin when files arrive in doc_id order — across compactions of the
+    token index (compact_every=2 over 6 batches) and a checkpoint resume."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.curate import (
+        pack_kept_batch,
+        read_packed,
+        stream_curate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _shingles(docs.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    base = docs.filter(~F.expr(_BENCH_SPARK)).select("doc_id", "text")
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    flat = tmp_path / "pk_flat"
+    flat.mkdir()
+
+    def seed(i, df):
+        part = tmp_path / f"pk_p{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    for i in range(5):
+        seed(i, base.filter(
+            (F.col("doc_id") >= i * hi / 6) & (F.col("doc_id") < (i + 1) * hi / 6)
+        ))
+    idx, out, pk, ck = (str(tmp_path / p) for p in ("pk_idx", "pk_out", "pk_pk", "pk_ck"))
+    q = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck,
+        available_now=True, compact_every=2, packed_path=pk,
+    )
+    q.awaitTermination(300)
+
+    # resume with the final doc_id range: its offsets must continue from the
+    # accumulated (and by now compacted) token totals
+    seed(5, base.filter(F.col("doc_id") >= 5 * hi / 6))
+    q2 = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck,
+        available_now=True, compact_every=2, packed_path=pk,
+    )
+    q2.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in read_packed(spark, pk).collect())
+    want_df = pack_kept_batch(base, bench)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert len(want) > 0
+    assert got == want
+    # offsets are globally monotone in doc_id order and seq ids partition
+    # the token axis
+    rows = sorted(got)
+    for (d1, n1, s1, q1), (d2, n2, s2, q2_) in zip(rows, rows[1:]):
+        assert s2 == s1 + n1  # exclusive prefix sum, no gaps across batches
+
+
 def test_stream_curate_checkpoint_resume(spark, sf_dir, tmp_path):
     """Stopping and restarting the curation stream against the same
     checkpoint must process each file exactly once; the resumed run's
