@@ -35,6 +35,7 @@ def embed_texts(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id_col, out_col: array<float>) — L2-normalized hashed bag-of-words.
 
@@ -48,13 +49,22 @@ def embed_texts(
     """
     if dims < 2 or dims > 4096:
         raise ValueError(f"dims must be in [2, 4096], got {dims}")
+    if hash_mode == "xxhash64":
+        h = "xxhash64(_w)"  # JVM-native, the production path
+    elif hash_mode == "md5":
+        # the oracle-checkable twin: same 60-bit md5-derived word hash as
+        # plans.llm.hash60_spark / hash60_duck, so a DuckDB query can
+        # reproduce the embedding bit-for-bit (text_embed_near_dup_pairs_md5)
+        h = "CAST(conv(substr(md5(CAST(_w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
     words = d.select(
         F.col(id_col),
         F.explode(F.expr(rf"split(trim({text_col}), '\\s+')")).alias("_w"),
     ).select(
         id_col,
-        F.expr(f"CAST(pmod(xxhash64(_w), {dims}) AS INT)").alias("_b"),
-        F.expr(f"CASE WHEN (pmod(xxhash64(_w), {2 * dims}) DIV {dims}) = 0 "
+        F.expr(f"CAST(pmod({h}, {dims}) AS INT)").alias("_b"),
+        F.expr(f"CASE WHEN (pmod({h}, {2 * dims}) DIV {dims}) = 0 "
                "THEN 1 ELSE -1 END").alias("_s"),
     )
     sums = [

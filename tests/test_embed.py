@@ -76,6 +76,41 @@ def test_text_to_embedding_to_lsh_near_dup_loop(spark):
     assert recall >= 0.9, f"planted-pair recall {recall}"
 
 
+def test_embed_hash_twins_cross_recall(spark, tmp_path):
+    """The xxhash64 production embedder and its md5 oracle twin
+    (text_embed_near_dup_pairs_md5) hash words differently, so their vectors
+    differ — but BOTH must recover planted near-identical text pairs: any
+    systematic divergence between the hash families shows up as asymmetric
+    recall (the minhash_lsh_pairs / _fast precedent, applied to the
+    embedding loop). Also rejects an unknown hash_mode loudly."""
+    from hdfs2cass_spark.plans.llm import text_embed_near_dup_pairs
+    from hdfs2cass_spark.plans.textembed import text_embed_near_dup_pairs_md5
+
+    # twins share 41 of 42 tokens -> hashed-BoW cosine ~0.976, comfortably
+    # above both queries' 0.95 threshold (at 17/18 shared the cosine ~0.944
+    # sits UNDER it and recall collapses by construction, not by hash bias)
+    base = " ".join("t{}_" + str(j) for j in range(40))
+    rows = []
+    for i in range(40):
+        words = base.format(*([i] * 40))
+        rows.append(Row(doc_id=2 * i, text=words + " tail one"))
+        rows.append(Row(doc_id=2 * i + 1, text=words + " tail two"))
+    d = str(tmp_path / "twins")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    for fn in (text_embed_near_dup_pairs, text_embed_near_dup_pairs_md5):
+        got = {(r["doc_a"], r["doc_b"]) for r in fn(spark, d).collect()}
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"{fn.__name__} planted-pair recall {recall}"
+
+    with pytest.raises(ValueError, match="hash_mode"):
+        embed_texts(
+            spark.range(1).selectExpr("id AS doc_id", "'x' AS text"),
+            hash_mode="sha1",
+        )
+
+
 def test_embed_plan_stays_codegen(spark, sf_dir):
     """The aggregation must stay a plain HashAggregate of conditional sums:
     no ObjectHashAggregate (collect_list path), no Python, exactly one
