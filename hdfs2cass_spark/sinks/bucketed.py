@@ -13,6 +13,21 @@ both sides (`test_bucketed.py` asserts the joined plan has ZERO exchanges).
 is file-order, mirroring the token-sorted SSTable contract of the reference
 sink (sorted-within-bucket is this engine's house shape).
 
+THE SKEW BOUND, stated plainly: AQE's OptimizeSkewedJoin splits oversized
+SHUFFLE partitions, but a bucketed scan has no shuffle to split — one hot
+join key concentrates its rows in one bucket file, and that bucket becomes
+an UNSPLITTABLE straggler task. This is exactly the failure mode the sink
+exists to avoid, so callers with a known-skewed key must use the salted
+variant below: `write_bucketed_salted` buckets the skewed side on
+(key, salt) with salt derived from a per-row column, and
+`write_bucketed_replicated` writes the other side once per salt value; the
+join then runs on (key, salt) — still zero exchanges, hot key split across
+`salt_buckets` tasks, at the cost of a `salt_buckets`x larger replicated
+side (choose the SMALLER side to replicate). `join_salted` packages the
+equivalent-join. For unknown skew, measure first: a quick
+`df.groupBy(key).count().orderBy(desc("count")).limit(10)` at write time is
+cheaper than discovering the straggler in production.
+
 Operational notes for the 100 TB deployment, encoded here so callers don't
 rediscover them:
   - Both sides must bucket on the JOIN key with the SAME bucket count (or
@@ -31,6 +46,29 @@ rediscover them:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the salt column both salted writers emit and join_salted joins on
+SALT_COL = "_salt"
+
+
+def _write(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort: bool,
+) -> None:
+    w = (
+        df.repartition(num_buckets, *[df[c] for c in bucket_cols])
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").saveAsTable(table)
 
 
 def write_bucketed(
@@ -46,17 +84,68 @@ def write_bucketed(
 
     The pre-write ``repartition(num_buckets, bucket_col)`` aligns write tasks
     with buckets: without it every write task emits a file for every bucket
-    it sees (tasks x buckets small files).
+    it sees (tasks x buckets small files). If the join key is SKEWED, use
+    :func:`write_bucketed_salted` instead — AQE cannot split a hot bucket
+    (module docstring).
     """
-    w = (
-        df.repartition(num_buckets, df[bucket_col])
-        .write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(num_buckets, bucket_col)
+    _write(df, table, path, [bucket_col], num_buckets, sort)
+
+
+def write_bucketed_salted(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    salt_buckets: int,
+    salt_from: str,
+    sort: bool = True,
+) -> None:
+    """The skew-safe variant for a side with HOT join keys: buckets on
+    (``bucket_col``, salt) where salt = pmod(xxhash64(``salt_from``),
+    ``salt_buckets``) — deterministic per row (pick a stable unique-ish
+    column such as the row id), so a rewrite lands rows in the same buckets.
+    A hot key's rows spread across up to ``salt_buckets`` (key, salt)
+    classes, each an independently-scheduled join task. Join against a
+    partner written by :func:`write_bucketed_replicated` with the SAME
+    num_buckets and salt_buckets, via :func:`join_salted`."""
+    salted = df.withColumn(
+        SALT_COL,
+        F.expr(f"CAST(pmod(xxhash64({salt_from}), {salt_buckets}) AS INT)"),
     )
-    if sort:
-        w = w.sortBy(bucket_col)
-    w.format("parquet").saveAsTable(table)
+    _write(salted, table, path, [bucket_col, SALT_COL], num_buckets, sort)
+
+
+def write_bucketed_replicated(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    salt_buckets: int,
+    sort: bool = True,
+) -> None:
+    """The partner of :func:`write_bucketed_salted`: every row is written
+    once per salt value (a ``salt_buckets``x blow-up — replicate the SMALLER
+    join side), so each (key, salt) class of the salted table finds its
+    match. The explode is map-only; the cost is storage, not shuffle."""
+    repl = df.withColumn(
+        SALT_COL, F.explode(F.expr(f"sequence(CAST(0 AS INT), {salt_buckets - 1})"))
+    )
+    _write(repl, table, path, [bucket_col, SALT_COL], num_buckets, sort)
+
+
+def join_salted(
+    spark: SparkSession, salted_table: str, replicated_table: str, on: str
+) -> DataFrame:
+    """Equi-join a salted table with its replicated partner on
+    (``on``, salt) — row-equivalent to joining the unsalted inputs on
+    ``on`` alone, zero exchanges, hot key split ``salt_buckets`` ways."""
+    return (
+        spark.table(salted_table)
+        .join(spark.table(replicated_table), [on, SALT_COL])
+        .drop(SALT_COL)
+    )
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -103,6 +103,80 @@ def test_bucketed_join_rows_match_unbucketed(spark, sf_dir, bucketed_tables):
     assert got == want
 
 
+def test_salted_bucketing_splits_hot_key_and_matches_plain_join(
+    spark, tmp_path_factory
+):
+    """The documented skew bound: AQE cannot split a hot BUCKET (no shuffle
+    to split), so a skewed key needs salt-on-write. Asserts the salted +
+    replicated pair (a) still joins with zero exchanges, (b) actually
+    spreads the hot key across multiple (key, salt) classes, and (c) is
+    row-equivalent to the plain unsalted join."""
+    from hdfs2cass_spark.sinks.bucketed import (
+        SALT_COL,
+        join_salted,
+        write_bucketed_replicated,
+        write_bucketed_salted,
+    )
+
+    root = tmp_path_factory.mktemp("salted")
+    # 30% of fact rows share ONE key — the hot-bucket shape
+    fact = spark.range(40_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), 1000))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("row_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv")
+    )
+    write_bucketed_salted(
+        fact, "bs_fact", str(root / "f"), "k", 8, salt_buckets=4, salt_from="row_id"
+    )
+    write_bucketed_replicated(
+        dim, "bs_dim", str(root / "d"), "k", 8, salt_buckets=4
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = join_salted(spark, "bs_fact", "bs_dim", "k")
+        p = _explain(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p  # (a) still the zero-exchange plan
+        assert p.count("Bucketed: true") == 2
+
+        # (b) the hot key occupies several salt classes — the straggler is
+        # split into independently-scheduled join tasks
+        n_salts = (
+            spark.table("bs_fact")
+            .filter("k = 7")
+            .select(SALT_COL)
+            .distinct()
+            .count()
+        )
+        assert n_salts >= 2, f"hot key landed in {n_salts} salt class(es)"
+
+        # (c) row-equivalence with the plain join
+        got = sorted(
+            tuple(r)
+            for r in j.groupBy("dv")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in fact.join(dim, "k")
+            .groupBy("dv")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bs_fact")
+        spark.sql("DROP TABLE IF EXISTS bs_dim")
+
+
 def test_bucketed_write_file_layout(spark, bucketed_tables):
     """Every bucket holds exactly its hash class: re-reading with the bucket
     metadata and filtering to one key touches one bucket's files (the
