@@ -22,6 +22,19 @@ that ran on the ObjectHashAggregate + interpreted-lambda path: measured
 is built, broadcast, or fit; no Python crosses the row path (plan-checked).
 Near-dup texts share most words and land on near-identical vectors (cosine
 ~ jaccard of the word multisets), which is what the downstream LSH expects.
+
+Codegen width bound (round 6, measured): whole-stage codegen admits the
+aggregate only while its field count stays under ``spark.sql.codegen.
+maxFields`` (default 100), so the practical codegen cap is dims <= ~96.
+Beyond it Spark plans the SAME HashAggregate with interpreted expression
+eval — a graceful ~2x slowdown at dims=512 (46.5k -> 23.8k docs/s at 100k
+docs), map-side combine intact, never the ObjectHashAggregate cliff.
+Raising maxFields to chase codegen at 512 dims is counterproductive: the
+generated update method blows janino's limits, and the compile-fail +
+per-subtree fallback measured 4x SLOWER than the plain interpreted plan.
+Both regimes are pinned by tests/test_embed.py; for genuinely wide
+embeddings prefer a learned/Arrow path (operators/hyperplane.py's
+_CODEGEN_MAX_PLANES precedent) over hashed BoW at this width.
 """
 
 from __future__ import annotations

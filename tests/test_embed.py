@@ -121,3 +121,38 @@ def test_embed_plan_stays_codegen(spark, sf_dir):
     assert "HashAggregate" in p and "partial_sum" in p  # map-side combine
     assert "EvalPython" not in p and "MapInPandas" not in p
     assert p.count("Exchange") == 1
+
+
+def test_embed_codegen_width_bound(spark, sf_dir):
+    """The documented codegen width bound: at dims=64 (under
+    spark.sql.codegen.maxFields=100) the aggregate runs inside whole-stage
+    codegen; at dims=512 it falls OUT of codegen but keeps the identical
+    HashAggregate shape (map-side combine, no ObjectHashAggregate cliff, one
+    exchange) and correct normalized output — the graceful ~2x-measured
+    fallback, not silent wrongness."""
+    import math
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    for dims, expect_codegen in ((64, True), (512, False)):
+        df = embed_texts(d, dims=dims)
+        rows = df.collect()
+        # final (adaptive) plan only — the trailing '== Initial Plan =='
+        # section never carries codegen stars
+        p = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        aggs = [l for l in p.splitlines() if "HashAggregate" in l]
+        assert aggs and all(("*(" in l) == expect_codegen for l in aggs), (
+            dims,
+            aggs,
+        )
+        assert "ObjectHashAggregate" not in p
+        assert "partial_sum" in p
+        for r in rows[:10]:
+            v = list(r[1])
+            assert len(v) == dims
+            n = math.sqrt(sum(x * x for x in v))
+            assert n == 0 or abs(n - 1.0) < 1e-5
