@@ -293,7 +293,7 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
         + ")"
     )
-    pos = (
+    pos = (  # (doc_id, pos, h) — one row per SUBSTR_K-word window position
         _spread_docs(d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
