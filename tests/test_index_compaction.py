@@ -1,0 +1,136 @@
+"""Direct protocol tests for streaming/index.py — the compaction invariants
+the streaming equivalence tests exercise only implicitly, plus the two crash
+windows the module docstring claims are safe (keeper-written-but-inputs-
+not-deleted, and partial-keeper-without-_SUCCESS)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.streaming.index import (
+    append,
+    batch_dir,
+    compact,
+    n_subdirs,
+    read_index,
+    read_split,
+    _parts,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), F.pmod(F.col("id"), 5).alias("h")
+    )
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["h"]) for r in df.collect())
+
+
+def test_append_read_roundtrip_and_split(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    append(_mk(spark, 0, 10), p, 0)
+    append(_mk(spark, 10, 20), p, 1)
+    keeper, recent = read_split(spark, p)
+    assert keeper is None  # nothing compacted yet
+    assert _rows(recent) == _rows(_mk(spark, 0, 20))
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 20))
+    # replayed append overwrites its own directory: no duplicates
+    append(_mk(spark, 0, 10), p, 0)
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 20))
+
+
+def test_compact_folds_deletes_and_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    for b in range(4):
+        append(_mk(spark, 10 * b, 10 * (b + 1)), p, b)
+    assert compact(spark, p, 4)  # identity fold
+    keepers, batches = _parts(spark, p)
+    assert keepers == [4] and batches == []
+    assert n_subdirs(spark, p) == 1
+    # identity fold rewrites the same rows
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 40))
+    # later appends coexist with the keeper
+    append(_mk(spark, 40, 50), p, 4)
+    keeper, recent = read_split(spark, p)
+    assert _rows(keeper) == _rows(_mk(spark, 0, 40))
+    assert _rows(recent) == _rows(_mk(spark, 40, 50))
+
+
+def test_compact_with_fold_aggregates_keeper(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    for b in range(3):
+        append(_mk(spark, 10 * b, 10 * (b + 1)), p, b)
+    compact(
+        spark, p, 3, fold=lambda df: df.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    )
+    keeper, recent = read_split(spark, p)
+    assert recent is None
+    got = {r["h"]: r["doc_id"] for r in keeper.collect()}
+    assert got == {h: h for h in range(5)}  # min doc_id per h over 0..29
+    # a second compaction folds the keeper itself plus new appends
+    append(_mk(spark, 30, 40), p, 3)
+    compact(
+        spark, p, 4, fold=lambda df: df.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    )
+    keeper, recent = read_split(spark, p)
+    assert recent is None and keeper.count() == 5
+    assert {r["h"]: r["doc_id"] for r in keeper.collect()} == {h: h for h in range(5)}
+
+
+def test_compact_never_folds_the_triggering_batch_or_newer(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    for b in range(4):
+        append(_mk(spark, 10 * b, 10 * (b + 1)), p, b)
+    compact(spark, p, 2)  # folds only ids 0,1
+    keepers, batches = _parts(spark, p)
+    assert keepers == [2] and batches == [2, 3]
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 40))
+
+
+def test_crash_mid_write_rebuilds_from_untouched_sources(spark, tmp_path):
+    """A keeper directory WITHOUT _SUCCESS (crash during the keeper write)
+    must be rebuilt from the still-present sources — full row fidelity."""
+    p = str(tmp_path / "idx")
+    for b in range(3):
+        append(_mk(spark, 10 * b, 10 * (b + 1)), p, b)
+    # simulate the torn write: a keeper dir exists, partial content, no marker
+    torn = f"{p}/keeper-{3:09d}"
+    _mk(spark, 0, 5).write.mode("overwrite").parquet(torn)
+    os.remove(f"{torn}/_SUCCESS")
+    assert compact(spark, p, 3)
+    keepers, batches = _parts(spark, p)
+    assert keepers == [3] and batches == []
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 30))
+
+
+def test_crash_mid_delete_finishes_cleanup_without_reread(spark, tmp_path):
+    """A completed keeper (_SUCCESS present) with leftover folded inputs
+    (crash during the deletes) must NOT be rebuilt — the replayed compaction
+    just finishes the deletes, and the index rows are unchanged."""
+    p = str(tmp_path / "idx")
+    for b in range(2):
+        append(_mk(spark, 10 * b, 10 * (b + 1)), p, b)
+    compact(spark, p, 2)
+    append(_mk(spark, 20, 30), p, 2)
+    compact(spark, p, 3)  # keeper-3, batch dirs gone
+    # simulate the crash-mid-delete leftovers: an old keeper and an old batch
+    # dir that the (interrupted) delete pass missed
+    _mk(spark, 0, 10).write.mode("overwrite").parquet(f"{p}/keeper-{2:09d}")
+    _mk(spark, 0, 10).write.mode("overwrite").parquet(batch_dir(p, 0))
+    assert n_subdirs(spark, p) == 3
+    assert compact(spark, p, 3)  # replay: keeper-3 already has _SUCCESS
+    keepers, batches = _parts(spark, p)
+    assert keepers == [3] and batches == []
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 30))
+
+
+def test_compact_on_empty_or_missing_path_is_a_noop(spark, tmp_path):
+    p = str(tmp_path / "nothing")
+    assert compact(spark, p, 5) is False
+    with pytest.raises(FileNotFoundError):
+        read_index(spark, p)
+    shutil.rmtree(p, ignore_errors=True)
