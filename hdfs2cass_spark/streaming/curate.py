@@ -283,6 +283,13 @@ def stream_curate(
                 compact(spark, cnt_p, batch_id, fold=_sum_counts)
             if packed_path is not None:
                 compact(spark, tok_p, batch_id, fold=_sum_token_totals)
+            # the SINKS fold too (identity): they are never re-read per
+            # batch, but a month-long ingest would otherwise leave one
+            # directory per batch for the final consumer to list; the
+            # same below-the-triggering-id rule keeps replays safe
+            compact(spark, sink_path, batch_id)
+            if packed_path is not None:
+                compact(spark, packed_path, batch_id)
         pinned = []
 
         def pin(df: DataFrame) -> DataFrame:

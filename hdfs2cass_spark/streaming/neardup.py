@@ -263,6 +263,10 @@ def stream_near_dup(
             compact(spark, bands_p, batch_id)
             if band_cap is not None:
                 compact(spark, cnt_p, batch_id, fold=_sum_counts)
+            # decisions sink folds too (identity rewrite — bounds the final
+            # consumer's directory listing; replay-safe by the same
+            # below-the-triggering-id rule)
+            compact(spark, sink_path, batch_id)
         # one-file micro-batches scan as one partition: spread before the
         # md5-minhash chain or it runs single-core
         n = spark.sparkContext.defaultParallelism

@@ -456,12 +456,13 @@ def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
     q.awaitTermination(300)
 
     # (b) directory bound: last compaction at batch 4 folded ids < 4 into one
-    # keeper; batches 4 and 5 remain raw
+    # keeper; batches 4 and 5 remain raw — for the indexes AND the sink
     for sub in ("exact", "sig", "bands"):
         keepers, batches = _parts(spark, f"{idx}/{sub}")
         assert keepers == [4], f"{sub}: {keepers}"
         assert batches == [4, 5], f"{sub}: {batches}"
         assert n_subdirs(spark, f"{idx}/{sub}") == 3
+    assert n_subdirs(spark, out) == 3  # decisions sink folds too
 
     # (c) the exact keeper is folded: at most one row per hash
     keeper, _recent = read_split(spark, f"{idx}/exact")
