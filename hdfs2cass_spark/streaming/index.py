@@ -38,6 +38,15 @@ the re-appended batch directories still exist — once compaction has folded
 them, the replayed rows would duplicate the keeper's. Wiping the checkpoint
 therefore requires wiping the indexes (and the sink) with it.
 
+Cost model, stated explicitly: each compaction rewrites the full index
+(single-keeper scheme), so amortized compaction I/O is O(index /
+compact_every) per batch — the SAME order as the per-batch candidate-join
+scan of the index, which is unavoidable (every arrival is judged against
+all history). A tiered/leveled LSM scheme would cut the write term to
+O(log) but cannot touch the dominating scan term, so the single keeper is
+the right complexity-for-simplicity trade here; revisit only if a
+deployment's write bandwidth (not scan) becomes the bottleneck.
+
 All filesystem access goes through the Hadoop FileSystem API, so the same
 code runs on HDFS/object-store paths, not just local disk.
 """
