@@ -172,3 +172,23 @@ def test_chunk_documents_boundaries_and_overlap(spark, tmp_path):
     # consecutive chunks overlap by exactly CHUNK_OVERLAP words (except tails)
     a, b = by_doc[2][0], by_doc[2][1]
     assert a.start_word + CHUNK_WORDS - b.start_word == CHUNK_OVERLAP
+
+
+def test_bigram_logprob_flags_word_salad(spark, tmp_path):
+    """The LM-score property the filter exists for: a document whose word
+    TRANSITIONS are atypical for the corpus (same vocabulary, shuffled
+    order) scores strictly below every doc whose transitions the corpus
+    repeats — the gibberish/word-salad signal."""
+    from pyspark.sql import Row
+
+    from hdfs2cass_spark.plans.lm import bigram_logprob_score
+
+    normal = "the quick brown fox jumps over the lazy dog tonight"
+    salad = "dog the over quick tonight brown lazy fox the jumps"
+    rows = [Row(doc_id=i, text=normal) for i in range(50)]
+    rows.append(Row(doc_id=99, text=salad))
+    d = str(tmp_path / "lm")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    scores = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_score(spark, d).collect()}
+    assert len(scores) == 51
+    assert scores[99] < min(scores[i] for i in range(50))
