@@ -44,6 +44,9 @@ PIPELINE = [
     # comparable to rounds <= 3, the three keys above still are
     "exact_substring_spans",
     "chunk_documents",
+    # added round 6 (first recorded in BENCH_r06): pipeline_total_sec is not
+    # comparable to rounds <= 5, the five keys above still are
+    "bigram_logprob_score",
 ]
 
 
