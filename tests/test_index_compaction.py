@@ -134,3 +134,28 @@ def test_compact_on_empty_or_missing_path_is_a_noop(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_index(spark, p)
     shutil.rmtree(p, ignore_errors=True)
+
+
+def test_random_append_compact_interleavings_preserve_rows(spark, tmp_path):
+    """Invariant over arbitrary (seeded) interleavings: whatever compaction
+    points fire, the identity-fold index always reads back exactly the union
+    of everything appended — compaction can only MOVE rows, never drop or
+    duplicate them."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"rnd{seed}")
+        appended = []
+        for b in range(rng.randint(6, 12)):
+            lo = 100 * b
+            hi = lo + rng.randint(1, 20)
+            append(_mk(spark, lo, hi), p, b)
+            appended.append((lo, hi))
+            if rng.random() < 0.4 and b > 0:
+                compact(spark, p, b)  # fold everything before this batch
+        got = _rows(read_index(spark, p))
+        want = sorted(
+            (i, i % 5) for lo, hi in appended for i in range(lo, hi)
+        )
+        assert got == want, f"seed {seed}"
