@@ -13,11 +13,13 @@ word salad, wrong-language fragments) — the same filtering signal, with the
 model-fit amortized into the query instead of a side-loaded artifact.
 
 100 TB shape: the bigram position table is corpus-sized (one row per
-adjacent word pair, 60-bit hashed — no vocabulary built or broadcast); the
-model (distinct bigrams with MLE log-probs) comes from two cascaded
-map-side-combined aggregations, and scoring is ONE hashed equi-join of
-positions to model (AQE-splittable, nothing broadcast) plus a per-doc
-aggregate. Determinism for the oracle: per-bigram log-probs round to 9
+adjacent word pair, 60-bit hashed — no vocabulary built or broadcast) and
+is materialized ONCE (DISK_ONLY localCheckpoint — it feeds both the model
+fit and the scoring probe, and its explode lambda never passes
+ReuseExchange); the model (distinct bigrams with MLE log-probs) comes from
+two cascaded map-side-combined aggregations, and scoring is ONE hashed
+equi-join of positions to model (AQE-splittable, nothing broadcast) plus a
+per-doc aggregate. Determinism for the oracle: per-bigram log-probs round to 9
 decimals and sum as DECIMAL (exact, order-independent — float summation
 order differs between engines), with the final average a rounded double
 division of identical operands.
@@ -30,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
 from .llm import W_DUCK, W_SPARK, _spread_docs, hash60_duck, hash60_spark
@@ -88,6 +91,11 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("size(ws) >= 2"))
         .select("doc_id", F.explode(F.expr(bigram)).alias("g"))
         .select("doc_id", "g.a", "g.b")
+        # the position table feeds TWO branches (model fit + scoring probe)
+        # and its explode carries a lambda subtree that never passes
+        # ReuseExchange — materialize once, same house shape (and rationale)
+        # as exact_substring_spans' gram table
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     cb = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
     cu = cb.groupBy("a").agg(F.sum("cnt_ab").alias("cnt_a"))
