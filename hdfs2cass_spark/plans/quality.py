@@ -1,0 +1,433 @@
+"""Corpus-quality and corpus-management operators (declared queries 55-58).
+
+Four operators a production training-data pipeline runs over every corpus,
+beyond the dedup/decontamination/packing surface already in plans/llm.py and
+plans/pipeline.py:
+
+  - gopher_quality_filter: the word-statistics rule family of Rae et al. 2021
+    ("Scaling Language Models: ... Gopher", public) — doc-level keep/drop from
+    word count, mean word length, alphabetic-word fraction and stop-word
+    containment. (The repetition rules of the same paper live in
+    top_ngram_repetition; line-level rules are degenerate on the fixture
+    corpus, which has no newlines.)
+  - lang_temperature_sample: temperature-based language rebalancing
+    (multilingual-corpus sampling p_l ~ c_l^alpha, alpha=0.5 — the standard
+    mBERT/XLM-R recipe, public) with a deterministic md5-derived coin so the
+    sample is reproducible run-to-run and engine-to-engine.
+  - embedding_quantized_topk: int8 symmetric scalar quantization of the
+    embedding column + integer-dot top-k — the memory-bandwidth path for ANN
+    at 100 TB (4x smaller scans than float32; integer dots SIMD-vectorize).
+  - corpus_stats_report: the per-source corpus report card (doc/char/word
+    totals, exact median and p90 order statistics, vocabulary size,
+    corpus share) every ingest run publishes before training starts.
+
+All four are single-scan shapes: gopher is pure map-side column arithmetic;
+temperature sampling is two O(#langs) aggregates broadcast back over one
+corpus scan; quantized top-k broadcasts a one-row scale vector and the query
+side; the stats report is one shuffle on source plus a distinct-word
+aggregate. Cross-engine exactness follows the registry rules: integer
+accumulation everywhere, double division only of identical operands, and
+quantization defined as floor(x + 0.5) on BOTH engines so no engine-specific
+round() semantics are in play.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .llm import STOPWORDS, W_DUCK, W_SPARK, hash60_duck, hash60_spark
+from .registry import declare
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+# Rule thresholds from Rae et al. 2021 (Table A1), restricted to the
+# word-statistics family (the fixture corpus has no lines or symbols, so the
+# line/symbol rules would pass vacuously and verify nothing).
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_ALPHA_FRAC = 0.8
+_MIN_STOP_WORDS = 2
+
+
+@declare(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {W_DUCK} AS ws FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS _swl,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER)
+               AS _na,
+             CAST(len(list_filter(ws, w -> w IN {STOPWORDS})) AS INTEGER)
+               AS n_stop_words
+      FROM t)
+    SELECT doc_id, n_words,
+           round(CAST(_swl AS DOUBLE) / n_words, 6) AS mean_word_len,
+           round(CAST(_na AS DOUBLE) / n_words, 6) AS frac_alpha_words,
+           n_stop_words,
+           coalesce(n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}, FALSE)
+             AS pass_n_words,
+           coalesce(CAST(_swl AS DOUBLE) / n_words
+                      BETWEEN {_MIN_MWL} AND {_MAX_MWL}, FALSE) AS pass_word_len,
+           coalesce(CAST(_na AS DOUBLE) / n_words >= {_MIN_ALPHA_FRAC}, FALSE)
+             AS pass_alpha,
+           coalesce(n_stop_words >= {_MIN_STOP_WORDS}, FALSE) AS pass_stop,
+           (coalesce(n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}, FALSE)
+            AND coalesce(CAST(_swl AS DOUBLE) / n_words
+                           BETWEEN {_MIN_MWL} AND {_MAX_MWL}, FALSE)
+            AND coalesce(CAST(_na AS DOUBLE) / n_words >= {_MIN_ALPHA_FRAC}, FALSE)
+            AND coalesce(n_stop_words >= {_MIN_STOP_WORDS}, FALSE)) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    doc="Gopher word-statistics quality rules (Rae et al. 2021): per-doc word "
+    "count, mean word length, alphabetic-word fraction, stop-word containment "
+    "-> four pass flags + the conjunctive keep decision. Pure map-side column "
+    "arithmetic over one scan (integer counts, double division of identical "
+    "operands) — embarrassingly parallel at any corpus size; NULL-text rows "
+    "keep NULL metrics and coalesce to keep=false.",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_filter_df(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_filter_df(d: DataFrame) -> DataFrame:
+    """Composable form over any (doc_id, text, ...) DataFrame — the query
+    above binds it to the documents table."""
+    t = d.select("doc_id", F.expr(W_SPARK).alias("ws"))
+    m = t.select(
+        "doc_id",
+        F.expr("size(ws)").cast("int").alias("n_words"),
+        F.expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+        .cast("bigint")
+        .alias("_swl"),
+        F.expr("size(filter(ws, w -> w rlike '[a-zA-Z]'))").cast("int").alias("_na"),
+        F.expr(f"size(filter(ws, w -> w IN {STOPWORDS}))").cast("int").alias("n_stop_words"),
+    )
+    mwl = F.col("_swl").cast("double") / F.col("n_words")
+    alpha = F.col("_na").cast("double") / F.col("n_words")
+    pass_n = F.coalesce(F.col("n_words").between(_MIN_WORDS, _MAX_WORDS), F.lit(False))
+    pass_mwl = F.coalesce(mwl.between(_MIN_MWL, _MAX_MWL), F.lit(False))
+    pass_alpha = F.coalesce(alpha >= _MIN_ALPHA_FRAC, F.lit(False))
+    pass_stop = F.coalesce(F.col("n_stop_words") >= _MIN_STOP_WORDS, F.lit(False))
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("frac_alpha_words"),
+        "n_stop_words",
+        pass_n.alias("pass_n_words"),
+        pass_mwl.alias("pass_word_len"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (pass_n & pass_mwl & pass_alpha & pass_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language rebalancing
+# ---------------------------------------------------------------------------
+
+_TWO60 = float(1 << 60)
+_COIN_SPARK = hash60_spark("concat('tsample|', CAST(doc_id AS STRING))")
+_COIN_DUCK = hash60_duck("'tsample|' || CAST(doc_id AS VARCHAR)")
+
+
+@declare(
+    "lang_temperature_sample",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+    s AS (SELECT lang, n_lang,
+                 CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+          FROM c),
+    t AS (SELECT CAST(SUM(sq) AS BIGINT) AS s_tot,
+                 CAST(SUM(n_lang) AS BIGINT) AS n_tot FROM s),
+    r AS (SELECT lang, n_lang,
+                 least(1.0, (CAST(sq AS DOUBLE) / CAST(s_tot AS DOUBLE))
+                            * (CAST(n_tot AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS rate
+          FROM s CROSS JOIN t)
+    SELECT d.doc_id, d.lang,
+           r.n_lang AS n_lang_docs,
+           round(r.rate, 6) AS sample_rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST({_COIN_DUCK} AS DOUBLE) / {_TWO60!r} < r.rate
+    ORDER BY doc_id
+    """,
+    doc="Temperature-based language rebalancing (p_l ~ count_l^0.5, the "
+    "standard multilingual sampling recipe): per-language acceptance rate "
+    "least(1, p_l * N / count_l) keeps the corpus size while flattening the "
+    "language skew; each doc flips a DETERMINISTIC md5-derived coin, so the "
+    "sample is reproducible and engine-exact. sqrt is quantized to integer "
+    "micro-units before the ratio so no cross-engine float-summation order "
+    "exists; the rate is a product of two exact-operand double divisions "
+    "(overflow-free at any corpus size). Scale shape: two O(#langs) "
+    "aggregates, rates broadcast back over ONE corpus scan — map-side keep "
+    "decision, no shuffle of the corpus.",
+)
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    s = c.select(
+        "lang",
+        "n_lang",
+        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    t = s.agg(
+        F.sum("sq").cast("bigint").alias("s_tot"),
+        F.sum("n_lang").cast("bigint").alias("n_tot"),
+    )
+    r = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("sq").cast("double") / F.col("s_tot").cast("double"))
+            * (F.col("n_tot").cast("double") / F.col("n_lang").cast("double")),
+        ).alias("rate"),
+    )
+    coin = F.expr(_COIN_SPARK).cast("double") / F.lit(_TWO60)
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(coin < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_lang").alias("n_lang_docs"),
+            F.round("rate", 6).alias("sample_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized embedding top-k
+# ---------------------------------------------------------------------------
+
+_DIMS = 64
+_QK = 5
+
+# floor(x + 0.5) on BOTH engines: symmetric-scale quantization with NO
+# engine-specific round() semantics in play (floor and + are correctly
+# rounded IEEE ops -> identical doubles -> identical integers).
+_QUANT_SPARK = (
+    f"transform(sequence(1, {_DIMS}), i -> coalesce(CAST(floor("
+    "CAST(element_at(embedding, i) AS DOUBLE) * 127.0"
+    " / nullif(element_at(ms, i), CAST(0 AS DOUBLE)) + 0.5d) AS BIGINT),"
+    " CAST(0 AS BIGINT)))"
+)
+_QUANT_DUCK = (
+    f"list_transform(range(1, {_DIMS + 1}), i -> coalesce(CAST(floor("
+    "embedding[i]::DOUBLE * 127.0 / nullif(ms[i], 0.0) + 0.5) AS BIGINT), 0))"
+)
+_MAXS_DUCK = ", ".join(
+    f"max(abs(embedding[{i}]::DOUBLE))" for i in range(1, _DIMS + 1)
+)
+
+
+@declare(
+    "embedding_quantized_topk",
+    oracle=f"""
+    WITH msrow AS (SELECT [{_MAXS_DUCK}] AS ms FROM embeddings),
+    q AS (SELECT vec_id, {_QUANT_DUCK} AS qv
+          FROM embeddings CROSS JOIN msrow),
+    n AS (SELECT vec_id, qv,
+                 sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS qn
+          FROM q),
+    qs AS (SELECT vec_id AS q_id, qv AS qa, qn AS qna FROM n WHERE vec_id < {_QK}),
+    sims AS (
+      SELECT q_id, vec_id,
+             CAST(list_sum(list_transform(range(1, {_DIMS + 1}),
+                                          i -> qa[i] * qv[i])) AS BIGINT) AS int_dot,
+             round(CAST(list_sum(list_transform(range(1, {_DIMS + 1}),
+                                                i -> qa[i] * qv[i])) AS DOUBLE)
+                   / nullif(qna * qn, 0.0), 6) AS sim
+      FROM qs CROSS JOIN n
+      WHERE vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, vec_id, int_dot, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims WHERE sim IS NOT NULL)
+    SELECT q_id, vec_id, int_dot, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_QK} ORDER BY q_id, rnk
+    """,
+    doc="int8 symmetric scalar quantization + integer-dot top-k: per-dim "
+    "max-abs scales (one 64-column aggregate, broadcast as a one-row array), "
+    "each vector quantized to [-127, 127] int64 JVM-side, similarity = exact "
+    "integer dot / quantized norms. The 100 TB ANN memory-bandwidth path: "
+    "the candidate scan shrinks 4x vs float32 and integer dots "
+    "SIMD-vectorize; rank via row_number -> WindowGroupLimit partial top-k "
+    "map-side, same plan shape as the float baseline (embedding_topk_cosine, "
+    "whose exact results the agreement test compares against). Quantization "
+    "is floor(x+0.5) on both engines — no engine round() semantics.",
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    maxs = e.agg(
+        *[
+            F.max(F.abs(F.expr(f"CAST(element_at(embedding, {i}) AS DOUBLE)"))).alias(
+                f"m{i}"
+            )
+            for i in range(1, _DIMS + 1)
+        ]
+    ).select(F.array(*[f"m{i}" for i in range(1, _DIMS + 1)]).alias("ms"))
+    q = e.crossJoin(F.broadcast(maxs)).select(
+        "vec_id", F.expr(_QUANT_SPARK).alias("qv")
+    )
+    n = q.select(
+        "vec_id",
+        "qv",
+        F.sqrt(
+            F.expr(
+                "aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+            ).cast("double")
+        ).alias("qn"),
+    )
+    qs = n.filter(F.col("vec_id") < _QK).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("qa"),
+        F.col("qn").alias("qna"),
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(qa, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    sims = (
+        F.broadcast(qs)
+        .crossJoin(n)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("int_dot").cast("double")
+                / F.expr("nullif(qna * qn, CAST(0 AS DOUBLE))"),
+                6,
+            ),
+        )
+        .filter(F.col("sim").isNotNull())
+        .select("q_id", "vec_id", "int_dot", "sim")
+    )
+    ranked = sims.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= _QK)
+        .select("q_id", "vec_id", "int_dot", "sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report card
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "corpus_stats_report",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, n_chars, {W_DUCK} AS ws FROM documents),
+    w AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 CAST(SUM(len(ws)) AS BIGINT) AS total_words
+          FROM base GROUP BY source),
+    dw AS (SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_words
+           FROM (SELECT source, unnest(ws) AS word FROM base) u GROUP BY source),
+    ranked AS (SELECT source, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY source) AS cnt
+               FROM base),
+    med AS (
+      SELECT source,
+             round(CAST(SUM(CASE WHEN rn IN (CAST(floor((cnt + 1) / 2.0) AS BIGINT),
+                                             CAST(ceil((cnt + 1) / 2.0) AS BIGINT))
+                              THEN n_chars END) AS DOUBLE)
+                   / SUM(CASE WHEN rn IN (CAST(floor((cnt + 1) / 2.0) AS BIGINT),
+                                          CAST(ceil((cnt + 1) / 2.0) AS BIGINT))
+                           THEN 1 ELSE 0 END), 6) AS median_chars,
+             CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+                        THEN n_chars END) AS INTEGER) AS p90_chars
+      FROM ranked GROUP BY source)
+    SELECT w.source, n_docs, total_chars,
+           round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+           total_words, distinct_words, median_chars, p90_chars,
+           round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS corpus_share
+    FROM w JOIN dw USING (source) JOIN med USING (source)
+    ORDER BY source
+    """,
+    doc="Per-source corpus report card: doc/char/word totals, EXACT median "
+    "and p90 (order statistics via row_number over (n_chars, doc_id) — no "
+    "approximate percentile, so the oracle hash is exact), per-source "
+    "vocabulary size, and corpus share. One shuffle on source for the "
+    "totals + one distinct-word aggregate (two-level: per-source-word then "
+    "per-source, map-side combinable) + a per-source sort window for the "
+    "order statistics — all shapes that hold at 100 TB because the grain "
+    "after the first aggregate is #sources, not #docs. The final share "
+    "window runs over #sources rows only.",
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "n_chars", F.expr(W_SPARK).alias("ws"))
+    w = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size("ws")).cast("bigint").alias("total_words"),
+    )
+    dw = (
+        base.select("source", F.explode("ws").alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("bigint").alias("distinct_words"))
+    )
+    win = Window.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "n_chars",
+        F.row_number().over(win.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count("*").over(win).alias("cnt"),
+    )
+    lo = F.floor((F.col("cnt") + 1) / 2.0).cast("bigint")
+    hi = F.ceil((F.col("cnt") + 1) / 2.0).cast("bigint")
+    p90_rn = F.ceil(0.9 * F.col("cnt")).cast("bigint")
+    is_med = (F.col("rn") == lo) | (F.col("rn") == hi)
+    med = ranked.groupBy("source").agg(
+        F.round(
+            F.sum(F.when(is_med, F.col("n_chars"))).cast("double")
+            / F.sum(F.when(is_med, 1).otherwise(0)),
+            6,
+        ).alias("median_chars"),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("n_chars")))
+        .cast("int")
+        .alias("p90_chars"),
+    )
+    share_win = Window.partitionBy()
+    return (
+        w.join(dw, "source")
+        .join(med, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+            "total_words",
+            "distinct_words",
+            "median_chars",
+            "p90_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(share_win), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("source")
+    )

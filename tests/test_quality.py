@@ -1,0 +1,138 @@
+"""Semantics tests for the corpus-quality operators (plans/quality.py).
+
+The differential oracle test (test_catalog_oracle.py) proves cross-engine
+exactness; these tests prove the operators MEAN what they claim: Gopher rules
+fire on planted pathological docs, temperature sampling actually flattens the
+language skew deterministically, int8 quantization preserves neighbor rank,
+and the stats report's order statistics are internally consistent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.plans import CATALOG
+from hdfs2cass_spark.plans.quality import gopher_filter_df
+
+
+def _doc(doc_id, text):
+    return (doc_id, text)
+
+
+def test_gopher_planted_docs(spark):
+    good = " ".join(
+        ["the", "a", "quick", "brown", "fox", "jumps"] * 10
+    )  # 60 words, mean len ~3.8, all alpha, stopwords present
+    rows = [
+        _doc(1, good),
+        _doc(2, "too short doc"),  # fails n_words
+        _doc(3, " ".join(["supercalifragilistic"] * 60)),  # mean_word_len > 10
+        _doc(4, " ".join(["quick", "brown", "fox"] * 20)),  # no stopwords
+        _doc(5, " ".join(["123", "456"] * 30) + " the a"),  # alpha frac < 0.8
+        _doc(6, None),  # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in gopher_filter_df(df).collect()}
+    assert out[1].keep and all(
+        [out[1].pass_n_words, out[1].pass_word_len, out[1].pass_alpha, out[1].pass_stop]
+    )
+    assert not out[2].keep and not out[2].pass_n_words
+    assert not out[3].keep and not out[3].pass_word_len and out[3].pass_n_words
+    assert not out[4].keep and not out[4].pass_stop
+    assert not out[5].keep and not out[5].pass_alpha
+    assert not out[6].keep and out[6].n_words is None
+
+
+def test_temperature_sample_flattens_skew(spark, sf_dir):
+    from hdfs2cass_spark.sources.readers import load_table
+
+    corpus = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sampled_rows = CATALOG["lang_temperature_sample"].fn(spark, sf_dir).collect()
+    sampled = {}
+    for r in sampled_rows:
+        sampled[r.lang] = sampled.get(r.lang, 0) + 1
+    # every language survives, and the majority language's share shrinks
+    assert set(sampled) == set(corpus)
+    corpus_total, samp_total = sum(corpus.values()), sum(sampled.values())
+    major = max(corpus, key=corpus.get)
+    minor = min(corpus, key=corpus.get)
+    assert sampled[major] / samp_total < corpus[major] / corpus_total
+    # minority languages keep (almost) everything: rate is 1.0 for the rarest
+    assert sampled[minor] == corpus[minor]
+    # skew ratio strictly decreases
+    corpus_skew = corpus[major] / corpus[minor]
+    samp_skew = sampled[major] / sampled[minor]
+    assert samp_skew < corpus_skew
+    # deterministic: a second run returns the identical sample
+    again = CATALOG["lang_temperature_sample"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in sampled_rows]
+
+
+def test_quantized_topk_agrees_with_exact(spark, sf_dir):
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in CATALOG["embedding_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    quant = {
+        (r.q_id, r.vec_id)
+        for r in CATALOG["embedding_quantized_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(quant) == len(exact)
+    overlap = len(exact & quant) / len(exact)
+    # int8 on 64 dims keeps most neighbors (measured 0.76 at sf0.01)
+    assert overlap >= 0.6, f"quantized/exact top-k overlap collapsed: {overlap}"
+
+
+def test_corpus_stats_invariants(spark, sf_dir):
+    from hdfs2cass_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_total = d.count()
+    rows = CATALOG["corpus_stats_report"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert sum(r.corpus_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    stats = {
+        r.source: (r["min"], r["max"])
+        for r in d.groupBy("source")
+        .agg(F.min("n_chars").alias("min"), F.max("n_chars").alias("max"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = stats[r.source]
+        assert lo <= r.median_chars <= hi
+        assert r.median_chars <= r.p90_chars <= hi
+        assert r.distinct_words <= r.total_words
+
+
+def test_gopher_plan_is_map_side(spark, sf_dir):
+    """The compute is shuffle-free: the only Exchange in the plan is the
+    rangepartitioning for the output ORDER BY — no hashpartitioning."""
+    plan = (
+        CATALOG["gopher_quality_filter"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
+
+
+def test_temperature_sample_joins_broadcast(spark, sf_dir):
+    """The per-language rates reach the corpus scan via a broadcast join —
+    the corpus itself is never shuffled on lang."""
+    plan = (
+        CATALOG["lang_temperature_sample"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
