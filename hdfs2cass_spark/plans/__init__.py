@@ -11,5 +11,6 @@ from . import compose as _compose  # noqa: E402,F401
 from . import textembed as _textembed  # noqa: E402,F401
 from . import lm as _lm  # noqa: E402,F401
 from . import quality as _quality  # noqa: E402,F401
+from . import rag as _rag  # noqa: E402,F401
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

@@ -1,0 +1,192 @@
+"""RAG retrieval-index composition, oracle-checked end to end (row 59).
+
+``rag_chunk_retrieval_md5`` builds the complete retrieval index a RAG
+pipeline runs over a curated corpus — chunk every document (the exact
+chunk_documents grid: 64-word chunks, 16-word overlap), feature-hash embed
+every CHUNK (operators/embed.py, md5 hash mode so DuckDB can reproduce the
+vectors bit-for-bit), embed the query documents whole, and retrieve the
+top-5 chunks per query by exact cosine, excluding the query document's own
+chunks (self-retrieval is always pruned in evaluation setups).
+
+Engine-exactness inherits from the proven fragments it composes: the chunk
+grid is chunk_documents' integer arithmetic, the embedding is
+text_embed_near_dup_pairs_md5's exact-integer histogram + correctly-rounded
+normalize, and cosine/rank are embedding_topk_cosine's literal arithmetic.
+
+100 TB shape: chunking is map-only 1->N; the chunk embedding is ONE
+map-side-combined HashAggregate over exploded words (the same single
+exchange as the doc embedder — the group key is just (doc, chunk)); the
+query side is tiny and broadcast; ranking is row_number ->
+WindowGroupLimit, partial top-k before the shuffle. Nothing materializes
+the chunk text corpus-wide — the chunk string exists only inside the
+embed explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vec import norm_sql as _norm_sql
+from ..sources import load_table
+from .llm import W_DUCK, W_SPARK, _cosine_duck, _cosine_prenormed, hash60_duck
+from .pipeline import CHUNK_OVERLAP, CHUNK_WORDS, _CHUNK_STRIDE
+from .registry import declare
+from .textembed import _embed_md5_duck_ctes
+
+_DIMS = 64
+_RAG_K = 5
+_N_QUERIES = 3
+# chunk_id packs into the low 16 bits of the embed key: docs stay under
+# 2^16 chunks (~3.1M words at stride 48) or the key wraps — asserted below.
+_CKEY_BITS = 16
+
+_CSUMS = ",\n             ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN s END), 0) AS DOUBLE) AS d{i}"
+    for i in range(_DIMS)
+)
+_CNORM = " + ".join(f"d{i} * d{i}" for i in range(_DIMS))
+_CARR = ", ".join(
+    f"CAST(CASE WHEN nrm = 0 THEN 0.0 ELSE d{i} / nrm END AS FLOAT)"
+    for i in range(_DIMS)
+)
+
+
+@declare(
+    "rag_chunk_retrieval_md5",
+    oracle=f"""
+    WITH {_embed_md5_duck_ctes()},
+    cgrid AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_WORDS} THEN 0
+                    ELSE (n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END)) AS chunk_id
+      FROM (SELECT doc_id, {W_DUCK} AS ws, len({W_DUCK}) AS n
+            FROM documents WHERE text IS NOT NULL AND len({W_DUCK}) >= 1) w),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(ws, chunk_id * {_CHUNK_STRIDE} + 1,
+               chunk_id * {_CHUNK_STRIDE} + least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})), ' ') AS ctext
+      FROM cgrid),
+    cw AS (
+      SELECT doc_id, chunk_id, unnest(str_split_regex(trim(ctext), '\\s+')) AS wd
+      FROM chunks),
+    cb AS (
+      SELECT doc_id, chunk_id, CAST(h % {_DIMS} AS INT) AS b,
+             CASE WHEN (h % {2 * _DIMS}) // {_DIMS} = 0 THEN 1 ELSE -1 END AS s
+      FROM (SELECT doc_id, chunk_id, {hash60_duck('wd')} AS h FROM cw) t),
+    cagg AS (
+      SELECT doc_id, chunk_id,
+             {_CSUMS}
+      FROM cb GROUP BY doc_id, chunk_id),
+    cemb AS (
+      SELECT doc_id, chunk_id, [{_CARR}] AS cembedding
+      FROM (SELECT *, sqrt({_CNORM}) AS nrm FROM cagg) t),
+    sims AS (
+      SELECT q.vec_id AS q_id, c.doc_id, c.chunk_id,
+             round({_cosine_duck('q.embedding', 'c.cembedding')}, 6) AS cosine
+      FROM (SELECT * FROM emb WHERE vec_id < {_N_QUERIES}) q
+      CROSS JOIN cemb c
+      WHERE c.doc_id <> q.vec_id
+        AND {_cosine_duck('q.embedding', 'c.cembedding')} IS NOT NULL),
+    ranked AS (
+      SELECT q_id, doc_id, chunk_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, doc_id, chunk_id) AS rnk
+      FROM sims)
+    SELECT q_id, doc_id, chunk_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_RAG_K} ORDER BY q_id, rnk
+    """,
+    doc=f"RAG retrieval-index composition: chunk every document "
+    f"({CHUNK_WORDS}-word chunks, {CHUNK_OVERLAP} overlap — the "
+    f"chunk_documents grid), md5-feature-hash embed every CHUNK, embed the "
+    f"first {_N_QUERIES} docs whole as queries, retrieve top-{_RAG_K} "
+    f"chunks per query by exact cosine with the query doc's own chunks "
+    f"excluded. The full chunk -> embed -> retrieve loop is DuckDB-checked "
+    f"bit-for-bit (composes the proven chunk/embed/cosine fragments). "
+    f"Scale: map-only chunking, one map-side-combined embed aggregate, "
+    f"broadcast query side, WindowGroupLimit top-k.",
+)
+def rag_chunk_retrieval_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rag_retrieve_df(load_table(spark, sf_dir, "documents"))
+
+
+def rag_retrieve_df(
+    d: DataFrame, k: int = _RAG_K, n_queries: int = _N_QUERIES
+) -> DataFrame:
+    """Composable form over any (doc_id, text, ...) DataFrame."""
+    from ..operators.embed import embed_texts
+
+    ws = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", "ws", F.size("ws").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    n_last = (
+        f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
+        f"ELSE ((n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}) END"
+    )
+    ncw = f"least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})"
+    chunks = (
+        ws.select(
+            "doc_id", "ws", "n", F.explode(F.expr(f"sequence(0, {n_last})")).alias("chunk_id")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"array_join(slice(ws, chunk_id * {_CHUNK_STRIDE} + 1, {ncw}), ' ')"
+            ).alias("ctext"),
+        )
+    )
+    # one bigint embed key per chunk (embed_texts groups on a single column)
+    ckey = (F.col("doc_id") * (1 << _CKEY_BITS) + F.col("chunk_id")).alias("ck")
+    cemb = embed_texts(
+        chunks.select(ckey, "ctext"),
+        dims=_DIMS,
+        id_col="ck",
+        text_col="ctext",
+        out_col="cembedding",
+        hash_mode="md5",
+    ).select(
+        F.expr(f"CAST(ck div {1 << _CKEY_BITS} AS BIGINT)").alias("doc_id"),
+        F.expr(f"CAST(ck % {1 << _CKEY_BITS} AS INT)").alias("chunk_id"),
+        "cembedding",
+        F.expr(_norm_sql("cembedding")).alias("_cn"),
+    )
+    qemb = embed_texts(
+        d.filter(F.col("doc_id") < n_queries), dims=_DIMS, hash_mode="md5"
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm_sql("embedding")).alias("_qn"),
+    )
+    sims = (
+        F.broadcast(qemb)
+        .crossJoin(cemb)
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            "chunk_id",
+            F.round(_cosine_prenormed("qe", "cembedding", "_qn", "_cn"), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    ranked = sims.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("cosine").desc(), "doc_id", "chunk_id"
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .select("q_id", "doc_id", "chunk_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )

@@ -136,3 +136,37 @@ def test_temperature_sample_joins_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rag_planted_exact_copy_ranks_first(spark):
+    from hdfs2cass_spark.plans.rag import rag_retrieve_df
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    q0 = " ".join(vocab * 8)  # 64 words -> one chunk
+    rows = [
+        (0, q0),
+        (1, " ".join(["filler", "noise", "words", "here"] * 16)),
+        (2, " ".join(["other", "content", "entirely"] * 20)),
+        (100, q0),  # exact copy of the query doc -> cosine 1.0
+        (101, " ".join(["unrelated", "tokens"] * 32)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = rag_retrieve_df(df, k=3, n_queries=1).collect()
+    by_rank = {r.rnk: r for r in out if r.q_id == 0}
+    assert by_rank[1].doc_id == 100
+    assert by_rank[1].cosine == pytest.approx(1.0, abs=1e-5)
+    # the query doc's own chunks never retrieve
+    assert all(r.doc_id != 0 for r in out)
+
+
+def test_rag_catalog_invariants(spark, sf_dir):
+    rows = CATALOG["rag_chunk_retrieval_md5"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.doc_id != q_id for r in rs)
