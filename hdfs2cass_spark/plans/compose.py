@@ -60,7 +60,9 @@ MAX_CONTAM_FRAC = 0.5
 # shingle table is `dsh` to avoid colliding with the minhash `sh`. Final SUMs
 # cast to BIGINT (DuckDB promotes SUM(BIGINT) to INT128, which the driver's
 # hasher serializes differently).
-ORACLE = f"""
+# CTE chain shared by the curate_corpus oracle (packing tail) and the
+# curation_funnel oracle (per-stage counts) — identical stage definitions.
+CTE_CHAIN = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, text, {W_DUCK} AS ws FROM documents
   WHERE NOT ({_BENCH_DUCK})),
@@ -97,7 +99,9 @@ contaminated AS (
   HAVING CAST(COUNT(bench.h) AS DOUBLE) / COUNT(*) >= {MAX_CONTAM_FRAC}),
 clean AS (
   SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM nd
-  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+
+ORACLE = f"""{CTE_CHAIN}
 SELECT doc_id, n_tokens,
        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
@@ -154,8 +158,32 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.prefixsum import exclusive_cumsum
 
-    d = load_table(spark, sf_dir, "documents")
+    stages = curate_stage_dfs(load_table(spark, sf_dir, "documents"))
+    clean = stages["clean"]
 
+    # --- 5. sequence packing over the curated corpus ---
+    toks = clean.select(
+        "doc_id", F.expr("CAST(size(ws) AS BIGINT)").alias("n_tokens")
+    )
+    packed = exclusive_cumsum(
+        toks, "doc_id", "n_tokens", out="start_offset", shard_width=PACK_SHARD_DOCS
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_BUDGET}").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
+def curate_stage_dfs(d: DataFrame) -> dict[str, DataFrame]:
+    """The curation chain's stage DataFrames, keyed by stage name:
+    ``base`` (benchmark docs excluded), ``q`` (quality survivors),
+    ``deduped`` (exact-dedup survivors, localCheckpointed), ``nd`` (near-dup
+    cluster survivors), ``clean`` (decontaminated). curate_corpus packs
+    ``clean``; curation_funnel counts every stage. NOTE: building this dict
+    triggers the eager near-dup stage (connected components runs at
+    construction)."""
     # --- 1. quality filter (map-only; words array materialized once) ---
     ws = d.select("doc_id", "text", F.expr(W_SPARK).alias("ws")).filter(
         ~F.expr(_BENCH_SPARK)  # benchmark docs are eval data, never training
@@ -215,16 +243,71 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = nd.join(contam, "doc_id", "left_anti")
 
-    # --- 5. sequence packing over the curated corpus ---
-    toks = clean.select(
-        "doc_id", F.expr("CAST(size(ws) AS BIGINT)").alias("n_tokens")
-    )
-    packed = exclusive_cumsum(
-        toks, "doc_id", "n_tokens", out="start_offset", shard_width=PACK_SHARD_DOCS
-    )
-    return packed.select(
-        "doc_id",
-        "n_tokens",
-        "start_offset",
-        F.expr(f"start_offset div {PACK_BUDGET}").alias("seq_id"),
-    ).orderBy("doc_id")
+    return {"base": ws, "q": q, "deduped": deduped, "nd": nd, "clean": clean}
+
+
+_FUNNEL_STAGES = [
+    (0, "input", "base"),
+    (1, "quality", "q"),
+    (2, "exact_dedup", "deduped"),
+    (3, "near_dup", "nd"),
+    (4, "decontam", "clean"),
+]
+
+
+@declare(
+    "curation_funnel",
+    oracle=f"""{CTE_CHAIN},
+    counts AS (
+      SELECT 0 AS stage_id, 'input' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs
+      UNION ALL SELECT 1, 'quality', (SELECT CAST(COUNT(*) AS BIGINT) FROM q)
+      UNION ALL SELECT 2, 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM dd)
+      UNION ALL SELECT 3, 'near_dup', (SELECT CAST(COUNT(*) AS BIGINT) FROM nd)
+      UNION ALL SELECT 4, 'decontam', (SELECT CAST(COUNT(*) AS BIGINT) FROM clean))
+    SELECT CAST(stage_id AS INTEGER) AS stage_id, stage, n_docs,
+           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs, 0) AS BIGINT)
+             AS n_dropped,
+           round(CAST(n_docs AS DOUBLE)
+                 / first_value(n_docs) OVER (ORDER BY stage_id), 6) AS retention
+    FROM counts ORDER BY stage_id
+    """,
+    doc="Curation observability: the per-stage funnel of the curate_corpus "
+    "chain — docs surviving each of input -> quality -> exact-dedup -> "
+    "near-dup -> decontam, with per-stage drop counts and retention vs "
+    "input. The report every production curation run publishes next to its "
+    "output (and the first thing an operator reads when a corpus shrinks "
+    "unexpectedly). Shares the EXACT stage definitions with curate_corpus "
+    "(curate_stage_dfs / CTE_CHAIN), so the numbers are the chain's real "
+    "numbers, not a parallel implementation's. Each stage reduces to a "
+    "1-row count aggregate (map-side combined); the exact-dedup survivors "
+    "are localCheckpointed so upstream stages do not re-run per count; the "
+    "final lag/retention window runs over 5 rows.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    stages = curate_stage_dfs(load_table(spark, sf_dir, "documents"))
+    cnt_dfs = [
+        stages[key]
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            F.lit(i).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for i, name, key in _FUNNEL_STAGES
+    ]
+    counts = reduce(DataFrame.unionAll, cnt_dfs)
+    w = Window.orderBy("stage_id")
+    return counts.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round(
+            F.col("n_docs").cast("double") / F.first("n_docs").over(w), 6
+        ).alias("retention"),
+    ).orderBy("stage_id")

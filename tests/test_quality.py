@@ -170,3 +170,14 @@ def test_rag_catalog_invariants(spark, sf_dir):
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r.doc_id != q_id for r in rs)
+
+
+def test_funnel_consistent_with_curate(spark, sf_dir):
+    funnel = {r.stage: r for r in CATALOG["curation_funnel"].fn(spark, sf_dir).collect()}
+    packed_n = CATALOG["curate_corpus"].fn(spark, sf_dir).count()
+    assert funnel["decontam"].n_docs == packed_n
+    order = ["input", "quality", "exact_dedup", "near_dup", "decontam"]
+    ns = [funnel[s].n_docs for s in order]
+    assert ns == sorted(ns, reverse=True)  # monotone funnel
+    assert funnel["input"].retention == 1.0
+    assert all(funnel[s].n_dropped >= 0 for s in order)
