@@ -47,6 +47,12 @@ PIPELINE = [
     # added round 6 (first recorded in BENCH_r06): pipeline_total_sec is not
     # comparable to rounds <= 5, the five keys above still are
     "bigram_logprob_score",
+    # added late round 6 (documents-only quality/curation operators; the
+    # stress fixture carries lang/source/n_chars for them)
+    "gopher_quality_filter",
+    "lang_temperature_sample",
+    "corpus_stats_report",
+    "rag_chunk_retrieval_md5",
 ]
 
 
@@ -133,8 +139,17 @@ def main() -> int:
                 "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
             )
             docs = spark.range(stress_docs).select(
-                F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
-            )
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", words).alias("text"),
+                # skewed lang + uniform source + n_chars: the columns the
+                # quality/curation operators read (zipf-ish lang so the
+                # temperature sampler has skew to flatten)
+                F.expr(
+                    "element_at(array('en','en','en','en','es','fr','de','zh'), "
+                    "CAST(pmod(hash(id * 19), 8) + 1 AS INT))"
+                ).alias("lang"),
+                F.expr("concat('src', pmod(hash(id * 23), 20))").alias("source"),
+            ).withColumn("n_chars", F.length("text").cast("int"))
             docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
             for name in PIPELINE:
                 df = CATALOG[name].fn(spark, tmp)

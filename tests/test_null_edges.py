@@ -31,6 +31,13 @@ DOC_QUERIES = [
     "corpus_mix_quota",
     "exact_substring_spans",  # new r4: only docs 8/9 reach the 8-word window
     "chunk_documents",  # new r4
+    # round-6 quality/curation surface (documents-only)
+    "bigram_logprob_score",
+    "gopher_quality_filter",
+    "lang_temperature_sample",
+    "corpus_stats_report",
+    "rag_chunk_retrieval_md5",
+    "curation_funnel",
 ]
 
 
