@@ -431,3 +431,89 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 10_000  # tokens to fill at the fixture scale
+# quality score sorts descending via an integer key: micro-quantized
+# (1 - quality) in the high bits, doc_id tiebreak in the low 40
+_SKEY_SHIFT = 1 << 40
+
+
+@declare(
+    "select_token_budget",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {W_DUCK} AS ws FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uq,
+             CAST(len(list_filter(ws, w -> w IN {STOPWORDS})) AS DOUBLE)
+               / len(ws) AS sr
+      FROM t WHERE len(ws) >= 1),
+    s AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+             round(0.6 * uq + 0.4 * (1.0 - sr), 6) AS quality,
+             CAST(floor((1.0 - round(0.6 * uq + 0.4 * (1.0 - sr), 6))
+                        * 1000000.0 + 0.5) AS BIGINT) * {_SKEY_SHIFT} + doc_id
+               AS skey
+      FROM m),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS budget_used_before
+      FROM s)
+    SELECT doc_id, quality, n_tokens, budget_used_before
+    FROM c WHERE budget_used_before < {TOKEN_BUDGET} ORDER BY doc_id
+    """,
+    doc=f"Token-budget corpus selection: rank every document by the "
+    f"text-analysis quality score (0.6*uniq_ratio + 0.4*(1-stop_ratio)) and "
+    f"greedily keep the best docs until {TOKEN_BUDGET} tokens are filled — "
+    f"the 'train on the best N tokens' selection every budgeted training "
+    f"run performs. The straddling doc is kept (classic greedy fill: "
+    f"selected total may exceed the budget by < one doc). Ordering is an "
+    f"INTEGER key (micro-quantized descending quality in the high bits, "
+    f"doc_id in the low 40), so the running token total comes from the "
+    f"distributed prefix-sum (operators/prefixsum.py) — no unpartitioned "
+    f"window ever sees the corpus, unlike the naive ORDER BY score cumsum. "
+    f"The oracle's single-task window is the semantic spec; the Spark plan "
+    f"is the scale shape. NULL-text docs are never selected.",
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefixsum import exclusive_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(W_SPARK).alias("ws")
+    )
+    m = t.select(
+        "doc_id",
+        F.expr("size(ws)").alias("n_words"),
+        (F.expr("size(array_distinct(ws))").cast("double") / F.expr("size(ws)")).alias(
+            "uq"
+        ),
+        (
+            F.expr(f"size(filter(ws, w -> w IN {STOPWORDS}))").cast("double")
+            / F.expr("size(ws)")
+        ).alias("sr"),
+    ).filter(F.col("n_words") >= 1)
+    quality = F.round(0.6 * F.col("uq") + 0.4 * (1.0 - F.col("sr")), 6)
+    s = m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+        (
+            F.floor((1.0 - quality) * 1000000.0 + 0.5).cast("bigint")
+            * F.lit(_SKEY_SHIFT)
+            + F.col("doc_id")
+        ).alias("skey"),
+    )
+    c = exclusive_cumsum(s, "skey", "n_tokens", out="budget_used_before")
+    return (
+        c.filter(F.col("budget_used_before") < TOKEN_BUDGET)
+        .select("doc_id", "quality", "n_tokens", "budget_used_before")
+        .orderBy("doc_id")
+    )

@@ -181,3 +181,54 @@ def test_funnel_consistent_with_curate(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)  # monotone funnel
     assert funnel["input"].retention == 1.0
     assert all(funnel[s].n_dropped >= 0 for s in order)
+
+
+def test_token_budget_selection_is_greedy_prefix(spark, sf_dir):
+    from hdfs2cass_spark.plans.quality import TOKEN_BUDGET
+    from hdfs2cass_spark.sources.readers import load_table
+
+    sel = CATALOG["select_token_budget"].fn(spark, sf_dir).collect()
+    sel_ids = {r.doc_id for r in sel}
+    assert sel, "selection is empty"
+    # every selected doc entered under budget
+    assert all(r.budget_used_before < TOKEN_BUDGET for r in sel)
+    # greedy prefix: the worst selected quality >= the best unselected quality
+    all_rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    if all_rows > len(sel):  # corpus exceeds the budget -> a real cutoff
+        from hdfs2cass_spark.plans.llm import STOPWORDS, W_SPARK
+
+        scored = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", F.expr(W_SPARK).alias("ws"))
+            .select(
+                "doc_id",
+                F.round(
+                    0.6
+                    * (
+                        F.expr("size(array_distinct(ws))").cast("double")
+                        / F.expr("size(ws)")
+                    )
+                    + 0.4
+                    * (
+                        1.0
+                        - F.expr(f"size(filter(ws, w -> w IN {STOPWORDS}))").cast(
+                            "double"
+                        )
+                        / F.expr("size(ws)")
+                    ),
+                    6,
+                ).alias("q"),
+            )
+            .collect()
+        )
+        unsel_q = [r.q for r in scored if r.doc_id not in sel_ids]
+        sel_q = [r.q for r in scored if r.doc_id in sel_ids]
+        assert min(sel_q) >= max(unsel_q)
+        # the selection fills the budget: adding the best unselected doc's
+        # tokens would not have fit strictly before the cutoff
+        assert max(r.budget_used_before + r.n_tokens for r in sel) >= TOKEN_BUDGET
