@@ -232,3 +232,28 @@ def test_token_budget_selection_is_greedy_prefix(spark, sf_dir):
         # the selection fills the budget: adding the best unselected doc's
         # tokens would not have fit strictly before the cutoff
         assert max(r.budget_used_before + r.n_tokens for r in sel) >= TOKEN_BUDGET
+
+
+@pytest.mark.parametrize("name", ["rag_chunk_retrieval_md5", "embedding_quantized_topk"])
+def test_topk_queries_use_window_group_limit(spark, sf_dir, name):
+    """Both ANN-style rankers keep the partial top-k BELOW the rank shuffle
+    (WindowGroupLimit) and never degrade to a sort-merge join."""
+    plan = CATALOG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_windows_are_sharded(spark, sf_dir):
+    """The corpus-sized window of the budget cumsum is partitioned by the
+    prefix-sum shard — only the tiny per-level totals window (bounded by
+    LEVEL_LIMIT pre-aggregated rows) runs unpartitioned."""
+    plan = (
+        CATALOG["select_token_budget"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy" not in plan  # sanity: physical string uses specs below
+    assert "_shard" in plan
+    assert "SortMergeJoin" not in plan
