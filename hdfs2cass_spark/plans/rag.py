@@ -109,11 +109,29 @@ _CARR = ", ".join(
     f"broadcast query side, WindowGroupLimit top-k.",
 )
 def rag_chunk_retrieval_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rag_retrieve_df(load_table(spark, sf_dir, "documents"))
+    return rag_retrieve_df(load_table(spark, sf_dir, "documents"), hash_mode="md5")
+
+
+@declare(
+    "rag_chunk_retrieval",
+    oracle=None,
+    doc="The production twin of rag_chunk_retrieval_md5: identical chunk -> "
+    "embed -> retrieve pipeline with the JVM-native xxhash64 word hash "
+    "(measured ~1.4x over the md5 twin at sf0.1 — conv(substr(md5())) is "
+    "the oracle tax). Rows-only checked by design (xxhash64 has no DuckDB "
+    "twin); the md5 twin hash-verifies the full pipeline and the planted "
+    "exact-copy test pins both twins ranking the clone first "
+    "(tests/test_quality.py) — the minhash_lsh_pairs / _fast precedent.",
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rag_retrieve_df(load_table(spark, sf_dir, "documents"), hash_mode="xxhash64")
 
 
 def rag_retrieve_df(
-    d: DataFrame, k: int = _RAG_K, n_queries: int = _N_QUERIES
+    d: DataFrame,
+    k: int = _RAG_K,
+    n_queries: int = _N_QUERIES,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Composable form over any (doc_id, text, ...) DataFrame."""
     from ..operators.embed import embed_texts
@@ -149,7 +167,7 @@ def rag_retrieve_df(
         id_col="ck",
         text_col="ctext",
         out_col="cembedding",
-        hash_mode="md5",
+        hash_mode=hash_mode,
     ).select(
         F.expr(f"CAST(ck div {1 << _CKEY_BITS} AS BIGINT)").alias("doc_id"),
         F.expr(f"CAST(ck % {1 << _CKEY_BITS} AS INT)").alias("chunk_id"),
@@ -157,7 +175,7 @@ def rag_retrieve_df(
         F.expr(_norm_sql("cembedding")).alias("_cn"),
     )
     qemb = embed_texts(
-        d.filter(F.col("doc_id") < n_queries), dims=_DIMS, hash_mode="md5"
+        d.filter(F.col("doc_id") < n_queries), dims=_DIMS, hash_mode=hash_mode
     ).select(
         F.col("doc_id").alias("q_id"),
         F.col("embedding").alias("qe"),

@@ -138,7 +138,11 @@ def test_temperature_sample_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_rag_planted_exact_copy_ranks_first(spark):
+@pytest.mark.parametrize("hash_mode", ["md5", "xxhash64"])
+def test_rag_planted_exact_copy_ranks_first(spark, hash_mode):
+    """Hash-independent invariant pinning BOTH twins: an exact copy of the
+    query doc has the identical word multiset, so its chunk embeds to the
+    same vector under ANY word hash and retrieves at rank 1, cosine 1.0."""
     from hdfs2cass_spark.plans.rag import rag_retrieve_df
 
     vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
@@ -151,7 +155,7 @@ def test_rag_planted_exact_copy_ranks_first(spark):
         (101, " ".join(["unrelated", "tokens"] * 32)),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    out = rag_retrieve_df(df, k=3, n_queries=1).collect()
+    out = rag_retrieve_df(df, k=3, n_queries=1, hash_mode=hash_mode).collect()
     by_rank = {r.rnk: r for r in out if r.q_id == 0}
     assert by_rank[1].doc_id == 100
     assert by_rank[1].cosine == pytest.approx(1.0, abs=1e-5)
