@@ -299,6 +299,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, name, key in _FUNNEL_STAGES
     ]
     counts = reduce(DataFrame.unionAll, cnt_dfs)
+    return funnel_from_counts(counts)
+
+
+def funnel_from_counts(counts: DataFrame) -> DataFrame:
+    """(stage_id, stage, n_docs) -> the funnel presentation (+ n_dropped,
+    retention). Shared by the batch funnel above and the streaming funnel
+    (streaming/curate.py read_funnel) so the report shape cannot drift.
+    The window runs over #stages rows."""
     w = Window.orderBy("stage_id")
     return counts.select(
         "stage_id",

@@ -416,3 +416,47 @@ def read_packed(spark: SparkSession, packed_path: str) -> DataFrame:
     """Read the packed sequences stream_curate wrote under ``packed_path``
     (requires the query to have run with ``packed_path`` set)."""
     return spark.read.option("recursiveFileLookup", "true").parquet(packed_path)
+
+
+def read_funnel(spark: SparkSession, sink_path: str) -> DataFrame:
+    """The streaming curation funnel: aggregate the decisions sink into the
+    same (stage_id, stage, n_docs, n_dropped, retention) report as the batch
+    curation_funnel query — but under the stream's GREEDY semantics (each
+    doc judged once against what arrived before it), so the numbers are the
+    stream's own, not the offline chain's. One map-side-combined count
+    aggregate over the sink; stage columns are NULL once an earlier stage
+    rejected, so `flag = false` counts exactly that stage's survivors.
+    """
+    from ..plans.compose import funnel_from_counts
+
+    dec = read_curated(spark, sink_path)
+    not_set_or = lambda c: ~F.coalesce(F.col(c), F.lit(True))  # noqa: E731
+    one = dec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.count_if(F.col("quality_pass")).cast("bigint").alias("n_quality"),
+        F.count_if(not_set_or("exact_dup")).cast("bigint").alias("n_exact"),
+        F.count_if(not_set_or("near_dup")).cast("bigint").alias("n_nd"),
+        F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+    )
+    stages = [
+        (0, "input", "n_input"),
+        (1, "quality", "n_quality"),
+        (2, "exact_dedup", "n_exact"),
+        (3, "near_dup", "n_nd"),
+        (4, "decontam", "n_kept"),
+    ]
+    melted = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_id"),
+                        F.lit(name).alias("stage"),
+                        F.col(col).alias("n_docs"),
+                    )
+                    for i, name, col in stages
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return funnel_from_counts(melted)

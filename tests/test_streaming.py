@@ -361,6 +361,25 @@ def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
     ).first()
     assert stages["e"] > 0 and stages["n"] > 0 and stages["k"] > 0
 
+    # the streaming funnel over the decisions sink reports the stream's own
+    # greedy per-stage counts — identical to counts derived from the twin
+    from hdfs2cass_spark.streaming.curate import read_funnel
+
+    funnel = {r.stage: r for r in read_funnel(spark, out).collect()}
+    twin = want_df.agg(
+        F.count(F.lit(1)).alias("inp"),
+        F.count_if(F.col("quality_pass")).alias("q"),
+        F.count_if(~F.coalesce(F.col("exact_dup"), F.lit(True))).alias("e"),
+        F.count_if(~F.coalesce(F.col("near_dup"), F.lit(True))).alias("n"),
+        F.count_if(F.col("kept")).alias("k"),
+    ).first()
+    assert [funnel[s].n_docs for s in ("input", "quality", "exact_dedup", "near_dup", "decontam")] == [
+        twin["inp"], twin["q"], twin["e"], twin["n"], twin["k"]
+    ]
+    assert funnel["input"].retention == 1.0
+    ns = [funnel[s].n_docs for s in ("input", "quality", "exact_dedup", "near_dup", "decontam")]
+    assert ns == sorted(ns, reverse=True)
+
 
 @pytest.mark.parametrize("compact_every", [None, 1])
 def test_stream_near_dup_band_cap_with_and_without_compaction(
