@@ -12,5 +12,6 @@ from . import textembed as _textembed  # noqa: E402,F401
 from . import lm as _lm  # noqa: E402,F401
 from . import quality as _quality  # noqa: E402,F401
 from . import rag as _rag  # noqa: E402,F401
+from . import embqa as _embqa  # noqa: E402,F401
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

@@ -261,3 +261,38 @@ def test_token_budget_windows_are_sharded(spark, sf_dir):
     assert "partitionBy" not in plan  # sanity: physical string uses specs below
     assert "_shard" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_label_stats_semantics(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # label 0: COLLAPSED (all members identical) -> cohesion 1, dispersion 0
+    # label 1: two orthogonal unit vectors -> centroid norm sqrt(2)/2
+    v_a = [1.0] + [0.0] * 63
+    v_b = [0.0, 1.0] + [0.0] * 62
+    rows = [(i, v_a, 0) for i in range(5)] + [(10, v_a, 1), (11, v_b, 1)]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    d = str(tmp_path / "emb")
+    (tmp_path / "emb").mkdir()
+    pq.write_table(t, f"{d}/embeddings.parquet")
+    out = {r.label: r for r in CATALOG["embedding_label_stats"].fn(spark, d).collect()}
+    assert out[0].n_vecs == 5
+    assert out[0].avg_cos_to_centroid == pytest.approx(1.0, abs=1e-5)
+    assert out[0].dispersion == pytest.approx(0.0, abs=1e-5)
+    assert out[0].centroid_norm == pytest.approx(1.0, abs=1e-5)
+    assert out[1].centroid_norm == pytest.approx(2**0.5 / 2, abs=1e-5)
+    assert out[1].avg_cos_to_centroid == pytest.approx(2**0.5 / 2, abs=1e-5)
+
+    # fixture invariant: unit-norm members make avg_cos == centroid_norm
+    # (avg v.c/(|v||c|) = |c| when every |v| = 1 — a built-in cross-check)
+    for r in CATALOG["embedding_label_stats"].fn(spark, sf_dir).collect():
+        assert r.avg_cos_to_centroid == pytest.approx(r.centroid_norm, abs=2e-6)
+        assert 0.0 <= r.dispersion
+        assert r.min_vec_norm <= r.max_vec_norm
