@@ -47,6 +47,15 @@ def main() -> int:
         "window-heavy analytics the sf0.1 fixture is too small to stress)",
     )
     ap.add_argument(
+        "--hot-source",
+        action="store_true",
+        help="run ONLY the grouping-key-collapse probe: --docs documents all "
+        "under ONE source and ONE lang — the corpus-report histogram "
+        "order-statistics and the temperature sampler's tiny-agg broadcast "
+        "must not develop a single-task stage when their grouping keys "
+        "collapse to one value",
+    )
+    ap.add_argument(
         "--stream-batches",
         type=int,
         default=0,
@@ -209,6 +218,35 @@ def main() -> int:
         run("events_asof_join", asof_join_events(spark, tmp), n)
         run("events_windows", tumbling_window_events(spark, tmp), n)
         out["events"] = n
+        print(json.dumps(out))
+        return 0
+
+    if args.hot_source:
+        # --- grouping-key-collapse probe (late round 6): every doc in ONE
+        # source and ONE lang. Before the histogram rewrite the corpus report
+        # sorted the whole corpus in one per-source window task (416k docs/s
+        # at 2M); the histogram form keeps corpus-sized work map-side (652k).
+        words = F.expr(
+            "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
+        )
+        docs = spark.range(args.docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+        ).withColumn("n_chars", F.length("text").cast("int"))
+        tmp = "/tmp/stress_hotsource"
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        from hdfs2cass_spark.plans.quality import (
+            corpus_stats_report,
+            gopher_quality_filter,
+            lang_temperature_sample,
+        )
+
+        run("hot_source_stats_report", corpus_stats_report(spark, tmp), args.docs)
+        run("hot_source_lang_sample", lang_temperature_sample(spark, tmp), args.docs)
+        run("hot_source_gopher", gopher_quality_filter(spark, tmp), args.docs)
+        out["docs"] = args.docs
         print(json.dumps(out))
         return 0
 
