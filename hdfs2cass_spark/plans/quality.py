@@ -535,3 +535,91 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "n_tokens", "budget_used_before")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-weighted domain mixing (oversampling)
+# ---------------------------------------------------------------------------
+
+_ECOIN_SPARK = hash60_spark("concat('emix|', CAST(doc_id AS STRING))")
+_ECOIN_DUCK = hash60_duck("'emix|' || CAST(doc_id AS VARCHAR)")
+
+
+@declare(
+    "lang_epoch_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+    s AS (SELECT lang, n_lang,
+                 CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+          FROM c),
+    t AS (SELECT CAST(SUM(sq) AS BIGINT) AS s_tot,
+                 CAST(SUM(n_lang) AS BIGINT) AS n_tot FROM s),
+    r AS (SELECT lang,
+                 (CAST(sq AS DOUBLE) / CAST(s_tot AS DOUBLE))
+                   * (CAST(n_tot AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
+          FROM s CROSS JOIN t),
+    n AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             CAST(floor(r.rate) AS INTEGER)
+               + CASE WHEN CAST({_ECOIN_DUCK} AS DOUBLE) / {float(1 << 60)!r}
+                           < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN r ON d.lang = r.lang)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch,
+           n_copies, round(rate, 6) AS sample_rate
+    FROM n WHERE n_copies >= 1
+    ORDER BY doc_id, epoch
+    """,
+    doc="Epoch-weighted domain mixing: the UNCAPPED temperature recipe "
+    "(p_l ~ count_l^0.5) — minority languages get rates > 1 and are "
+    "REPEATED floor(rate) times plus one deterministic-coin extra epoch "
+    "(the 'epochs per domain' mixing of modern pretraining recipes), while "
+    "majority languages Bernoulli-downsample exactly like "
+    "lang_temperature_sample (rate < 1 makes floor(rate) = 0 and the coin "
+    "alone decides). One 1->N map-side explode after a broadcast rate join; "
+    "the expanded corpus totals ~n_tot docs in expectation regardless of "
+    "skew. Deterministic and engine-exact: integer-quantized sqrt ratios, "
+    "identical-operand double arithmetic, md5-derived coin.",
+)
+def lang_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    s = c.select(
+        "lang",
+        "n_lang",
+        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    t = s.agg(
+        F.sum("sq").cast("bigint").alias("s_tot"),
+        F.sum("n_lang").cast("bigint").alias("n_tot"),
+    )
+    r = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        (
+            (F.col("sq").cast("double") / F.col("s_tot").cast("double"))
+            * (F.col("n_tot").cast("double") / F.col("n_lang").cast("double"))
+        ).alias("rate"),
+    )
+    coin = F.expr(_ECOIN_SPARK).cast("double") / F.lit(_TWO60)
+    n = d.join(F.broadcast(r), "lang").select(
+        "doc_id",
+        "lang",
+        "rate",
+        (
+            F.floor("rate").cast("int")
+            + F.when(coin < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        n.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("epoch"),
+            "n_copies",
+            F.round("rate", 6).alias("sample_rate"),
+        )
+        .orderBy("doc_id", "epoch")
+    )

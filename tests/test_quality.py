@@ -296,3 +296,30 @@ def test_embedding_label_stats_semantics(spark, sf_dir, tmp_path):
         assert r.avg_cos_to_centroid == pytest.approx(r.centroid_norm, abs=2e-6)
         assert 0.0 <= r.dispersion
         assert r.min_vec_norm <= r.max_vec_norm
+
+
+def test_epoch_mix_rebalances_with_oversampling(spark, sf_dir):
+    from hdfs2cass_spark.sources.readers import load_table
+
+    corpus = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = CATALOG["lang_epoch_mix"].fn(spark, sf_dir).collect()
+    mixed = {}
+    for r in rows:
+        mixed[r.lang] = mixed.get(r.lang, 0) + 1
+    major = max(corpus, key=corpus.get)
+    minor = min(corpus, key=corpus.get)
+    # minority languages OVERSAMPLE (epochs > 1 exist), majority downsamples
+    assert mixed[minor] > corpus[minor]
+    assert mixed[major] < corpus[major]
+    assert any(r.epoch >= 2 for r in rows if r.lang == minor)
+    assert all(r.epoch == 1 for r in rows if r.lang == major)
+    # expectation-preserving: expanded total within 15% of the corpus size
+    assert abs(sum(mixed.values()) - sum(corpus.values())) / sum(corpus.values()) < 0.15
+    # skew flattens
+    assert mixed[major] / mixed[minor] < corpus[major] / corpus[minor]
