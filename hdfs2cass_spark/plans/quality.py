@@ -1,6 +1,7 @@
-"""Corpus-quality and corpus-management operators (declared queries 55-58).
+"""Corpus-quality and corpus-management operators (declared queries 55-58,
+61, 63).
 
-Four operators a production training-data pipeline runs over every corpus,
+Operators a production training-data pipeline runs over every corpus,
 beyond the dedup/decontamination/packing surface already in plans/llm.py and
 plans/pipeline.py:
 
@@ -18,8 +19,13 @@ plans/pipeline.py:
     embedding column + integer-dot top-k — the memory-bandwidth path for ANN
     at 100 TB (4x smaller scans than float32; integer dots SIMD-vectorize).
   - corpus_stats_report: the per-source corpus report card (doc/char/word
-    totals, exact median and p90 order statistics, vocabulary size,
-    corpus share) every ingest run publishes before training starts.
+    totals, exact median and p90 order statistics via a value HISTOGRAM —
+    never a corpus-sized sort window, vocabulary size, corpus share) every
+    ingest run publishes before training starts.
+  - select_token_budget: greedy highest-quality-first selection until a
+    token budget fills, riding the distributed prefix-sum.
+  - lang_epoch_mix: the uncapped temperature recipe — epochs-per-domain
+    oversampling of minorities, Bernoulli downsampling of majorities.
 
 All four are single-scan shapes: gopher is pure map-side column arithmetic;
 temperature sampling is two O(#langs) aggregates broadcast back over one

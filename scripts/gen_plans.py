@@ -109,12 +109,17 @@ SECTIONS = [
     (
         "exact_substring_spans (duplicated-span marking)",
         "exact_substring_spans",
-        "Single-branch: the rolling-hashed gram table is computed ONCE, shuffled ONCE on the gram "
-        "hash, and a window `min(doc_id) != max(doc_id)` marks duplicated positions — no "
-        "document-frequency join-back (which recomputed the gram subtree: column pruning makes the "
-        "two exchanges non-identical so ReuseExchange never fires) and no broadcast of a dup-set that "
-        "scales with the corpus. The gaps-and-islands window and both aggregates ride the "
-        "`(doc_id, isdup)` shuffle.",
+        "Skew-safe (round 6): the rolling-hashed gram table materializes ONCE (lazy DISK_ONLY "
+        "localCheckpoint — `Scan ExistingRDD` in both branches, no SQL cache, no pool contention with "
+        "the aggregates), duplicated positions come from a `groupBy(h)` min/max (map-side "
+        "`partial_min`/`partial_max` collapse a hot gram per mapper BEFORE its exchange) joined back "
+        "on h. At fixture scale the dup-flag side broadcasts (map-side marking, zero gram shuffle); "
+        "at production scale its stats grow with the corpus, the planner falls back to a shuffled "
+        "join, and AQE can SPLIT the hot-h partition — either shape avoids the round-5 "
+        "`Window.partitionBy(h)` straggler, whose single linear task per hot gram could not be split "
+        "at any scale (probed: 6.7M docs, hot-gram df=2.01M, heaviest stage max/median task time "
+        "1.00). The gaps-and-islands window and both aggregates still ride the `(doc_id, isdup)` "
+        "shuffle.",
     ),
     (
         "chunk_documents (map-only 1->N)",
@@ -125,12 +130,43 @@ SECTIONS = [
     (
         "curate_corpus (composed curation chain)",
         "curate_corpus",
-        "The five composed stages in ONE final plan: the quality predicate sits under the exact-dedup "
-        "window's shuffle, the near-dup losers arrive as a small `Scan ExistingRDD` (the eagerly-"
-        "materialized connected-components labels — the ONLY non-lazy stage) anti-joined by broadcast, "
-        "the benchmark shingle set broadcasts into the decontam gate, and packing's `_shard`-partitioned "
-        "prefix-sum windows close the chain. No BatchEvalPython, no cartesian, nothing persisted in the "
-        "SQL cache.",
+        "The five composed stages in ONE final plan — round 6 removed the double execution: the "
+        "exact-dedup SURVIVORS arrive as `Scan ExistingRDD` (DISK_ONLY localCheckpoint populated once, "
+        "by the first connected-components job at construction), so the returned plan contains NO "
+        "keep-first `row_number` window and the quality+dedup prefix cannot re-run per action. The "
+        "near-dup losers arrive as a second small `Scan ExistingRDD` (the eagerly-materialized CC "
+        "labels) anti-joined by broadcast, the benchmark shingle set broadcasts into the decontam "
+        "gate, and packing's `_shard`-partitioned prefix-sum windows close the chain. No "
+        "BatchEvalPython, no cartesian, nothing in the SQL cache.",
+    ),
+    (
+        "rag_chunk_retrieval_md5 (chunk -> embed -> retrieve)",
+        "rag_chunk_retrieval_md5",
+        "The full RAG index build in one plan: chunking is a codegen'd `Generate` (map-only 1->N), "
+        "each chunk's embedding is ONE map-side-combined `HashAggregate` over the exploded words "
+        "(the 64 conditional sums of operators/embed.py — a single exchange keyed by the packed "
+        "chunk id), the tiny query side broadcasts, and the per-query top-5 truncates map-side via "
+        "`WindowGroupLimit` before the rank exchange. The chunk text exists only between the "
+        "`Generate` and the embed explode — never materialized corpus-wide.",
+    ),
+    (
+        "select_token_budget (greedy budget fill)",
+        "select_token_budget",
+        "The running token total of the quality-descending order is the distributed prefix-sum, not "
+        "an unpartitioned cumsum: the per-doc window is PARTITIONED by the quality-rank key's "
+        "`_shard`, only the per-shard totals (a tiny table) pass a `SinglePartition` window, and the "
+        "bases broadcast back. The quality score and its integer ordering key are pure map-side "
+        "column arithmetic on the scan.",
+    ),
+    (
+        "corpus_stats_report (histogram order statistics)",
+        "corpus_stats_report",
+        "EXACT median/p90 without sorting the corpus: the corpus-sized work is the "
+        "`(source, n_chars)` histogram aggregate (partial/final `HashAggregate` pair, map-side "
+        "combined), and the sort window runs over the HISTOGRAM (#sources x #distinct lengths rows) "
+        "— so a corpus where one source dominates develops no single-task window stage (the "
+        "`--hot-source` probe holds ~1M docs/s with ONE source at 2M docs). The vocabulary count "
+        "spreads on (source, word); the share window runs over #sources rows.",
     ),
 ]
 
