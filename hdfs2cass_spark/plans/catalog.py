@@ -1316,3 +1316,4 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return salted_exact_distinct(e, "skew_key", "event_id").orderBy("skew_key")
+

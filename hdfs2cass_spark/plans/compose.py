@@ -255,35 +255,6 @@ _FUNNEL_STAGES = [
 ]
 
 
-@declare(
-    "curation_funnel",
-    oracle=f"""{CTE_CHAIN},
-    counts AS (
-      SELECT 0 AS stage_id, 'input' AS stage,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs
-      UNION ALL SELECT 1, 'quality', (SELECT CAST(COUNT(*) AS BIGINT) FROM q)
-      UNION ALL SELECT 2, 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM dd)
-      UNION ALL SELECT 3, 'near_dup', (SELECT CAST(COUNT(*) AS BIGINT) FROM nd)
-      UNION ALL SELECT 4, 'decontam', (SELECT CAST(COUNT(*) AS BIGINT) FROM clean))
-    SELECT CAST(stage_id AS INTEGER) AS stage_id, stage, n_docs,
-           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs, 0) AS BIGINT)
-             AS n_dropped,
-           round(CAST(n_docs AS DOUBLE)
-                 / first_value(n_docs) OVER (ORDER BY stage_id), 6) AS retention
-    FROM counts ORDER BY stage_id
-    """,
-    doc="Curation observability: the per-stage funnel of the curate_corpus "
-    "chain — docs surviving each of input -> quality -> exact-dedup -> "
-    "near-dup -> decontam, with per-stage drop counts and retention vs "
-    "input. The report every production curation run publishes next to its "
-    "output (and the first thing an operator reads when a corpus shrinks "
-    "unexpectedly). Shares the EXACT stage definitions with curate_corpus "
-    "(curate_stage_dfs / CTE_CHAIN), so the numbers are the chain's real "
-    "numbers, not a parallel implementation's. Each stage reduces to a "
-    "1-row count aggregate (map-side combined); the exact-dedup survivors "
-    "are localCheckpointed so upstream stages do not re-run per count; the "
-    "final lag/retention window runs over 5 rows.",
-)
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 

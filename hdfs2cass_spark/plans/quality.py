@@ -1,5 +1,4 @@
-"""Corpus-quality and corpus-management operators (declared queries 55-58,
-61, 63).
+"""Corpus-quality and corpus-management operators (declared queries 55-60).
 
 Operators a production training-data pipeline runs over every corpus,
 beyond the dedup/decontamination/packing surface already in plans/llm.py and
@@ -27,7 +26,7 @@ plans/pipeline.py:
   - lang_epoch_mix: the uncapped temperature recipe — epochs-per-domain
     oversampling of minorities, Bernoulli downsampling of majorities.
 
-All four are single-scan shapes: gopher is pure map-side column arithmetic;
+All are single-scan shapes: gopher is pure map-side column arithmetic;
 temperature sampling is two O(#langs) aggregates broadcast back over one
 corpus scan; quantized top-k broadcasts a one-row scale vector and the query
 side; the stats report is one shuffle on source plus a distinct-word

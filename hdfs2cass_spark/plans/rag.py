@@ -1,4 +1,4 @@
-"""RAG retrieval-index composition, oracle-checked end to end (row 59).
+"""RAG retrieval-index composition, oracle-checked end to end (oracle row 61).
 
 ``rag_chunk_retrieval_md5`` builds the complete retrieval index a RAG
 pipeline runs over a curated corpus — chunk every document (the exact

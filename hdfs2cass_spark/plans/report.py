@@ -1,0 +1,147 @@
+"""Late-registered report/ops queries (oracle rows 63-64, appended last).
+
+The driver's correctness gate hash-compares a bounded PREFIX of queries()
+(the registry sorts oracle-backed entries by module import order), so a new
+oracle query must APPEND to the checked set, never insert mid-list and
+displace rows the driver already recorded green. This module is imported
+LAST in plans/__init__ and is therefore where late oracle queries
+live, wherever their implementation naturally sits:
+
+  - curation_funnel (implementation in plans/compose.py next to the chain
+    it reports on)
+  - events_value_outliers (the events-family ops sweep)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .compose import CTE_CHAIN, curation_funnel as _curation_funnel
+from .registry import declare
+
+declare(
+    "curation_funnel",
+    oracle=f"""{CTE_CHAIN},
+    counts AS (
+      SELECT 0 AS stage_id, 'input' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs
+      UNION ALL SELECT 1, 'quality', (SELECT CAST(COUNT(*) AS BIGINT) FROM q)
+      UNION ALL SELECT 2, 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM dd)
+      UNION ALL SELECT 3, 'near_dup', (SELECT CAST(COUNT(*) AS BIGINT) FROM nd)
+      UNION ALL SELECT 4, 'decontam', (SELECT CAST(COUNT(*) AS BIGINT) FROM clean))
+    SELECT CAST(stage_id AS INTEGER) AS stage_id, stage, n_docs,
+           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_id) - n_docs, 0) AS BIGINT)
+             AS n_dropped,
+           round(CAST(n_docs AS DOUBLE)
+                 / first_value(n_docs) OVER (ORDER BY stage_id), 6) AS retention
+    FROM counts ORDER BY stage_id
+    """,
+    doc="Curation observability: the per-stage funnel of the curate_corpus "
+    "chain — docs surviving each of input -> quality -> exact-dedup -> "
+    "near-dup -> decontam, with per-stage drop counts and retention vs "
+    "input. The report every production curation run publishes next to its "
+    "output (and the first thing an operator reads when a corpus shrinks "
+    "unexpectedly). Shares the EXACT stage definitions with curate_corpus "
+    "(curate_stage_dfs / CTE_CHAIN), so the numbers are the chain's real "
+    "numbers, not a parallel implementation's. Each stage reduces to a "
+    "1-row count aggregate (map-side combined); the exact-dedup survivors "
+    "are localCheckpointed so upstream stages do not re-run per count; the "
+    "final lag/retention window runs over 5 rows.",
+)(_curation_funnel)
+
+# ---------------------------------------------------------------------------
+# Per-user outlier detection (exact quantized moments)
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 1.5  # |z| tail to report; production ops tune this per metric
+
+
+@declare(
+    "events_value_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_user,
+             CAST(SUM(qv) AS BIGINT) AS sq,
+             CAST(SUM(CAST(qv AS DECIMAL(38, 0)) * qv) AS DECIMAL(38, 0)) AS sqq
+      FROM q GROUP BY user_id),
+    m AS (
+      SELECT user_id, n_user,
+             CAST(sq AS DOUBLE) / n_user / 1000000.0 AS mu,
+             sqrt((greatest(CAST(sqq AS DOUBLE) / n_user
+                            - (CAST(sq AS DOUBLE) / n_user)
+                              * (CAST(sq AS DOUBLE) / n_user), 0.0) + 0.0)
+                  / 1000000000000.0) AS sigma
+      FROM s)
+    SELECT event_id, q.user_id, value,
+           round((CAST(qv AS DOUBLE) / 1000000.0 - mu) / nullif(sigma, 0.0), 6) AS z,
+           round(mu, 6) AS user_mean, round(sigma, 6) AS user_std, n_user
+    FROM q JOIN m ON q.user_id = m.user_id
+    WHERE abs((CAST(qv AS DOUBLE) / 1000000.0 - mu) / nullif(sigma, 0.0))
+          >= {_Z_THRESHOLD}
+    ORDER BY event_id
+    """,
+    doc=f"Per-user outlier detection over the events stream: each user's "
+    f"value distribution summarized by EXACT quantized moments (micro-int "
+    f"sums; the squared sum accumulates as DECIMAL(38,0) so it never wraps "
+    f"at any event count), then every event z-scored against its user and "
+    f"the |z| >= {_Z_THRESHOLD} tail reported — the metrics-anomaly sweep "
+    f"an ops pipeline runs over behavioral telemetry. Engine-exact: "
+    f"variance from the fixed-order moment identity on exact integers "
+    f"(greatest(...)+0.0 guards the constant-series negative-epsilon and "
+    f"-0.0), z from identical-operand doubles. Scale shape: one map-side- "
+    f"combined per-user aggregate, stats broadcast back over one scan — "
+    f"the event table never shuffles.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    q = e.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user"),
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+    )
+    mu = F.col("sq").cast("double") / F.col("n_user") / 1000000.0
+    mean_q = F.col("sq").cast("double") / F.col("n_user")
+    sigma = F.sqrt(
+        (
+            F.greatest(
+                F.col("sqq").cast("double") / F.col("n_user") - mean_q * mean_q,
+                F.lit(0.0),
+            )
+            + 0.0
+        )
+        / 1000000000000.0
+    )
+    m = s.select("user_id", "n_user", mu.alias("mu"), sigma.alias("sigma"))
+    z = (F.col("qv").cast("double") / 1000000.0 - F.col("mu")) / F.expr(
+        "nullif(sigma, CAST(0 AS DOUBLE))"
+    )
+    return (
+        q.join(F.broadcast(m), "user_id")
+        .filter(F.abs(z) >= _Z_THRESHOLD)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z, 6).alias("z"),
+            F.round("mu", 6).alias("user_mean"),
+            F.round("sigma", 6).alias("user_std"),
+            "n_user",
+        )
+        .orderBy("event_id")
+    )

@@ -44,3 +44,41 @@ def test_events_queries_survive_missing_nanos_conf(spark):
         assert n > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_driver_checked_prefix_order_is_frozen():
+    """The driver's correctness gate hash-compares a bounded PREFIX of
+    queries() and records per-position results round-over-round — so the
+    first 54 oracle-backed entries (every row a driver has already seen
+    green through round 6) must keep their exact order. New oracle queries
+    APPEND (declare them in plans/report.py or a later-imported module);
+    inserting earlier displaces recorded-green rows. This test freezes the
+    prefix."""
+    import __spark_entry__ as entry
+
+    frozen = [
+        "cql_reshape_customer", "thrift_melt_nation", "token_route_customer",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "grouping_analytics_orders", "distinct_users_per_type",
+        "semi_anti_join_customers", "set_ops_distinct_and_bag",
+        "full_outer_balance_cells", "window_rank_customers",
+        "window_moving_avg_events", "topk_parts_by_price",
+        "scalar_functions_part", "date_functions_orders", "json_extract_events",
+        "tumbling_window_events", "counter_column_updates", "composite_key_hex",
+        "pivot_order_status", "correlated_subquery_balance",
+        "advanced_agg_functions", "asof_join_events", "sessionize_events_batch",
+        "bulk_route_lineitem", "legacy_to_sinks_part", "thrift_by_convention",
+        "range_join_events_windows", "salted_agg_events",
+        "dedup_exact_documents", "text_analysis_documents",
+        "ngram_jaccard_pairs", "minhash_lsh_pairs", "embedding_topk_cosine",
+        "multimodal_features", "dedup_near_duplicates",
+        "embedding_near_dup_pairs", "embedding_ivf_topk", "dedup_clusters",
+        "simhash_near_dup_pairs", "corpus_select_split", "tfidf_top_terms",
+        "decontamination_overlap", "pack_sequences", "top_ngram_repetition",
+        "corpus_mix_quota", "exact_substring_spans", "chunk_documents",
+        "curate_corpus", "text_embed_near_dup_pairs_md5",
+        "embedding_dedup_clusters", "text_embed_dedup_clusters_md5",
+        "bigram_logprob_score",
+    ]
+    names = list(entry.queries())
+    assert names[: len(frozen)] == frozen
