@@ -122,6 +122,7 @@ EVENT_QUERIES = [
     # round-3 extension operators
     "range_join_events_windows",
     "salted_agg_events",
+    "events_value_outliers",  # late round 6: NULL user/value rows excluded
 ]
 
 

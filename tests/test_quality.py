@@ -323,3 +323,33 @@ def test_epoch_mix_rebalances_with_oversampling(spark, sf_dir):
     assert abs(sum(mixed.values()) - sum(corpus.values())) / sum(corpus.values()) < 0.15
     # skew flattens
     assert mixed[major] / mixed[minor] < corpus[major] / corpus[minor]
+
+
+def test_outlier_sweep_constant_user_excluded(spark, tmp_path):
+    """A user whose every value is identical has sigma 0 — the z-score is
+    NULL (nullif guard, both engines) and the user contributes no outliers;
+    a user with one wild value flags exactly that event."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, 1, 5.0) for i in range(10)] + [
+        (100 + i, 2, 10.0) for i in range(9)
+    ] + [(109, 2, 500.0)]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    pq.write_table(t, f"{d}/events.parquet")
+    out = CATALOG["events_value_outliers"].fn(spark, d).collect()
+    assert all(r.user_id != 1 for r in out)  # constant series never flags
+    flagged = [r for r in out if r.user_id == 2]
+    assert [r.event_id for r in flagged] == [109]
+    assert flagged[0].z > 2.0
