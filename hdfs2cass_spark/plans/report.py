@@ -145,3 +145,69 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fragment-level sequence packing
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "pack_fragments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM toks),
+    f AS (
+      SELECT doc_id, n_tokens, start_offset,
+             unnest(generate_series(start_offset // 256,
+                                    (start_offset + n_tokens - 1) // 256)) AS seq_id
+      FROM p WHERE n_tokens >= 1)
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(start_offset, seq_id * 256) - start_offset AS BIGINT)
+             AS doc_off,
+           CAST(greatest(start_offset, seq_id * 256) - seq_id * 256 AS BIGINT)
+             AS seq_off,
+           CAST(least(start_offset + n_tokens, (seq_id + 1) * 256)
+                - greatest(start_offset, seq_id * 256) AS BIGINT) AS frag_len
+    FROM f ORDER BY seq_id, seq_off
+    """,
+    doc="Fragment-level sequence packing — the concat-and-split layout LLM "
+    "pretraining actually trains on: every token of the packed corpus lands "
+    "in EXACTLY ONE fixed-size training sequence, and a document straddling "
+    "a boundary is emitted once per spanned sequence with its in-doc and "
+    "in-sequence offsets. Pure integer arithmetic downstream of "
+    "pack_sequences' distributed prefix-sum: the 1->#spanned-seqs explode "
+    "is a map-side sequence() Generate, nothing new shuffles. Completes "
+    "the packing family: pack_sequences places docs, this materializes the "
+    "(seq_id, seq_off, doc_id, doc_off, frag_len) gather lists a training "
+    "dataloader consumes.",
+)
+def pack_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import PACK_BUDGET, pack_sequences
+
+    B = PACK_BUDGET
+    p = pack_sequences(spark, sf_dir).filter(F.col("n_tokens") >= 1)
+    f = p.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(
+            F.expr(f"sequence(start_offset div {B}, (start_offset + n_tokens - 1) div {B})")
+        ).alias("sid"),
+    )
+    frag_start = F.greatest(F.col("start_offset"), F.col("sid") * B)
+    frag_end = F.least(F.col("start_offset") + F.col("n_tokens"), (F.col("sid") + 1) * B)
+    return f.select(
+        "doc_id",
+        F.col("sid").cast("bigint").alias("seq_id"),
+        (frag_start - F.col("start_offset")).cast("bigint").alias("doc_off"),
+        (frag_start - F.col("sid") * B).cast("bigint").alias("seq_off"),
+        (frag_end - frag_start).cast("bigint").alias("frag_len"),
+    ).orderBy("seq_id", "seq_off")

@@ -353,3 +353,27 @@ def test_outlier_sweep_constant_user_excluded(spark, tmp_path):
     flagged = [r for r in out if r.user_id == 2]
     assert [r.event_id for r in flagged] == [109]
     assert flagged[0].z > 2.0
+
+
+def test_pack_fragments_tile_exactly(spark, sf_dir):
+    """Fragments tile the token axis: per doc they sum to n_tokens, per
+    sequence (except the last) they fill exactly PACK_BUDGET contiguously."""
+    from hdfs2cass_spark.plans.pipeline import PACK_BUDGET
+
+    frags = CATALOG["pack_fragments"].fn(spark, sf_dir).collect()
+    packed = {r.doc_id: r for r in CATALOG["pack_sequences"].fn(spark, sf_dir).collect()}
+    by_doc, by_seq = {}, {}
+    for r in frags:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.frag_len
+        by_seq.setdefault(r.seq_id, []).append((r.seq_off, r.frag_len))
+    for doc_id, tot in by_doc.items():
+        assert tot == packed[doc_id].n_tokens
+    last_seq = max(by_seq)
+    for seq_id, parts in by_seq.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos  # contiguous, no gaps or overlaps
+            pos += ln
+        if seq_id != last_seq:
+            assert pos == PACK_BUDGET
