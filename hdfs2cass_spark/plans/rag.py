@@ -38,9 +38,6 @@ from .textembed import _embed_md5_duck_ctes
 _DIMS = 64
 _RAG_K = 5
 _N_QUERIES = 3
-# chunk_id packs into the low 16 bits of the embed key: docs stay under
-# 2^16 chunks (~3.1M words at stride 48) or the key wraps — asserted below.
-_CKEY_BITS = 16
 
 _CSUMS = ",\n             ".join(
     f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN s END), 0) AS DOUBLE) AS d{i}"
@@ -159,8 +156,9 @@ def rag_retrieve_df(
             ).alias("ctext"),
         )
     )
-    # one bigint embed key per chunk (embed_texts groups on a single column)
-    ckey = (F.col("doc_id") * (1 << _CKEY_BITS) + F.col("chunk_id")).alias("ck")
+    # one STRUCT embed key per chunk (embed_texts groups on a single column;
+    # a packed-bigint key would wrap silently past 2^k chunks per doc)
+    ckey = F.struct(F.col("doc_id"), F.col("chunk_id")).alias("ck")
     cemb = embed_texts(
         chunks.select(ckey, "ctext"),
         dims=_DIMS,
@@ -169,8 +167,8 @@ def rag_retrieve_df(
         out_col="cembedding",
         hash_mode=hash_mode,
     ).select(
-        F.expr(f"CAST(ck div {1 << _CKEY_BITS} AS BIGINT)").alias("doc_id"),
-        F.expr(f"CAST(ck % {1 << _CKEY_BITS} AS INT)").alias("chunk_id"),
+        F.col("ck.doc_id").alias("doc_id"),
+        F.col("ck.chunk_id").alias("chunk_id"),
         "cembedding",
         F.expr(_norm_sql("cembedding")).alias("_cn"),
     )
