@@ -26,7 +26,10 @@ Integer-range bounds (documented, not silent): |q_d| <= ~1e6 for unit-ish
 embeddings, so the per-vec cos numerator sum_d q_d*S_d stays in int64 while
 a label holds <= ~1.4e5 vectors; past that, switch the dot to the same
 DECIMAL accumulation as the sq-norm sum (the _dec precedent in
-plans/catalog.py). Scale shape: one wide per-label aggregate (64 dim-sums,
+plans/catalog.py). The centroid-norm terms (S_d^2) are computed as
+fixed-order DOUBLE multiply-adds, not int64 products, so they carry no
+integer bound at all (an int64 S_d*S_d would wrap at only ~3e3 cohesive
+vectors per label — the degenerate case this report exists to catch). Scale shape: one wide per-label aggregate (64 dim-sums,
 map-side combined), the 10-row label table broadcast back over one more
 scan for the cosine pass — the corpus is never shuffled.
 """
@@ -59,7 +62,11 @@ _CNORM_SPARK = (
                    "* (CAST(s{i} AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0))")
     + ")"
 )
-_SNORM_SPARK = "sqrt(CAST(" + _gen("s{i} * s{i}") + " AS DOUBLE))"
+# NB: each term is cast to DOUBLE BEFORE the multiply — s_i can reach
+# n * 1e6, so the int64 product s_i*s_i would wrap at n ~ 3e3 cohesive
+# vectors per label (exactly the encoder-collapse case this report
+# detects). Fixed left-to-right double adds keep both engines identical.
+_SNORM_SPARK = "sqrt(" + _gen("CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)") + ")"
 _DOT_QS_SPARK = (
     "aggregate(zip_with(qv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 )
@@ -76,7 +83,7 @@ _CNORM_DUCK = (
                    "* (CAST(s{i} AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0))")
     + ")"
 )
-_SNORM_DUCK = "sqrt(CAST(" + _gen("s{i} * s{i}") + " AS DOUBLE))"
+_SNORM_DUCK = "sqrt(" + _gen("CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)") + ")"
 _SV_DUCK = "[" + ", ".join(f"s{i}" for i in range(1, _DIMS + 1)) + "]"
 _DOT_QS_DUCK = (
     f"CAST(list_sum(list_transform(range(1, {_DIMS + 1}), i -> qv[i] * sv[i])) AS BIGINT)"

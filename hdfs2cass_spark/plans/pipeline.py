@@ -356,6 +356,24 @@ CHUNK_WORDS = 64  # words per chunk
 CHUNK_OVERLAP = 16  # words shared between consecutive chunks
 _CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
 
+# The chunk GRID, defined ONCE for every consumer (chunk_documents here,
+# the RAG retrieval index in plans/rag.py) so a boundary-handling change
+# can never fork the grid between queries that claim the same chunking.
+# Over a row with columns n (word count) and chunk_id: the last chunk
+# index, the 1-based start word, and the chunk's word count (final chunk
+# keeps the >=1-word tail). Spark and DuckDB differ only in the
+# integer-div spelling (div vs //).
+CHUNK_LAST_SPARK = (
+    f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
+    f"ELSE ((n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}) END"
+)
+CHUNK_LAST_DUCK = (
+    f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
+    f"ELSE (n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END"
+)
+CHUNK_START = f"(chunk_id * {_CHUNK_STRIDE} + 1)"  # identical on both engines
+CHUNK_NWORDS = f"least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})"  # ditto
+
 
 @declare(
     "chunk_documents",
@@ -365,14 +383,12 @@ _CHUNK_STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
       FROM documents WHERE text IS NOT NULL AND len({W_DUCK}) >= 1),
     c AS (
       SELECT doc_id, ws, n,
-             unnest(generate_series(0,
-               CASE WHEN n <= {CHUNK_WORDS} THEN 0
-                    ELSE (n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END)) AS chunk_id
+             unnest(generate_series(0, {CHUNK_LAST_DUCK})) AS chunk_id
       FROM w)
     SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
-           CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_word,
-           CAST(least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE}) AS BIGINT) AS n_chunk_words,
-           {hash60_duck(f"array_to_string(list_slice(ws, chunk_id * {_CHUNK_STRIDE} + 1, chunk_id * {_CHUNK_STRIDE} + least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})), ' ')")} AS chunk_fp
+           CAST({CHUNK_START} AS BIGINT) AS start_word,
+           CAST({CHUNK_NWORDS} AS BIGINT) AS n_chunk_words,
+           {hash60_duck(f"array_to_string(list_slice(ws, {CHUNK_START}, chunk_id * {_CHUNK_STRIDE} + {CHUNK_NWORDS}), ' ')")} AS chunk_fp
     FROM c ORDER BY doc_id, chunk_id
     """,
     doc=f"Document chunking for embedding/RAG pipelines — the 1->N dual of "
@@ -394,18 +410,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ws", F.size("ws").alias("n"))
         .filter(F.col("n") >= 1)
     )
-    n_last = (
-        f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
-        f"ELSE ((n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}) END"
-    )
-    start = f"(chunk_id * {_CHUNK_STRIDE} + 1)"
-    ncw = f"least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})"
+    start, ncw = CHUNK_START, CHUNK_NWORDS
     return (
         ws.select(
             "doc_id",
             "ws",
             "n",
-            F.explode(F.expr(f"sequence(0, {n_last})")).alias("chunk_id"),
+            F.explode(F.expr(f"sequence(0, {CHUNK_LAST_SPARK})")).alias("chunk_id"),
         )
         .select(
             "doc_id",

@@ -142,21 +142,59 @@ _TWO60 = float(1 << 60)
 _COIN_SPARK = hash60_spark("concat('tsample|', CAST(doc_id AS STRING))")
 _COIN_DUCK = hash60_duck("'tsample|' || CAST(doc_id AS VARCHAR)")
 
+# The temperature-rate recipe (p_l ~ count_l^0.5) is shared by
+# lang_temperature_sample (capped at 1.0 — pure downsampling) and
+# lang_epoch_mix (uncapped — rates > 1 become repeat epochs). ONE
+# implementation per engine so the quantized-sqrt determinism trick can
+# never fork between the two queries that claim the same recipe.
+_RATE_EXPR_DUCK = (
+    "(CAST(sq AS DOUBLE) / CAST(s_tot AS DOUBLE))"
+    " * (CAST(n_tot AS DOUBLE) / CAST(n_lang AS DOUBLE))"
+)
 
-@declare(
-    "lang_temperature_sample",
-    oracle=f"""
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+
+def _lang_rates_ctes(cap: bool) -> str:
+    """CTE chain ending in r(lang, n_lang, rate) — paste after WITH."""
+    rate = f"least(1.0, {_RATE_EXPR_DUCK})" if cap else _RATE_EXPR_DUCK
+    return f"""c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
                FROM documents GROUP BY lang),
     s AS (SELECT lang, n_lang,
                  CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
           FROM c),
     t AS (SELECT CAST(SUM(sq) AS BIGINT) AS s_tot,
                  CAST(SUM(n_lang) AS BIGINT) AS n_tot FROM s),
-    r AS (SELECT lang, n_lang,
-                 least(1.0, (CAST(sq AS DOUBLE) / CAST(s_tot AS DOUBLE))
-                            * (CAST(n_tot AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS rate
-          FROM s CROSS JOIN t)
+    r AS (SELECT lang, n_lang, {rate} AS rate
+          FROM s CROSS JOIN t)"""
+
+
+def lang_rates_df(d: DataFrame, cap: bool) -> DataFrame:
+    """(lang, n_lang, rate) over any DataFrame with a lang column: two
+    O(#langs) aggregates, integer-quantized sqrt, exact-operand double
+    divisions — engine-identical to ``_lang_rates_ctes``."""
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    s = c.select(
+        "lang",
+        "n_lang",
+        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    t = s.agg(
+        F.sum("sq").cast("bigint").alias("s_tot"),
+        F.sum("n_lang").cast("bigint").alias("n_tot"),
+    )
+    rate = (F.col("sq").cast("double") / F.col("s_tot").cast("double")) * (
+        F.col("n_tot").cast("double") / F.col("n_lang").cast("double")
+    )
+    if cap:
+        rate = F.least(F.lit(1.0), rate)
+    return s.crossJoin(F.broadcast(t)).select("lang", "n_lang", rate.alias("rate"))
+
+
+@declare(
+    "lang_temperature_sample",
+    oracle=f"""
+    WITH {_lang_rates_ctes(cap=True)}
     SELECT d.doc_id, d.lang,
            r.n_lang AS n_lang_docs,
            round(r.rate, 6) AS sample_rate
@@ -177,27 +215,7 @@ _COIN_DUCK = hash60_duck("'tsample|' || CAST(doc_id AS VARCHAR)")
 )
 def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
-    s = c.select(
-        "lang",
-        "n_lang",
-        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000.0)
-        .cast("bigint")
-        .alias("sq"),
-    )
-    t = s.agg(
-        F.sum("sq").cast("bigint").alias("s_tot"),
-        F.sum("n_lang").cast("bigint").alias("n_tot"),
-    )
-    r = s.crossJoin(F.broadcast(t)).select(
-        "lang",
-        "n_lang",
-        F.least(
-            F.lit(1.0),
-            (F.col("sq").cast("double") / F.col("s_tot").cast("double"))
-            * (F.col("n_tot").cast("double") / F.col("n_lang").cast("double")),
-        ).alias("rate"),
-    )
+    r = lang_rates_df(d, cap=True)
     coin = F.expr(_COIN_SPARK).cast("double") / F.lit(_TWO60)
     return (
         d.join(F.broadcast(r), "lang")
@@ -462,8 +480,21 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_BUDGET = 10_000  # tokens to fill at the fixture scale
 # quality score sorts descending via an integer key: micro-quantized
-# (1 - quality) in the high bits, doc_id tiebreak in the low 40
+# (1 - quality) in the high bits, doc_id tiebreak in the low 40. The
+# packing is load-bearing (exclusive_cumsum shards by integer-div of ONE
+# key), so a doc_id outside [0, 2^40) cannot be tolerated silently — both
+# engines fail loudly via a guard folded INTO the skey expression (an
+# expression the plan consumes, so column pruning cannot drop the check).
 _SKEY_SHIFT = 1 << 40
+_SKEY_GUARD_DUCK = (
+    f"CASE WHEN doc_id BETWEEN 0 AND {_SKEY_SHIFT - 1} THEN 0"
+    " ELSE CAST(error('select_token_budget: doc_id outside [0, 2^40)') AS BIGINT) END"
+)
+_SKEY_GUARD_SPARK = (
+    # assert_true -> NULL on success (coalesced to 0), raises otherwise
+    f"coalesce(CAST(assert_true(doc_id BETWEEN 0 AND {_SKEY_SHIFT - 1},"
+    f" 'select_token_budget: doc_id outside [0, 2^40)') AS BIGINT), CAST(0 AS BIGINT))"
+)
 
 
 @declare(
@@ -481,7 +512,7 @@ _SKEY_SHIFT = 1 << 40
              round(0.6 * uq + 0.4 * (1.0 - sr), 6) AS quality,
              CAST(floor((1.0 - round(0.6 * uq + 0.4 * (1.0 - sr), 6))
                         * 1000000.0 + 0.5) AS BIGINT) * {_SKEY_SHIFT} + doc_id
-               AS skey
+               + {_SKEY_GUARD_DUCK} AS skey
       FROM m),
     c AS (
       SELECT doc_id, quality, n_tokens,
@@ -499,7 +530,9 @@ _SKEY_SHIFT = 1 << 40
     f"run performs. The straddling doc is kept (classic greedy fill: "
     f"selected total may exceed the budget by < one doc). Ordering is an "
     f"INTEGER key (micro-quantized descending quality in the high bits, "
-    f"doc_id in the low 40), so the running token total comes from the "
+    f"doc_id in the low 40; a doc_id outside [0, 2^40) fails LOUDLY on both "
+    f"engines — never a silent ordering corruption), so the running token "
+    f"total comes from the "
     f"distributed prefix-sum (operators/prefixsum.py) — no unpartitioned "
     f"window ever sees the corpus, unlike the naive ORDER BY score cumsum. "
     f"The oracle's single-task window is the semantic spec; the Spark plan "
@@ -532,6 +565,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((1.0 - quality) * 1000000.0 + 0.5).cast("bigint")
             * F.lit(_SKEY_SHIFT)
             + F.col("doc_id")
+            + F.expr(_SKEY_GUARD_SPARK)
         ).alias("skey"),
     )
     c = exclusive_cumsum(s, "skey", "n_tokens", out="budget_used_before")
@@ -553,17 +587,7 @@ _ECOIN_DUCK = hash60_duck("'emix|' || CAST(doc_id AS VARCHAR)")
 @declare(
     "lang_epoch_mix",
     oracle=f"""
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
-               FROM documents GROUP BY lang),
-    s AS (SELECT lang, n_lang,
-                 CAST(floor(sqrt(CAST(n_lang AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
-          FROM c),
-    t AS (SELECT CAST(SUM(sq) AS BIGINT) AS s_tot,
-                 CAST(SUM(n_lang) AS BIGINT) AS n_tot FROM s),
-    r AS (SELECT lang,
-                 (CAST(sq AS DOUBLE) / CAST(s_tot AS DOUBLE))
-                   * (CAST(n_tot AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
-          FROM s CROSS JOIN t),
+    WITH {_lang_rates_ctes(cap=False)},
     n AS (
       SELECT d.doc_id, d.lang, r.rate,
              CAST(floor(r.rate) AS INTEGER)
@@ -588,25 +612,7 @@ _ECOIN_DUCK = hash60_duck("'emix|' || CAST(doc_id AS VARCHAR)")
 )
 def lang_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
-    s = c.select(
-        "lang",
-        "n_lang",
-        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000.0)
-        .cast("bigint")
-        .alias("sq"),
-    )
-    t = s.agg(
-        F.sum("sq").cast("bigint").alias("s_tot"),
-        F.sum("n_lang").cast("bigint").alias("n_tot"),
-    )
-    r = s.crossJoin(F.broadcast(t)).select(
-        "lang",
-        (
-            (F.col("sq").cast("double") / F.col("s_tot").cast("double"))
-            * (F.col("n_tot").cast("double") / F.col("n_lang").cast("double"))
-        ).alias("rate"),
-    )
+    r = lang_rates_df(d, cap=False).select("lang", "rate")
     coin = F.expr(_ECOIN_SPARK).cast("double") / F.lit(_TWO60)
     n = d.join(F.broadcast(r), "lang").select(
         "doc_id",

@@ -31,23 +31,33 @@ from pyspark.sql.window import Window
 from ..functions.vec import norm_sql as _norm_sql
 from ..sources import load_table
 from .llm import W_DUCK, W_SPARK, _cosine_duck, _cosine_prenormed, hash60_duck
-from .pipeline import CHUNK_OVERLAP, CHUNK_WORDS, _CHUNK_STRIDE
+from .pipeline import (
+    CHUNK_LAST_DUCK,
+    CHUNK_LAST_SPARK,
+    CHUNK_NWORDS,
+    CHUNK_OVERLAP,
+    CHUNK_START,
+    CHUNK_WORDS,
+)
 from .registry import declare
-from .textembed import _embed_md5_duck_ctes
+from .textembed import (
+    EMBED_BUCKET_DUCK,
+    EMBED_SIGN_DUCK,
+    _embed_md5_duck_ctes,
+    embed_arr_expr,
+    embed_norm_expr,
+    embed_sum_cols,
+)
 
 _DIMS = 64
 _RAG_K = 5
 _N_QUERIES = 3
 
-_CSUMS = ",\n             ".join(
-    f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN s END), 0) AS DOUBLE) AS d{i}"
-    for i in range(_DIMS)
-)
-_CNORM = " + ".join(f"d{i} * d{i}" for i in range(_DIMS))
-_CARR = ", ".join(
-    f"CAST(CASE WHEN nrm = 0 THEN 0.0 ELSE d{i} / nrm END AS FLOAT)"
-    for i in range(_DIMS)
-)
+# shared fragments — the chunk grid is chunk_documents' (plans/pipeline.py)
+# and the embed arithmetic is textembed's, grouped by (doc_id, chunk_id)
+_CSUMS = embed_sum_cols()
+_CNORM = embed_norm_expr()
+_CARR = embed_arr_expr()
 
 
 @declare(
@@ -56,22 +66,20 @@ _CARR = ", ".join(
     WITH {_embed_md5_duck_ctes()},
     cgrid AS (
       SELECT doc_id, ws, n,
-             unnest(generate_series(0,
-               CASE WHEN n <= {CHUNK_WORDS} THEN 0
-                    ELSE (n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} END)) AS chunk_id
+             unnest(generate_series(0, {CHUNK_LAST_DUCK})) AS chunk_id
       FROM (SELECT doc_id, {W_DUCK} AS ws, len({W_DUCK}) AS n
             FROM documents WHERE text IS NOT NULL AND len({W_DUCK}) >= 1) w),
     chunks AS (
       SELECT doc_id, chunk_id,
-             array_to_string(list_slice(ws, chunk_id * {_CHUNK_STRIDE} + 1,
-               chunk_id * {_CHUNK_STRIDE} + least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})), ' ') AS ctext
+             array_to_string(list_slice(ws, {CHUNK_START},
+               {CHUNK_START} - 1 + {CHUNK_NWORDS}), ' ') AS ctext
       FROM cgrid),
     cw AS (
       SELECT doc_id, chunk_id, unnest(str_split_regex(trim(ctext), '\\s+')) AS wd
       FROM chunks),
     cb AS (
-      SELECT doc_id, chunk_id, CAST(h % {_DIMS} AS INT) AS b,
-             CASE WHEN (h % {2 * _DIMS}) // {_DIMS} = 0 THEN 1 ELSE -1 END AS s
+      SELECT doc_id, chunk_id, {EMBED_BUCKET_DUCK} AS b,
+             {EMBED_SIGN_DUCK} AS s
       FROM (SELECT doc_id, chunk_id, {hash60_duck('wd')} AS h FROM cw) t),
     cagg AS (
       SELECT doc_id, chunk_id,
@@ -139,20 +147,18 @@ def rag_retrieve_df(
         .select("doc_id", "ws", F.size("ws").alias("n"))
         .filter(F.col("n") >= 1)
     )
-    n_last = (
-        f"CASE WHEN n <= {CHUNK_WORDS} THEN 0 "
-        f"ELSE ((n - {CHUNK_WORDS} + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}) END"
-    )
-    ncw = f"least({CHUNK_WORDS}, n - chunk_id * {_CHUNK_STRIDE})"
     chunks = (
         ws.select(
-            "doc_id", "ws", "n", F.explode(F.expr(f"sequence(0, {n_last})")).alias("chunk_id")
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(F.expr(f"sequence(0, {CHUNK_LAST_SPARK})")).alias("chunk_id"),
         )
         .select(
             "doc_id",
             "chunk_id",
             F.expr(
-                f"array_join(slice(ws, chunk_id * {_CHUNK_STRIDE} + 1, {ncw}), ' ')"
+                f"array_join(slice(ws, {CHUNK_START}, {CHUNK_NWORDS}), ' ')"
             ).alias("ctext"),
         )
     )

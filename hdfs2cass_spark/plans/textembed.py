@@ -47,33 +47,55 @@ _DIMS = 64
 _THRESHOLD = 0.95
 
 
-def _embed_md5_duck_ctes() -> str:
-    """DuckDB CTEs reproducing operators.embed.embed_texts(hash_mode='md5')
-    bit-for-bit: (vec_id, embedding: FLOAT[64])."""
-    h = hash60_duck("wd")
-    sums = ",\n             ".join(
+# DuckDB fragments reproducing operators.embed.embed_texts(hash_mode='md5')
+# bit-for-bit. Defined ONCE here and shared with every composition that
+# embeds in the oracle (the RAG retrieval index in plans/rag.py groups the
+# same fragments by (doc_id, chunk_id) instead of doc_id) — a change to the
+# bucket/sign/normalize arithmetic can never fork between them.
+EMBED_BUCKET_DUCK = f"CAST(h % {_DIMS} AS INT)"
+EMBED_SIGN_DUCK = f"CASE WHEN (h % {2 * _DIMS}) // {_DIMS} = 0 THEN 1 ELSE -1 END"
+
+
+def embed_sum_cols() -> str:
+    """The 64 signed-bucket histogram sums d0..d63 (exact small integers,
+    summed engine-neutrally and cast to DOUBLE)."""
+    return ",\n             ".join(
         f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN s END), 0) AS DOUBLE) AS d{i}"
         for i in range(_DIMS)
     )
-    norm = " + ".join(f"d{i} * d{i}" for i in range(_DIMS))
-    arr = ", ".join(
+
+
+def embed_norm_expr() -> str:
+    """Squared norm over d0..d63 in fixed left-to-right order."""
+    return " + ".join(f"d{i} * d{i}" for i in range(_DIMS))
+
+
+def embed_arr_expr() -> str:
+    """The L2-normalized FLOAT[64] literal (zero vector when nrm = 0)."""
+    return ", ".join(
         f"CAST(CASE WHEN nrm = 0 THEN 0.0 ELSE d{i} / nrm END AS FLOAT)"
         for i in range(_DIMS)
     )
+
+
+def _embed_md5_duck_ctes() -> str:
+    """DuckDB CTEs embedding every document whole:
+    (vec_id, embedding: FLOAT[64])."""
+    h = hash60_duck("wd")
     return f"""w AS (
       SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS wd
       FROM documents WHERE text IS NOT NULL),
     wb AS (
-      SELECT doc_id, CAST(h % {_DIMS} AS INT) AS b,
-             CASE WHEN (h % {2 * _DIMS}) // {_DIMS} = 0 THEN 1 ELSE -1 END AS s
+      SELECT doc_id, {EMBED_BUCKET_DUCK} AS b,
+             {EMBED_SIGN_DUCK} AS s
       FROM (SELECT doc_id, {h} AS h FROM w) t),
     agg AS (
       SELECT doc_id,
-             {sums}
+             {embed_sum_cols()}
       FROM wb GROUP BY doc_id),
     emb AS (
-      SELECT doc_id AS vec_id, [{arr}] AS embedding
-      FROM (SELECT *, sqrt({norm}) AS nrm FROM agg) t)"""
+      SELECT doc_id AS vec_id, [{embed_arr_expr()}] AS embedding
+      FROM (SELECT *, sqrt({embed_norm_expr()}) AS nrm FROM agg) t)"""
 
 
 @declare(

@@ -361,7 +361,13 @@ def stream_curate(
                 kept = nd.join(
                     contaminated.select("doc_id"), "doc_id", "left_anti"
                 )
-                toks = kept.select("doc_id", F.expr(_N_TOKENS).alias("n_tokens"))
+                # pinned: three downstream actions reuse it (the token-total
+                # append, exclusive_cumsum's internal totals.count(), and the
+                # packed write) — without the pin each re-executes the
+                # kept-join + tokenization chain
+                toks = pin(
+                    kept.select("doc_id", F.expr(_N_TOKENS).alias("n_tokens"))
+                )
                 append(
                     toks.agg(
                         F.lit(batch_id).cast("long").alias("batch_id"),

@@ -131,32 +131,72 @@ def main() -> int:
         from hdfs2cass_spark.streaming.index import n_subdirs
 
         idx, sink, ck = f"{tmp}/idx", f"{tmp}/out", f"{tmp}/ck"
+
+        # q.recentProgress is CAPPED at the last 100 updates
+        # (spark.sql.streaming.numRecentProgressUpdates), so for the long
+        # streams this probe exists to measure it would silently relabel
+        # mid-stream batches as "early" and fake a flat ratio. A listener
+        # sees every progress event, uncapped.
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        class _ProgressCollector(StreamingQueryListener):
+            def __init__(self):
+                self.events = []
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                self.events.append(json.loads(event.progress.json))
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        collector = _ProgressCollector()
+        spark.streams.addListener(collector)
         t0 = time.perf_counter()
-        q = stream_curate(
-            stream_documents(spark, flat),
-            bench,
-            idx,
-            sink,
-            ck,
-            available_now=True,
-            band_cap=100,
-            compact_every=8,
-            packed_path=f"{tmp}/packed",  # full chain incl. sequence packing
-        )
-        q.awaitTermination(3600)
-        wall = time.perf_counter() - t0
-        prog = [json.loads(p.json) for p in q.recentProgress]
+        try:
+            q = stream_curate(
+                stream_documents(spark, flat),
+                bench,
+                idx,
+                sink,
+                ck,
+                available_now=True,
+                band_cap=100,
+                compact_every=8,
+                packed_path=f"{tmp}/packed",  # full chain incl. sequence packing
+            )
+            q.awaitTermination(3600)
+            wall = time.perf_counter() - t0
+            # listener delivery is async — give stragglers a moment to land
+            deadline = time.perf_counter() + 10
+            while time.perf_counter() < deadline:
+                seen = len(collector.events)
+                time.sleep(0.5)
+                if len(collector.events) == seen:
+                    break
+            # recentProgress (last <=100) as a backstop; batchId-keyed dict
+            # dedupes the overlap
+            prog = collector.events + [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            spark.streams.removeListener(collector)
         secs = {
             p["batchId"]: p["durationMs"]["triggerExecution"] / 1000.0
             for p in prog
             if p.get("numInputRows", 0) > 0
         }
         done = sorted(secs)
-        early = [secs[i] for i in done[2:7]]  # skip the 2 JIT-cold batches
+        # skip the JIT-cold batches only when enough remain; never slice to []
+        skip = 2 if len(done) > 7 else 0
+        early = [secs[i] for i in done[skip:skip + 5]] or [secs[i] for i in done[:1]]
         late = [secs[i] for i in done[-5:]]
         # steady-state late cost: the batches that did NOT also run a
         # compaction fold (that amortized cost lands in every 8th trigger)
-        late_nc = [secs[i] for i in done[-12:] if i % 8][-5:]
+        late_nc = [secs[i] for i in done[-12:] if i % 8][-5:] or late
         out["stream_batches"] = len(done)
         out["stream_docs_per_batch"] = per
         out["stream_wall_sec"] = round(wall, 2)

@@ -49,11 +49,14 @@ def test_events_queries_survive_missing_nanos_conf(spark):
 def test_driver_checked_prefix_order_is_frozen():
     """The driver's correctness gate hash-compares a bounded PREFIX of
     queries() and records per-position results round-over-round — so the
-    first 54 oracle-backed entries (every row a driver has already seen
-    green through round 6) must keep their exact order. New oracle queries
-    APPEND (declare them in plans/report.py or a later-imported module);
-    inserting earlier displaces recorded-green rows. This test freezes the
-    prefix."""
+    first 65 oracle-backed entries (every row documented driver-green or
+    rehearsal-green through round 6) must keep their exact order. New
+    oracle queries APPEND (declare them in a module imported AFTER every
+    module below — plans/report.py or later); declaring one in e.g.
+    quality.py registers mid-list and silently renumbers everything after
+    it (this happened within round 6: select_token_budget/lang_epoch_mix
+    displaced the then-documented rows 59-60 to 61/63). This test freezes
+    the prefix through row 65."""
     import __spark_entry__ as entry
 
     frozen = [
@@ -78,7 +81,11 @@ def test_driver_checked_prefix_order_is_frozen():
         "corpus_mix_quota", "exact_substring_spans", "chunk_documents",
         "curate_corpus", "text_embed_near_dup_pairs_md5",
         "embedding_dedup_clusters", "text_embed_dedup_clusters_md5",
-        "bigram_logprob_score",
+        "bigram_logprob_score", "gopher_quality_filter",
+        "lang_temperature_sample", "embedding_quantized_topk",
+        "corpus_stats_report", "select_token_budget", "lang_epoch_mix",
+        "rag_chunk_retrieval_md5", "embedding_label_stats",
+        "curation_funnel", "events_value_outliers", "pack_fragments",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

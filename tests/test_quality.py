@@ -298,6 +298,71 @@ def test_embedding_label_stats_semantics(spark, sf_dir, tmp_path):
         assert r.min_vec_norm <= r.max_vec_norm
 
 
+def test_embedding_label_stats_survives_large_cohesive_label(spark, tmp_path):
+    """Regression: a label with >~3e3 identical members used to wrap the
+    int64 centroid-norm term (S_d*S_d with S_d = n*1e6) on BOTH engines —
+    precisely the encoder-collapse case the QA report exists to detect.
+    Fixed by computing the S_d^2 terms as fixed-order DOUBLE products."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 3200  # S_1 = 3.2e9 -> int64 S_1^2 = 1.024e19 > 2^63-1 pre-fix
+    v = [1.0] + [0.0] * 63
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v] * n, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    d = str(tmp_path / "emb")
+    (tmp_path / "emb").mkdir()
+    pq.write_table(t, f"{d}/embeddings.parquet")
+    q = CATALOG["embedding_label_stats"]
+    row = q.fn(spark, d).collect()[0]
+    assert row.n_vecs == n
+    assert row.centroid_norm == pytest.approx(1.0, abs=1e-5)
+    assert row.avg_cos_to_centroid == pytest.approx(1.0, abs=1e-5)
+    assert row.dispersion == pytest.approx(0.0, abs=1e-5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    orow = con.execute(q.oracle).fetchone()  # label, n_vecs, centroid_norm, ...
+    assert orow[1] == n
+    assert orow[2] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_token_budget_rejects_out_of_range_doc_id(spark, tmp_path):
+    """select_token_budget packs doc_id into the low 40 bits of its greedy
+    sort key (load-bearing: exclusive_cumsum shards by integer-div of ONE
+    key). A doc_id outside [0, 2^40) must fail LOUDLY on both engines —
+    never silently corrupt the quality ordering."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, (1 << 40) + 5], pa.int64()),
+            "text": pa.array(["good words here", "more words here"], pa.string()),
+        }
+    )
+    d = str(tmp_path / "docs")
+    (tmp_path / "docs").mkdir()
+    pq.write_table(t, f"{d}/documents.parquet")
+    q = CATALOG["select_token_budget"]
+    with pytest.raises(Exception, match="doc_id outside"):
+        q.fn(spark, d).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    with pytest.raises(duckdb.Error, match="doc_id outside"):
+        con.execute(q.oracle).fetchall()
+
+
 def test_epoch_mix_rebalances_with_oversampling(spark, sf_dir):
     from hdfs2cass_spark.sources.readers import load_table
 
