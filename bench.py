@@ -53,6 +53,7 @@ PIPELINE = [
     "lang_temperature_sample",
     "corpus_stats_report",
     "rag_chunk_retrieval_md5",
+    "dsir_importance_weights",
 ]
 
 

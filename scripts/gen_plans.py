@@ -144,8 +144,8 @@ SECTIONS = [
         "rag_chunk_retrieval_md5",
         "The full RAG index build in one plan: chunking is a codegen'd `Generate` (map-only 1->N), "
         "each chunk's embedding is ONE map-side-combined `HashAggregate` over the exploded words "
-        "(the 64 conditional sums of operators/embed.py — a single exchange keyed by the packed "
-        "chunk id), the tiny query side broadcasts, and the per-query top-5 truncates map-side via "
+        "(the 64 conditional sums of operators/embed.py — a single exchange keyed by the "
+        "(doc_id, chunk_id) struct), the tiny query side broadcasts, and the per-query top-5 truncates map-side via "
         "`WindowGroupLimit` before the rank exchange. The chunk text exists only between the "
         "`Generate` and the embed explode — never materialized corpus-wide.",
     ),
@@ -157,6 +157,17 @@ SECTIONS = [
         "`_shard`, only the per-shard totals (a tiny table) pass a `SinglePartition` window, and the "
         "bases broadcast back. The quality score and its integer ordering key are pure map-side "
         "column arithmetic on the scan.",
+    ),
+    (
+        "dsir_importance_weights (importance resampling)",
+        "dsir_importance_weights",
+        "The target/raw distribution pair is ONE partial/final `HashAggregate` pair over the exploded "
+        "words, collapsing to 256 rows per mapper (the conditional target count rides the same pass "
+        "— the corpus never shuffles for the model fit); the 1-row totals and the 256-row log-ratio "
+        "model come back as `BroadcastExchange`s, so scoring is a second corpus scan + a per-doc "
+        "map-side-combined aggregate. The global top-100 is `TakeOrderedAndProject` (per-partition "
+        "k-row heaps, one merge — never a corpus-wide sort), and the rank window sees only the "
+        "k = 100 survivors.",
     ),
     (
         "corpus_stats_report (histogram order statistics)",

@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "corpus_stats_report",
     "rag_chunk_retrieval_md5",
     "curation_funnel",
+    "dsir_importance_weights",  # late r6: no 'src1' docs -> degenerate target
 ]
 
 
