@@ -54,6 +54,7 @@ PIPELINE = [
     "corpus_stats_report",
     "rag_chunk_retrieval_md5",
     "dsir_importance_weights",
+    "dedup_against_reference",
 ]
 
 

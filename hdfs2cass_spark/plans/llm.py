@@ -590,21 +590,23 @@ _MH_MINS = ",\n           ".join(
 )
 
 
-def mh_cte_fragment(src: str = "documents") -> str:
+def mh_cte_fragment(src: str = "documents", suffix: str = "") -> str:
     """The sh/m minhash CTE bodies (no leading WITH) over any source relation
     with (doc_id, text) — `documents` for the standalone queries, `dd` (the
-    exact-dedup survivors) for the composed curation chain."""
-    return f"""sh AS (
+    exact-dedup survivors) for the composed curation chain. ``suffix`` renames
+    the CTEs (sh_n/m_n, ...) so two corpora can coexist in one oracle
+    (cross-corpus dedup)."""
+    return f"""sh{suffix} AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, unnest({SH_DUCK}) AS s FROM {src}) t),
-    m AS (
+    m{suffix} AS (
       SELECT doc_id,
            {_MH_MINS}
       FROM (
         SELECT doc_id,
                ('0x' || substr(mhex, 1, 8))::BIGINT % {_MH_G} AS g1,
                ('0x' || substr(mhex, 9, 8))::BIGINT % {_MH_G} AS g2
-        FROM (SELECT doc_id, md5(s) AS mhex FROM sh) t1) t2
+        FROM (SELECT doc_id, md5(s) AS mhex FROM sh{suffix}) t1) t2
       GROUP BY doc_id)
 """
 
@@ -613,12 +615,19 @@ _MH_CTE = "\n    WITH " + mh_cte_fragment()
 
 
 _R = N_HASHES // N_BANDS  # rows per band
-_BANDS_SQL = "\n      UNION ALL\n".join(
-    "      SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bkey FROM m".format(
-        b=b, cols=", ".join(f"mh{b * _R + j}" for j in range(_R))
+
+
+def bands_sql(m: str = "m") -> str:
+    """The band-key UNION ALL body over a minhash-wide CTE named ``m``."""
+    return "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bkey FROM {m}".format(
+            b=b, m=m, cols=", ".join(f"mh{b * _R + j}" for j in range(_R))
+        )
+        for b in range(N_BANDS)
     )
-    for b in range(N_BANDS)
-)
+
+
+_BANDS_SQL = bands_sql()
 # band buckets over BAND_CAP docs are dropped before pair expansion (both
 # engines), killing the degenerate-corpus quadratic
 _OKB_SQL = f"""
@@ -904,16 +913,34 @@ def near_dup_pairs_df(
     # scale). Still no persist anywhere.
     full = minhash_wide_df(d, with_sets=True, spread=spread)
     cand = _band_candidates(full)
+    return verified_jaccard(cand, full, threshold=threshold).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def verified_jaccard(
+    cand: DataFrame,
+    sets: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard >= threshold) over candidate pairs, via the melted
+    one-join verify: each pair melts into an (a-side, b-side) row pair so
+    the (doc_id, shset, n_sh) set table joins ONCE — with per-side joins
+    the shared aggregate subtree executed three times (candidates + both
+    sides; lambda-bearing subtrees never pass ReuseExchange). ``sets`` may
+    be a union of several corpora as long as doc ids are globally unique."""
     sides = cand.select(
-        "doc_a",
-        "doc_b",
+        a,
+        b,
         F.explode(
-            F.expr("array(struct('a' AS role, doc_a AS d), struct('b' AS role, doc_b AS d))")
+            F.expr(f"array(struct('a' AS role, {a} AS d), struct('b' AS role, {b} AS d))")
         ).alias("r"),
-    ).select("doc_a", "doc_b", "r.role", "r.d")
+    ).select(a, b, "r.role", "r.d")
     ver = (
-        sides.join(full.select(F.col("doc_id").alias("d"), "shset", "n_sh"), "d")
-        .groupBy("doc_a", "doc_b")
+        sides.join(sets.select(F.col("doc_id").alias("d"), "shset", "n_sh"), "d")
+        .groupBy(a, b)
         .agg(
             F.first(F.when(F.col("role") == "a", F.col("shset")), ignorenulls=True).alias("set_a"),
             F.first(F.when(F.col("role") == "b", F.col("shset")), ignorenulls=True).alias("set_b"),
@@ -923,10 +950,8 @@ def near_dup_pairs_df(
     )
     n_common = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
-    return (
-        ver.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return ver.filter(jac >= threshold).select(
+        a, b, F.round(jac, 6).alias("jaccard")
     )
 
 

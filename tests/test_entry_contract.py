@@ -86,7 +86,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "corpus_stats_report", "select_token_budget", "lang_epoch_mix",
         "rag_chunk_retrieval_md5", "embedding_label_stats",
         "curation_funnel", "events_value_outliers", "pack_fragments",
-        "dsir_importance_weights",
+        "dsir_importance_weights", "dedup_against_reference",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

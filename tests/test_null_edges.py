@@ -39,6 +39,7 @@ DOC_QUERIES = [
     "rag_chunk_retrieval_md5",
     "curation_funnel",
     "dsir_importance_weights",  # late r6: no 'src1' docs -> degenerate target
+    "dedup_against_reference",  # late r6: docs 8(new)/9(ref) cross the split
 ]
 
 

@@ -263,6 +263,7 @@ def test_lsh_family_gates_hot_keys_before_collect(spark, sf_dir):
         "simhash_near_dup_pairs",
         "embedding_near_dup_pairs",
         "dedup_near_duplicates",
+        "dedup_against_reference",  # cross-corpus: gate on the COMBINED bucket
     ):
         p = _explain(spark, CATALOG[name].fn(spark, sf_dir))
         assert re.search(r"_df#\d+L? >= 2", p), name
