@@ -238,6 +238,15 @@ _FP_DUCK = """CASE WHEN text IS NULL THEN NULL
 from ..functions.scrub import scrub_cte_duck as _scrub_cte_duck  # noqa: E402
 from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
 
+# GPT-2-style pretokenizer regex (Radford et al. 2019, public knowledge),
+# minus the contraction branch and the \s+(?!\S) lookahead (RE2 — DuckDB —
+# has no lookahead): optionally-space-prefixed letter runs, digit runs,
+# punctuation runs, plus residual whitespace. Java regex and RE2 agree on
+# \p{L}/\p{N} classes — differentially pinned on unicode/control-char edge
+# texts (tests/test_null_edges.py). A far better token-count estimate for
+# budget math than chars/4 (which stays as the cheap column).
+BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
 
 @declare(
     "text_analysis_documents",
@@ -248,6 +257,8 @@ from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
              CAST(len({W_DUCK}) AS INTEGER) AS n_words,
              CAST(length(text) AS INTEGER) AS n_chars,
              CAST(ceil(length(text) / 4.0) AS INTEGER) AS approx_bpe_tokens,
+             CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INTEGER)
+               AS regex_tokens,
              CAST(len(list_distinct({W_DUCK})) AS DOUBLE) / len({W_DUCK}) AS uniq_ratio,
              CAST(len(list_filter({W_DUCK}, w -> w IN {STOPWORDS})) AS DOUBLE)
                / len({W_DUCK}) AS stop_ratio,
@@ -260,7 +271,8 @@ from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
              array_to_string(list_slice({W_DUCK}, 1, 3), ' ') AS head3,
              list_contains({W_DUCK}, 'spark') AS has_spark
       FROM documents)
-    SELECT doc_id, n_words, n_chars, approx_bpe_tokens, uniq_ratio, stop_ratio,
+    SELECT doc_id, n_words, n_chars, approx_bpe_tokens, regex_tokens,
+           uniq_ratio, stop_ratio,
            round(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 6) AS quality,
            s_en, s_es, s_fr, s_de,
            {_PRED_CASE} AS pred_lang,
@@ -273,6 +285,8 @@ from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
     """,
     doc="The whole per-document text-analysis surface in ONE scan: token "
     "counting + quality scoring (whitespace tokens, chars, BPE-ish chars/4, "
+    "a GPT-2-style pretokenizer regex count — letter/digit/punct runs, "
+    "engine-agreeing \\p classes, "
     "vocabulary-uniqueness and stopword-density heuristic), language-ID "
     "(per-language stopword hit counts, argmax with fixed priority — a "
     "deterministic classifier, not a model), a polynomial rolling-hash "
@@ -324,6 +338,7 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.cast("int").alias("n_words"),
         F.length("text").cast("int").alias("n_chars"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("approx_bpe_tokens"),
+        F.regexp_count("text", F.lit(BPE_REGEX)).cast("int").alias("regex_tokens"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),
         *[F.expr(scores[lang]).alias(f"s_{lang}") for lang in LANG_STOPWORDS],
@@ -344,6 +359,7 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_chars",
         "approx_bpe_tokens",
+        "regex_tokens",
         "uniq_ratio",
         "stop_ratio",
         F.round(0.6 * F.col("uniq_ratio") + 0.4 * (1.0 - F.col("stop_ratio")), 6).alias(
