@@ -444,6 +444,29 @@ def test_pack_fragments_tile_exactly(spark, sf_dir):
             assert pos == PACK_BUDGET
 
 
+def test_dsir_and_crossdedup_are_partition_invariant(spark, sf_dir):
+    """The round-6 composable operators' outputs must not depend on the
+    input's physical partitioning — every tiebreak is an explicit column,
+    never an arrival order (DECIMAL sums are order-independent by type)."""
+    from hdfs2cass_spark.plans.crossdedup import cross_dedup_df
+    from hdfs2cass_spark.plans.dsir import dsir_weights_df
+    from hdfs2cass_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    outs = []
+    for n in (1, 7):
+        dd = d.repartition(n)
+        new = dd.filter(F.col("doc_id") % 3 != 0)
+        ref = dd.filter(F.col("doc_id") % 3 == 0)
+        outs.append(
+            (
+                sorted(tuple(r) for r in dsir_weights_df(dd).collect()),
+                sorted(tuple(r) for r in cross_dedup_df(new, ref).collect()),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 @pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
 def test_quality_operators_are_source_format_agnostic(spark, sf_dir, tmp_path, fmt):
     """The corpus operators bind to DataFrames, not to parquet: the same
