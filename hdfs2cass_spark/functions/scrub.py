@@ -8,9 +8,10 @@ the scrub rides whatever scan/shuffle the surrounding query already does.
 
 Cross-engine determinism: the patterns avoid every construct where Java's
 regex (Spark) and RE2 (DuckDB) diverge — no backreferences, no lookaround, no
-possessive quantifiers, ASCII classes only — so the DuckDB oracle applies the
-IDENTICAL pattern strings with `regexp_replace(..., 'g')` and gets the
-identical rewrite. Categories apply IN ORDER (URL before email before IP
+possessive quantifiers, ASCII classes only, and no bare ``\\s`` (Java includes
+``\\x0B``, RE2 does not; the URL terminator spells the class out via
+tokenize.WS_CHARS) — so the DuckDB oracle applies the IDENTICAL pattern
+strings with `regexp_replace(..., 'g')` and gets the identical rewrite. Categories apply IN ORDER (URL before email before IP
 before phone) and each category counts its matches against the text as
 already scrubbed by the previous categories: a URL containing `user@host`
 is one URL, not a URL plus an email, and replaced placeholders (no digits)
@@ -22,9 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (category, pattern, placeholder) — applied strictly in this order
+from .tokenize import WS_CHARS
+
+# (category, pattern, placeholder) — applied strictly in this order.
+# NB: no bare \s anywhere — Java and RE2 disagree on \x0B (tokenize.py);
+# the URL terminator class spells Java's whitespace set explicitly.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", rf"https?://[^{WS_CHARS}]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),

@@ -71,9 +71,13 @@ def embed_texts(
         h = "CAST(conv(substr(md5(CAST(_w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+    from ..functions.tokenize import words_spark
+
     words = d.select(
         F.col(id_col),
-        F.explode(F.expr(rf"split(trim({text_col}), '\\s+')")).alias("_w"),
+        # the shared explicit-whitespace tokenizer (Java \s vs RE2 \s
+        # diverge on \x0B; functions/tokenize.py)
+        F.explode(F.expr(words_spark(text_col))).alias("_w"),
     ).select(
         id_col,
         F.expr(f"CAST(pmod({h}, {dims}) AS INT)").alias("_b"),

@@ -37,8 +37,8 @@ from ..operators.buckets import capped_buckets
 from ..sources import load_table
 from .llm import (
     BAND_CAP,
-    _band_structs,
     _spread_docs,
+    band_rows,
     bands_sql,
     hash60_duck,
     hash60_spark,
@@ -141,12 +141,11 @@ def cross_dedup_df(
     wr = minhash_wide_df(ref, with_sets=True, spread=False)
 
     def _bands(wide: DataFrame, side: str) -> DataFrame:
-        return wide.select(
-            "doc_id", F.explode(F.array(*_band_structs())).alias("bb")
-        ).select(
+        # the shared band-key definition, payload re-marked with the side
+        return band_rows(wide).select(
             F.struct(F.lit(side).alias("side"), F.col("doc_id").alias("d")).alias("sd"),
-            "bb.band",
-            "bb.bkey",
+            "band",
+            "bkey",
         )
 
     allb = _bands(wn, "n").unionByName(_bands(wr, "r"))

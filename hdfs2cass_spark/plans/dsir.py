@@ -15,7 +15,8 @@ round(ln(p_t) - ln(p_r), 9) over correctly-rounded double divisions of
 identical exact-int operands, cast to DECIMAL(20,9); per-doc sums are
 DECIMAL (exact, order-independent — float summation order differs between
 engines); the Gumbel noise is -ln(-ln(u)) of an exact-rational md5 coin
-u = (coin+1)/(2^60+1) in (0,1), rounded to 9 decimals as DECIMAL; the
+u = (min(coin, 2^60-1024)+1)/2^60 in (0,1) — the clamp keeps u's DOUBLE
+strictly below 1.0 (see _U_CLAMP) — rounded to 9 decimals as DECIMAL; the
 selection key is a DECIMAL addition (exact) and rank ties break on doc_id.
 
 100 TB shape: the model is ONE map-side-combined aggregate over exploded
@@ -30,8 +31,10 @@ TakeOrderedAndProject (a k-row heap per partition, then one merge — the
 topk_parts_by_price precedent, never a corpus-wide sort); the rank window
 then sees only the k = constant survivors.
 
-Declared in the LAST-imported plans module so it appends to the driver's
-checked prefix as oracle row #66 — no previously-green row is displaced.
+Registered after every round-6-early module so it appends to the driver's
+checked prefix as oracle row #66 — no previously-green row is displaced
+(plans/__init__.py's import order is the source of truth; new oracle
+queries go in whichever module is imported LAST there).
 """
 
 from __future__ import annotations
@@ -48,7 +51,15 @@ DSIR_BUCKETS = 256  # hashed-unigram feature space (B in the paper)
 DSIR_K = 100  # documents to resample at the fixture scale
 DSIR_TARGET = "src1"  # the fixture's stand-in high-quality target domain
 _DEC = "DECIMAL(20, 9)"
-_U_DEN = (1 << 60) + 1  # coin in [0, 2^60) -> u = (coin+1)/_U_DEN in (0, 1)
+# Gumbel coin -> u in (0, 1), BOTH endpoints genuinely unreachable after
+# double rounding: coins clamp to 2^60 - 1024 first (1024 is a multiple of
+# the 128-ulp double spacing at 2^60, so the clamped +1 numerator rounds to
+# 2^60 - 1024, never to 2^60 — an unclamped coin near 2^60 rounds CAST(x AS
+# DOUBLE) to exactly 2^60, u = 1.0, and -ln(-ln(1.0)) hard-errors DuckDB
+# while Spark yields NULL). The clamp distorts only the top 1024/2^60
+# (~2^-50) of coin space, deterministically, identically on both engines.
+_U_CLAMP = (1 << 60) - 1024
+_U_DEN = float(1 << 60)  # exactly representable
 
 _GCOIN_SPARK = hash60_spark("concat('dsir|', CAST(doc_id AS STRING))")
 _GCOIN_DUCK = hash60_duck("'dsir|' || CAST(doc_id AS VARCHAR)")
@@ -86,7 +97,8 @@ _GCOIN_DUCK = hash60_duck("'dsir|' || CAST(doc_id AS VARCHAR)")
     keyed AS (
       SELECT doc_id, n_words, logw,
              logw + CAST(round(-ln(-ln(
-               CAST({_GCOIN_DUCK} + 1 AS DOUBLE) / {float(_U_DEN)!r})), 9)
+               CAST(least({_GCOIN_DUCK}, {_U_CLAMP}) + 1 AS DOUBLE)
+               / {_U_DEN!r})), 9)
                AS {_DEC}) AS skey
       FROM scored),
     ranked AS (
@@ -163,7 +175,8 @@ def dsir_weights_df(
     )
     gumbel = F.expr(
         f"CAST(round(-ln(-ln("
-        f"CAST({_GCOIN_SPARK} + 1 AS DOUBLE) / {float(_U_DEN)!r}d)), 9) AS {_DEC})"
+        f"CAST(least({_GCOIN_SPARK}, {_U_CLAMP}) + 1 AS DOUBLE)"
+        f" / {_U_DEN!r}d)), 9) AS {_DEC})"
     )
     keyed = scored.withColumn("skey", F.col("logw") + gumbel)
     # top-k FIRST (TakeOrderedAndProject: a k-row heap per partition, then

@@ -28,8 +28,12 @@ from .registry import declare
 
 # --- shared expression fragments (Spark SQL expr string / DuckDB SQL string) ---
 
-W_SPARK = r"split(trim(text), '\\s+')"
-W_DUCK = r"str_split_regex(trim(text), '\s+')"
+# explicit whitespace class — Java's \s set on BOTH engines (a bare \s
+# diverges on \x0B between Java and RE2; functions/tokenize.py)
+from ..functions.tokenize import WS_CHARS, WS_DUCK, WS_SPARK, words_duck, words_spark  # noqa: E402
+
+W_SPARK = words_spark()
+W_DUCK = words_duck()
 
 # k=3 word shingles over a pre-materialized words column `ws` (1-indexed
 # element access in both engines). IMPORTANT: the words array must be a real
@@ -153,15 +157,16 @@ SHH_DUCK = (
 
 @declare(
     "dedup_exact_documents",
-    oracle="""
+    oracle=f"""
     SELECT 'exact' AS mode, md5(text) AS text_hash,
            COUNT(*) AS n_copies, MIN(doc_id) AS keeper
     FROM documents GROUP BY md5(text)
     UNION ALL
     SELECT 'normalized' AS mode,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           md5(regexp_replace(lower(trim(text)), '{WS_DUCK}+', ' ', 'g')) AS text_hash,
            COUNT(*) AS n_copies, MIN(doc_id) AS keeper
-    FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '{WS_DUCK}+', ' ', 'g'))
     ORDER BY mode, text_hash
     """,
     doc="Exact dedup, raw and normalized, tagged by mode: content-hash groupBy "
@@ -178,10 +183,11 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = d.select(
         "doc_id",
         F.expr(
-            "inline(array("
-            "struct('exact' AS mode, md5(CAST(text AS BINARY)) AS text_hash), "
-            "struct('normalized' AS mode, "
-            "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS text_hash)))"
+            f"inline(array("
+            f"struct('exact' AS mode, md5(CAST(text AS BINARY)) AS text_hash), "
+            f"struct('normalized' AS mode, "
+            f"md5(CAST(regexp_replace(lower(trim(text)), '{WS_SPARK}+', ' ')"
+            f" AS BINARY)) AS text_hash)))"
         ),
     )
     return (
@@ -242,10 +248,15 @@ from ..functions.scrub import scrub_pii as _scrub_pii  # noqa: E402
 # minus the contraction branch and the \s+(?!\S) lookahead (RE2 — DuckDB —
 # has no lookahead): optionally-space-prefixed letter runs, digit runs,
 # punctuation runs, plus residual whitespace. Java regex and RE2 agree on
-# \p{L}/\p{N} classes — differentially pinned on unicode/control-char edge
-# texts (tests/test_null_edges.py). A far better token-count estimate for
-# budget math than chars/4 (which stays as the cheap column).
-BPE_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# \p{L}/\p{N} classes but NOT on \s, so the whitespace class is the
+# explicit WS_CHARS set (functions/tokenize.py). Differentially pinned on
+# unicode/control-char/vertical-tab edge texts (tests/test_null_edges.py).
+# A far better token-count estimate for budget math than chars/4 (which
+# stays as the cheap column). Single-backslash form: used via F.lit on the
+# Spark side and a plain SQL literal on the DuckDB side.
+BPE_REGEX = (
+    rf" ?\p{{L}}+| ?\p{{N}}+| ?[^{WS_CHARS}\p{{L}}\p{{N}}]+|[{WS_CHARS}]+"
+)
 
 
 @declare(
@@ -669,6 +680,16 @@ def _band_structs() -> list:
     ]
 
 
+def band_rows(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): the band-key explode over a minhash-wide table —
+    THE definition of a band key, shared by every candidate generator
+    (single-corpus pairs here, cross-corpus in plans/crossdedup.py) so the
+    band shape can never fork between them."""
+    return wide.select(
+        "doc_id", F.explode(F.array(*_band_structs())).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
 def _band_candidates(wide: DataFrame) -> DataFrame:
     """LSH candidate pairs via IN-BUCKET expansion: group each (band, bkey)
     bucket, cap its size at BAND_CAP, and expand the sorted doc list to
@@ -679,9 +700,7 @@ def _band_candidates(wide: DataFrame) -> DataFrame:
     bucket can't go quadratic — it's dropped by the cap, the same guard
     DF_CAP applies to frequent shingles.
     """
-    bands = wide.select("doc_id", F.explode(F.array(*_band_structs())).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bkey"
-    )
+    bands = band_rows(wide)
     # size gate precedes the collect (capped_buckets): a band signature shared
     # by millions of near-identical docs is dropped by a streaming count, not
     # after materializing the full id list in one aggregation buffer

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.tokenize import words_duck
 from ..functions.vec import norm_sql as _norm_sql
 from ..sources import load_table
 from .llm import W_DUCK, W_SPARK, _cosine_duck, _cosine_prenormed, hash60_duck
@@ -75,7 +76,7 @@ _CARR = embed_arr_expr()
                {CHUNK_START} - 1 + {CHUNK_NWORDS}), ' ') AS ctext
       FROM cgrid),
     cw AS (
-      SELECT doc_id, chunk_id, unnest(str_split_regex(trim(ctext), '\\s+')) AS wd
+      SELECT doc_id, chunk_id, unnest({words_duck('ctext')}) AS wd
       FROM chunks),
     cb AS (
       SELECT doc_id, chunk_id, {EMBED_BUCKET_DUCK} AS b,

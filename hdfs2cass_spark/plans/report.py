@@ -1,11 +1,12 @@
-"""Late-registered report/ops queries (oracle rows 63-64, appended last).
+"""Late-registered report/ops queries (oracle rows 63-65).
 
 The driver's correctness gate hash-compares a bounded PREFIX of queries()
 (the registry sorts oracle-backed entries by module import order), so a new
 oracle query must APPEND to the checked set, never insert mid-list and
-displace rows the driver already recorded green. This module is imported
-LAST in plans/__init__ and is therefore where late oracle queries
-live, wherever their implementation naturally sits:
+displace rows the driver already recorded green. A new oracle query
+therefore belongs in whichever plans module plans/__init__.py imports LAST
+(the import marked "keep LAST" there — dsir and crossdedup registered after
+this module in round 6), wherever its implementation naturally sits:
 
   - curation_funnel (implementation in plans/compose.py next to the chain
     it reports on)
@@ -19,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .compose import CTE_CHAIN, curation_funnel as _curation_funnel
+from .llm import W_DUCK
 from .registry import declare
 
 declare(
@@ -154,9 +156,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "pack_fragments",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id, CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      SELECT doc_id, CAST(len({W_DUCK}) AS BIGINT) AS n_tokens
       FROM documents),
     p AS (
       SELECT doc_id, n_tokens,

@@ -82,8 +82,10 @@ def _embed_md5_duck_ctes() -> str:
     """DuckDB CTEs embedding every document whole:
     (vec_id, embedding: FLOAT[64])."""
     h = hash60_duck("wd")
+    from .llm import W_DUCK
+
     return f"""w AS (
-      SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS wd
+      SELECT doc_id, unnest({W_DUCK}) AS wd
       FROM documents WHERE text IS NOT NULL),
     wb AS (
       SELECT doc_id, {EMBED_BUCKET_DUCK} AS b,

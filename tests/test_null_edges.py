@@ -48,7 +48,7 @@ def edge_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_docs"))
     docs = pa.table(
         {
-            "doc_id": pa.array(range(11), pa.int64()),
+            "doc_id": pa.array(range(12), pa.int64()),
             "text": pa.array(
                 [
                     None,
@@ -66,15 +66,22 @@ def edge_dir(tmp_path_factory):
                     # doc 10: planted PII — every scrub category fires, so the
                     # text_analysis differential exercises the actual rewrite
                     "mail me@x.io or http://a.b/c?d=1 ip 10.0.0.1 tel +1 555-123-4567 ok",
+                    # doc 11: VERTICAL TAB adjacent to a space — Java \s
+                    # includes \x0B, RE2 \s does not; the BPE-ish regex
+                    # token count must use the explicit whitespace class or
+                    # the engines diverge exactly here
+                    "vertical\x0b tab\x0bsplit mixed\x0b\x0bruns end",
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en"] * 11, pa.string()),
+            "lang": pa.array(["en"] * 12, pa.string()),
             "source": pa.array(
-                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB", "sA"],
+                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB", "sA", "sB"],
                 pa.string(),
             ),
-            "n_chars": pa.array([0, 0, 3, 3, 18, 31, 36, 18, 47, 48, 67], pa.int64()),
+            "n_chars": pa.array(
+                [0, 0, 3, 3, 18, 31, 36, 18, 47, 48, 67, 35], pa.int64()
+            ),
         }
     )
     pq.write_table(docs, os.path.join(d, "documents.parquet"))
