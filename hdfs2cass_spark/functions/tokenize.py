@@ -33,5 +33,9 @@ def words_spark(col: str = "text") -> str:
 
 
 def words_duck(col: str = "text") -> str:
-    """DuckDB SQL: the identical tokenization."""
-    return f"str_split_regex(trim({col}), '{WS_DUCK}+')"
+    """DuckDB SQL: the identical tokenization. NB: ``trim(x, ' ')``, not
+    bare ``trim(x)`` — DuckDB's default trim strips UNICODE spaces
+    (U+3000, U+2003, ...) while Spark's strips only ASCII 0x20; the
+    explicit character argument pins DuckDB to Spark's semantics (found by
+    the tokenizer fuzz battery, tests/test_tokenize_fuzz.py)."""
+    return f"str_split_regex(trim({col}, ' '), '{WS_DUCK}+')"

@@ -163,10 +163,10 @@ SHH_DUCK = (
     FROM documents GROUP BY md5(text)
     UNION ALL
     SELECT 'normalized' AS mode,
-           md5(regexp_replace(lower(trim(text)), '{WS_DUCK}+', ' ', 'g')) AS text_hash,
+           md5(regexp_replace(lower(trim(text, ' ')), '{WS_DUCK}+', ' ', 'g')) AS text_hash,
            COUNT(*) AS n_copies, MIN(doc_id) AS keeper
     FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '{WS_DUCK}+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(lower(trim(text, ' ')), '{WS_DUCK}+', ' ', 'g'))
     ORDER BY mode, text_hash
     """,
     doc="Exact dedup, raw and normalized, tagged by mode: content-hash groupBy "

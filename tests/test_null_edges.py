@@ -48,7 +48,7 @@ def edge_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge_docs"))
     docs = pa.table(
         {
-            "doc_id": pa.array(range(12), pa.int64()),
+            "doc_id": pa.array(range(13), pa.int64()),
             "text": pa.array(
                 [
                     None,
@@ -71,16 +71,22 @@ def edge_dir(tmp_path_factory):
                     # token count must use the explicit whitespace class or
                     # the engines diverge exactly here
                     "vertical\x0b tab\x0bsplit mixed\x0b\x0bruns end",
+                    # doc 12: UNICODE spaces at the string edges and inside —
+                    # DuckDB's bare trim() strips U+3000/U+2003 while Spark's
+                    # strips only ASCII 0x20 (hence trim(x, ' ') in
+                    # words_duck); neither engine's ASCII \s matches them
+                    "　leading ideographic em gap nbsp end　",
                 ],
                 pa.string(),
             ),
-            "lang": pa.array(["en"] * 12, pa.string()),
+            "lang": pa.array(["en"] * 13, pa.string()),
             "source": pa.array(
-                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB", "sA", "sB"],
+                ["sA", "sA", "sB", "sB", "sA", "sB", "sA", "sB", "sA", "sB",
+                 "sA", "sB", "sA"],
                 pa.string(),
             ),
             "n_chars": pa.array(
-                [0, 0, 3, 3, 18, 31, 36, 18, 47, 48, 67, 35], pa.int64()
+                [0, 0, 3, 3, 18, 31, 36, 18, 47, 48, 67, 35, 37], pa.int64()
             ),
         }
     )
