@@ -55,6 +55,7 @@ PIPELINE = [
     "rag_chunk_retrieval_md5",
     "dsir_importance_weights",
     "dedup_against_reference",
+    "decontamination_by_benchmark",
 ]
 
 

@@ -40,6 +40,7 @@ DOC_QUERIES = [
     "curation_funnel",
     "dsir_importance_weights",  # late r6: no 'src1' docs -> degenerate target
     "dedup_against_reference",  # late r6: docs 8(new)/9(ref) cross the split
+    "decontamination_by_benchmark",
 ]
 
 

@@ -444,6 +444,27 @@ def test_pack_fragments_tile_exactly(spark, sf_dir):
             assert pos == PACK_BUDGET
 
 
+def test_multibench_suite0_matches_single_benchmark_decontam(spark, sf_dir):
+    """decontamination_by_benchmark's suite 0 IS decontamination_overlap's
+    benchmark set: for every doc that is train in BOTH queries (bid >= 3),
+    hits_suiteA must equal the single-benchmark n_contaminated."""
+    multi = {
+        r.doc_id: r for r in CATALOG["decontamination_by_benchmark"].fn(spark, sf_dir).collect()
+    }
+    single = {
+        r.doc_id: r for r in CATALOG["decontamination_overlap"].fn(spark, sf_dir).collect()
+    }
+    both = set(multi) & set(single)
+    assert len(both) > 100  # the fixture must actually exercise the overlap
+    for doc in both:
+        assert multi[doc].hits_suiteA == single[doc].n_contaminated, doc
+        assert multi[doc].n_shingles == single[doc].n_shingles, doc
+    # worst_suite is NULL exactly when every suite count is zero
+    for r in multi.values():
+        mx = max(r.hits_suiteA, r.hits_suiteB, r.hits_suiteC)
+        assert (r.worst_suite is None) == (mx == 0)
+
+
 def test_dsir_and_crossdedup_are_partition_invariant(spark, sf_dir):
     """The round-6 composable operators' outputs must not depend on the
     input's physical partitioning — every tiebreak is an explicit column,
