@@ -170,6 +170,25 @@ SECTIONS = [
         "k = 100 survivors.",
     ),
     (
+        "dedup_against_reference (cross-corpus dedup)",
+        "dedup_against_reference",
+        "Only CROSS pairs are ever generated: both sides' band keys union under a side marker into "
+        "ONE capped-bucket pass (the `_df >= 2` window-count gate precedes the collect, bounding the "
+        "COMBINED bucket — a boilerplate band key shared by millions of reference docs is dropped, "
+        "never materialized), the in-row expansion filters new-side x ref-side (<= cap^2 per bucket), "
+        "and the exact check is a distinct-reference-hash semi join (the reference never carries text "
+        "past the hash). Jaccard verify rides the shared melted one-join (`verified_jaccard`) over "
+        "the union of the two set tables.",
+    ),
+    (
+        "decontamination_by_benchmark (N suites, one scan)",
+        "decontamination_by_benchmark",
+        "All suites fold into ONE (h, in_suite...) membership table grouped by h and BROADCAST, so "
+        "every suite resolves in the same map-side probe — never one corpus scan per suite, and a "
+        "shingle present in several suites cannot amplify rows (the probe matches at most one "
+        "membership row). The corpus is never shuffled before the per-doc aggregate.",
+    ),
+    (
         "corpus_stats_report (histogram order statistics)",
         "corpus_stats_report",
         "EXACT median/p90 without sorting the corpus: the corpus-sized work is the "
