@@ -41,6 +41,32 @@ def _battery() -> list[str]:
     return out
 
 
+def test_hash60_agrees_on_fuzz_battery(spark):
+    """The 60-bit md5-derived hash underpins every oracle row (shingles,
+    coins, fingerprints, exact dedup) — Spark's md5(CAST(x AS BINARY)) and
+    DuckDB's md5(VARCHAR) must hash the identical UTF-8 bytes for every
+    nasty string (emoji = surrogate pairs, combining marks, controls)."""
+    from hdfs2cass_spark.plans.llm import hash60_duck, hash60_spark
+
+    # md5('') is fine but NULs embedded in strings probe the byte handling
+    texts = [t for t in _battery() if t]  # both engines NULL-out NULL input
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    srows = {
+        r.i: r.h
+        for r in df.selectExpr("i", f"{hash60_spark('text')} AS h").collect()
+    }
+    con = duckdb.connect()
+    duck_sql = f"SELECT {hash60_duck('?')}"
+    mism = [
+        (i, texts[i])
+        for i in range(len(texts))
+        if con.execute(duck_sql, [texts[i]]).fetchone()[0] != srows[i]
+    ]
+    assert not mism, f"{len(mism)} divergent hashes, first: {mism[0]!r}"
+
+
 def test_tokenizer_agrees_on_fuzz_battery(spark):
     texts = _battery()
     df = spark.createDataFrame(
