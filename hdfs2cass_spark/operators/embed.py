@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import words_spark
+
 def embed_texts(
     d: DataFrame,
     dims: int = 64,
@@ -71,8 +73,6 @@ def embed_texts(
         h = "CAST(conv(substr(md5(CAST(_w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
-    from ..functions.tokenize import words_spark
-
     words = d.select(
         F.col(id_col),
         # the shared explicit-whitespace tokenizer (Java \s vs RE2 \s

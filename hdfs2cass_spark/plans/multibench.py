@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .llm import SHH_DUCK, _shingles_hashed, _spread_docs, hash60_duck, hash60_spark
+from .llm import SHH_DUCK, _shingles_hashed, hash60_duck, hash60_spark
 from .registry import declare
 
 N_SUITES = 3
@@ -80,7 +80,7 @@ _SUITES = [f"suite{c}" for c in "ABC"]
 )
 def decontamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles_hashed(_spread_docs(d))  # (doc_id, h) distinct
+    sh = _shingles_hashed(d)  # (doc_id, h) distinct; spreads internally
     lab = sh.withColumn("bid", F.expr(_BID_SPARK))
     bench = (
         lab.filter(F.col("bid") < N_SUITES)

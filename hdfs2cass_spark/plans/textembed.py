@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .llm import (
     BAND_CAP,
+    W_DUCK,
     _cosine_duck,
     _lsh_bucket_sql,
     _spread_docs,
@@ -82,8 +83,6 @@ def _embed_md5_duck_ctes() -> str:
     """DuckDB CTEs embedding every document whole:
     (vec_id, embedding: FLOAT[64])."""
     h = hash60_duck("wd")
-    from .llm import W_DUCK
-
     return f"""w AS (
       SELECT doc_id, unnest({W_DUCK}) AS wd
       FROM documents WHERE text IS NOT NULL),

@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.llm import N_HASHES, _band_structs, minhash_wide_df
+from ..plans.llm import N_HASHES, band_rows, minhash_wide_df
 
 EST_THRESHOLD = 0.5  # matches >= 8 of 16 signature components
 
@@ -72,13 +72,10 @@ def signatures(d: DataFrame) -> DataFrame:
 
 
 def bands_of(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) — 4 narrow rows per doc, the candidate table."""
+    """(doc_id, band, bkey) — 4 narrow rows per doc, the candidate table,
+    via the SHARED band-key definition (plans.llm.band_rows)."""
     mh_cols = [F.col("mh").getItem(i).alias(f"mh{i}") for i in range(N_HASHES)]
-    return (
-        sigs.select("doc_id", *mh_cols)
-        .select("doc_id", F.explode(F.array(*_band_structs())).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bkey")
-    )
+    return band_rows(sigs.select("doc_id", *mh_cols))
 
 
 def _decisions(arriving_ids: DataFrame, verified: DataFrame) -> DataFrame:

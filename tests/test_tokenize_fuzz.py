@@ -5,7 +5,8 @@ MEMBERSHIP, which no fixture-driven test catches until the right character
 lands in a fixture. This test generates a deterministic battery of nasty
 strings — control chars, unicode spaces, combining marks, emoji, mixed
 runs — and asserts Spark's split and DuckDB's str_split_regex produce the
-IDENTICAL token arrays for every one, in one batched round trip per engine.
+IDENTICAL token arrays for every one (one batched Spark job; per-string
+DuckDB statements — in-process, microseconds each).
 """
 
 from __future__ import annotations
