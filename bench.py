@@ -201,7 +201,12 @@ def main() -> int:
                 F.lit('{"k":1}').alias("props"),
             )
             ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
-            for name in ("sessionize_events_batch", "asof_join_events", "tumbling_window_events"):
+            for name in (
+                "sessionize_events_batch",
+                "asof_join_events",
+                "tumbling_window_events",
+                "event_funnel_conversion",
+            ):
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm
                 dt = float("inf")

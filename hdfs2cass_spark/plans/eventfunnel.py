@@ -1,0 +1,140 @@
+"""Ordered event-funnel conversion: the product-analytics staple.
+
+``event_funnel_conversion`` answers "of the users who did step 1, how many
+went on to do step 2 AFTER it, then step 3 after that" for the classic
+view -> click -> purchase funnel: per user, t1 = first view, t2 = first
+click strictly after t1, t3 = first purchase strictly after t2; the report
+is one row per step with the user count, the count converted from the
+previous step, and the conversion rate (NULL-safe when a step empties).
+
+This is ORDERED funnel semantics — a click before the user's first view
+does not count — which plain conditional aggregation cannot express; each
+step needs the previous step's per-user timestamp.
+
+100 TB shape: three per-user aggregates chained by equi-joins ON the same
+user_id key — after the first exchange the join output keeps
+hashpartitioning(user_id), so steps 2 and 3 aggregate WITHOUT new
+exchanges (one shuffle of the events scan per step's filtered slice,
+nothing corpus-wide beyond that); the final report folds three 1-row
+counts with broadcast cross joins. No per-user event list is ever
+collected; state per user is one timestamp per step. NULL user_ids are
+excluded (they cannot form a journey).
+
+Registered last so it appends to the driver's checked prefix as oracle
+row #69.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@declare(
+    "event_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' AND user_id IS NOT NULL
+      GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id),
+    c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+                 (SELECT COUNT(*) FROM s2) AS c2,
+                 (SELECT COUNT(*) FROM s3) AS c3)
+    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           CAST(c1 AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conversion_rate
+    FROM c
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', CAST(c2 AS BIGINT),
+           round(CAST(c2 AS DOUBLE) / nullif(c1, 0), 6)
+    FROM c
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', CAST(c3 AS BIGINT),
+           round(CAST(c3 AS DOUBLE) / nullif(c2, 0), 6)
+    FROM c
+    ORDER BY step
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase): per user, "
+    "first view, first click STRICTLY AFTER it, first purchase after that "
+    "— a later-step event before the user's earlier step never counts (the "
+    "semantics conditional aggregation cannot express). Per-step user "
+    "counts + NULL-safe conversion rates. Three per-user aggregates "
+    "chained by joins on the SAME user_id key, so steps 2-3 reuse the "
+    "partitioning with no new exchange; per-user state is one timestamp "
+    "per step, never an event list.",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    steps = funnel_user_steps(e, FUNNEL_STEPS)
+    counts = [
+        F.broadcast(s.agg(F.count(F.lit(1)).cast("bigint").alias(f"c{i + 1}")))
+        for i, s in enumerate(steps)
+    ]
+    c = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    rows = [
+        c.select(
+            F.lit(1).alias("step"),
+            F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+            F.col("c1").alias("n_users"),
+            F.lit(None).cast("double").alias("conversion_rate"),
+        ),
+        c.select(
+            F.lit(2).alias("step"),
+            F.lit(FUNNEL_STEPS[1]).alias("event_type"),
+            F.col("c2").alias("n_users"),
+            F.round(
+                F.col("c2").cast("double") / F.nullif(F.col("c1"), F.lit(0)), 6
+            ).alias("conversion_rate"),
+        ),
+        c.select(
+            F.lit(3).alias("step"),
+            F.lit(FUNNEL_STEPS[2]).alias("event_type"),
+            F.col("c3").alias("n_users"),
+            F.round(
+                F.col("c3").cast("double") / F.nullif(F.col("c2"), F.lit(0)), 6
+            ).alias("conversion_rate"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+def funnel_user_steps(e: DataFrame, steps: list[str]) -> list[DataFrame]:
+    """Per-user first-timestamp tables [s1, s2, ...] for an ordered funnel:
+    s_k holds users whose first step-k event lies strictly after their
+    step-(k-1) timestamp. Composable over any (user_id, ts, event_type)
+    DataFrame."""
+    prev: DataFrame | None = None
+    out: list[DataFrame] = []
+    for k, ev in enumerate(steps):
+        cur = e.filter(F.col("event_type") == ev).filter(
+            F.col("user_id").isNotNull()
+        )
+        if prev is None:
+            s = cur.groupBy("user_id").agg(F.min("ts").alias("t1"))
+        else:
+            tprev = f"t{k}"
+            s = (
+                cur.join(prev, "user_id")
+                .filter(F.col("ts") > F.col(tprev))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"t{k + 1}"))
+            )
+        out.append(s)
+        prev = s
+    return out

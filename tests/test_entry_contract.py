@@ -87,7 +87,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "rag_chunk_retrieval_md5", "embedding_label_stats",
         "curation_funnel", "events_value_outliers", "pack_fragments",
         "dsir_importance_weights", "dedup_against_reference",
-        "decontamination_by_benchmark",
+        "decontamination_by_benchmark", "event_funnel_conversion",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

@@ -139,6 +139,7 @@ EVENT_QUERIES = [
     "range_join_events_windows",
     "salted_agg_events",
     "events_value_outliers",  # late round 6: NULL user/value rows excluded
+    "event_funnel_conversion",  # late r6: no purchase events -> NULL-safe rate
 ]
 
 
