@@ -20,8 +20,12 @@ counts with broadcast cross joins. No per-user event list is ever
 collected; state per user is one timestamp per step. NULL user_ids are
 excluded (they cannot form a journey).
 
-Registered last so it appends to the driver's checked prefix as oracle
-row #69.
+``cohort_retention`` is the companion staple: Monday-start weekly cohorts
+by first event, distinct-active-user counts per (cohort, week offset),
+retention vs the offset-0 cohort size.
+
+Registered last so the pair appends to the driver's checked prefix as
+oracle rows #69-70.
 """
 
 from __future__ import annotations
@@ -112,6 +116,79 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+@declare(
+    "cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    aw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    act AS (
+      SELECT fw.cohort_week,
+             CAST(date_diff('day', fw.cohort_week, aw.week) // 7 AS INTEGER)
+               AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM aw JOIN fw USING (user_id)
+      GROUP BY fw.cohort_week, week_offset),
+    base AS (
+      SELECT cohort_week, n_active AS cohort_size FROM act WHERE week_offset = 0)
+    SELECT act.cohort_week, act.week_offset, act.n_active,
+           base.cohort_size,
+           round(CAST(act.n_active AS DOUBLE) / base.cohort_size, 6) AS retention
+    FROM act JOIN base USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention — the other product-analytics staple: "
+    "users cohort by the Monday-start week of their FIRST event; for each "
+    "(cohort week, week offset) the distinct active users and the "
+    "retention rate vs the cohort's size at offset 0 (offset 0 is the "
+    "cohort size by construction — every user is active in their first "
+    "week). Two per-user aggregates (first week; distinct active weeks) "
+    "joined on user_id, then a small (cohorts x offsets) aggregate; the "
+    "base-size join touches #cohorts rows. Engine-exact: date_trunc(week) "
+    "is Monday-start on both engines, offsets are integer day-diffs / 7.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    aw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    act = (
+        aw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    base = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        act.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
 
 
 def funnel_user_steps(e: DataFrame, steps: list[str]) -> list[DataFrame]:

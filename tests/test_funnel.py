@@ -35,6 +35,54 @@ def test_funnel_is_strictly_ordered(spark):
     assert sorted(r.user_id for r in s3.collect()) == [1]
 
 
+def test_cohort_retention_planted_gap(spark, tmp_path):
+    """Two cohorts, one user skipping a week: the skipped week's offset
+    simply has no row for them, offsets are week-granular, and offset 0 is
+    the cohort size by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def us(day, hour=12):
+        return (dt.datetime(2024, 1, day, hour) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+
+    # week boundaries: 2024-01-01 and 2024-01-08 and 2024-01-15 are Mondays
+    rows = [
+        # user 1, cohort w0: active w0, SKIPS w1, returns w2
+        (1, us(2)), (1, us(16)),
+        # user 2, cohort w0: active w0 and w1
+        (2, us(3)), (2, us(9)),
+        # user 3, cohort w1 only
+        (3, us(10)),
+        (None, us(2)),  # NULL user ignored
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([int(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    pq.write_table(t, f"{d}/events.parquet")
+    from hdfs2cass_spark.plans import CATALOG
+
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in CATALOG["cohort_retention"].fn(spark, d).collect()
+    }
+    w0, w1 = "2024-01-01", "2024-01-08"
+    assert out[(w0, 0)].n_active == 2 and out[(w0, 0)].retention == 1.0
+    assert out[(w0, 1)].n_active == 1  # only user 2; user 1 skipped
+    assert out[(w0, 2)].n_active == 1  # user 1 returns
+    assert out[(w0, 1)].retention == 0.5
+    assert out[(w1, 0)].n_active == 1  # user 3's own cohort
+    assert (w1, 1) not in out  # nobody from cohort w1 active later
+
+
 def test_funnel_counts_tie_to_steps(spark, sf_dir):
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.sources.readers import load_table

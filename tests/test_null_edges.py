@@ -140,6 +140,7 @@ EVENT_QUERIES = [
     "salted_agg_events",
     "events_value_outliers",  # late round 6: NULL user/value rows excluded
     "event_funnel_conversion",  # late r6: no purchase events -> NULL-safe rate
+    "cohort_retention",
 ]
 
 
