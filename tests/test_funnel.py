@@ -83,6 +83,20 @@ def test_cohort_retention_planted_gap(spark, tmp_path):
     assert (w1, 1) not in out  # nobody from cohort w1 active later
 
 
+def test_funnel_steps_are_partition_invariant(spark, sf_dir):
+    """The per-user step tables must not depend on physical partitioning
+    (min() is order-insensitive; joins are keyed) — run the composable form
+    at 1 and 7 input partitions."""
+    from hdfs2cass_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    outs = []
+    for n in (1, 7):
+        steps = funnel_user_steps(e.repartition(n), FUNNEL_STEPS)
+        outs.append([sorted(tuple(r) for r in s.collect()) for s in steps])
+    assert outs[0] == outs[1]
+
+
 def test_funnel_counts_tie_to_steps(spark, sf_dir):
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.sources.readers import load_table
