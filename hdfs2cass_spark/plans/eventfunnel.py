@@ -45,6 +45,7 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = '{FUNNEL_STEPS[0]}' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
       GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
@@ -87,34 +88,30 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(s.agg(F.count(F.lit(1)).cast("bigint").alias(f"c{i + 1}")))
         for i, s in enumerate(steps)
     ]
-    c = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
-    rows = [
-        c.select(
-            F.lit(1).alias("step"),
-            F.lit(FUNNEL_STEPS[0]).alias("event_type"),
-            F.col("c1").alias("n_users"),
-            F.lit(None).cast("double").alias("conversion_rate"),
-        ),
-        c.select(
-            F.lit(2).alias("step"),
-            F.lit(FUNNEL_STEPS[1]).alias("event_type"),
-            F.col("c2").alias("n_users"),
-            F.round(
-                F.col("c2").cast("double") / F.nullif(F.col("c1"), F.lit(0)), 6
-            ).alias("conversion_rate"),
-        ),
-        c.select(
-            F.lit(3).alias("step"),
-            F.lit(FUNNEL_STEPS[2]).alias("event_type"),
-            F.col("c3").alias("n_users"),
-            F.round(
-                F.col("c3").cast("double") / F.nullif(F.col("c2"), F.lit(0)), 6
-            ).alias("conversion_rate"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    c = counts[0]
+    for extra in counts[1:]:
+        c = c.crossJoin(extra)
+
+    def _row(i: int, name: str) -> DataFrame:
+        rate = (
+            F.lit(None).cast("double")
+            if i == 0
+            else F.round(
+                F.col(f"c{i + 1}").cast("double")
+                / F.nullif(F.col(f"c{i}"), F.lit(0)),
+                6,
+            )
+        )
+        return c.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col(f"c{i + 1}").alias("n_users"),
+            rate.alias("conversion_rate"),
+        )
+
+    out = _row(0, FUNNEL_STEPS[0])
+    for i, name in enumerate(FUNNEL_STEPS[1:], start=1):
+        out = out.unionByName(_row(i, name))
     return out.orderBy("step")
 
 
@@ -199,8 +196,11 @@ def funnel_user_steps(e: DataFrame, steps: list[str]) -> list[DataFrame]:
     prev: DataFrame | None = None
     out: list[DataFrame] = []
     for k, ev in enumerate(steps):
+        # NULL ts can no more form a journey than a NULL user (for steps
+        # past the first, ts > t_prev already rejects NULL — the explicit
+        # filter keeps step 1 consistent with cohort_retention)
         cur = e.filter(F.col("event_type") == ev).filter(
-            F.col("user_id").isNotNull()
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
         )
         if prev is None:
             s = cur.groupBy("user_id").agg(F.min("ts").alias("t1"))

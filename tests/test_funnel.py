@@ -25,6 +25,9 @@ def test_funnel_is_strictly_ordered(spark):
         (4, _ts(1), "view"), (4, _ts(2), "purchase"), (4, _ts(3), "click"),
         # NULL user: ignored entirely
         (None, _ts(1), "view"),
+        # user 5: only a NULL-ts view — cannot form a journey, so step 1
+        # must NOT count them (a t1=NULL user deflates every later rate)
+        (5, None, "view"),
     ]
     e = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_type string"
