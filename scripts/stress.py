@@ -369,6 +369,14 @@ def main() -> int:
             )
 
         run("skew_decontamination", decontamination_overlap(spark, tmp), args.docs)
+
+        # cross-corpus dedup under the same hot band keys: ~30% of BOTH
+        # sides share the boilerplate-led signature, so the combined
+        # (band, bkey) bucket is the hot key — the capped gate must drop it
+        # before any collect and before the cap^2 in-row cross expansion
+        from hdfs2cass_spark.plans.crossdedup import dedup_against_reference
+
+        run("skew_cross_dedup", dedup_against_reference(spark, tmp), args.docs)
         out["docs"] = args.docs
         out["hot_gram_df"] = 3 * args.docs // 10
         print(json.dumps(out))
