@@ -188,6 +188,102 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+      GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id),
+    d AS (
+      SELECT (epoch_us(s3.t3) - epoch_us(s1.t1)) // 60000000 AS m
+      FROM s3 JOIN s1 USING (user_id)),
+    h AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY m),
+    c AS (
+      SELECT m, cnt,
+             SUM(cnt) OVER (ORDER BY m) AS ccnt,
+             SUM(cnt) OVER () AS n,
+             SUM(m * cnt) OVER () AS sm
+      FROM h)
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           round(CAST(sm AS DOUBLE) / n, 6) AS avg_minutes,
+           round((MIN(CASE WHEN ccnt >= floor((n + 1) / 2.0) THEN m END)
+                  + MIN(CASE WHEN ccnt >= ceil((n + 1) / 2.0) THEN m END))
+                 / 2.0, 6) AS median_minutes,
+           CAST(MIN(CASE WHEN ccnt >= ceil(0.9 * n) THEN m END) AS BIGINT)
+             AS p90_minutes,
+           CAST(MAX(m) AS BIGINT) AS max_minutes
+    FROM c GROUP BY n, sm
+    """,
+    doc="Time-to-convert statistics for the full funnel: per converted "
+    "user, whole minutes from first view to qualifying purchase (exact "
+    "int64 epoch-microsecond difference, integer-divided — never engine "
+    "minute-boundary semantics), then EXACT median/p90/max via the value "
+    "HISTOGRAM (the corpus_stats_report trick): corpus-sized work is one "
+    "map-side-combined aggregate, the sort window sees only #distinct-"
+    "minutes rows, so a million converters cannot create a single-task "
+    "window. Empty funnel -> empty result on both engines.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.ts import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    s1, _, s3 = funnel_user_steps(e, FUNNEL_STEPS)
+    # integral div (never a double division + cast — a converter landing
+    # exactly on a minute boundary could round below the true quotient)
+    d = (
+        s3.join(s1, "user_id")
+        .select(
+            epoch_micros("t3").alias("_e3"), epoch_micros("t1").alias("_e1")
+        )
+        .selectExpr("(_e3 - _e1) div 60000000 AS m")
+    )
+    h = d.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ow = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    allw = Window.partitionBy()
+    c = h.select(
+        "m",
+        "cnt",
+        F.sum("cnt").over(ow).alias("ccnt"),
+        F.sum("cnt").over(allw).alias("n"),
+        F.sum(F.col("m") * F.col("cnt")).over(allw).alias("sm"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2.0)
+    hi = F.ceil((F.col("n") + 1) / 2.0)
+    p90k = F.ceil(0.9 * F.col("n"))
+    return c.groupBy("n", "sm").agg(
+        F.round(
+            (
+                F.min(F.when(F.col("ccnt") >= lo, F.col("m")))
+                + F.min(F.when(F.col("ccnt") >= hi, F.col("m")))
+            )
+            / 2.0,
+            6,
+        ).alias("median_minutes"),
+        F.min(F.when(F.col("ccnt") >= p90k, F.col("m")))
+        .cast("bigint")
+        .alias("p90_minutes"),
+        F.max("m").cast("bigint").alias("max_minutes"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_converted"),
+        F.round(F.col("sm").cast("double") / F.col("n"), 6).alias("avg_minutes"),
+        "median_minutes",
+        "p90_minutes",
+        "max_minutes",
+    )
+
+
 def funnel_user_steps(e: DataFrame, steps: list[str]) -> list[DataFrame]:
     """Per-user first-timestamp tables [s1, s2, ...] for an ordered funnel:
     s_k holds users whose first step-k event lies strictly after their

@@ -88,7 +88,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "curation_funnel", "events_value_outliers", "pack_fragments",
         "dsir_importance_weights", "dedup_against_reference",
         "decontamination_by_benchmark", "event_funnel_conversion",
-        "cohort_retention",
+        "cohort_retention", "funnel_time_to_convert",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

@@ -100,6 +100,31 @@ def test_funnel_steps_are_partition_invariant(spark, sf_dir):
     assert outs[0] == outs[1]
 
 
+def test_time_to_convert_matches_direct_computation(spark, sf_dir):
+    """The histogram order statistics must equal a direct Python
+    recomputation over the collected per-user durations."""
+    import math
+
+    from hdfs2cass_spark.plans import CATALOG
+    from hdfs2cass_spark.sources.readers import load_table
+
+    s1, _, s3 = funnel_user_steps(
+        load_table(spark, sf_dir, "events"), FUNNEL_STEPS
+    )
+    durs = sorted(
+        int((r.t3 - r.t1).total_seconds() * 1_000_000) // 60_000_000
+        for r in s3.join(s1, "user_id").collect()
+    )
+    row = CATALOG["funnel_time_to_convert"].fn(spark, sf_dir).collect()[0]
+    n = len(durs)
+    lo, hi = math.floor((n + 1) / 2), math.ceil((n + 1) / 2)
+    assert row.n_converted == n
+    assert row.median_minutes == (durs[lo - 1] + durs[hi - 1]) / 2
+    assert row.p90_minutes == durs[math.ceil(0.9 * n) - 1]
+    assert row.max_minutes == durs[-1]
+    assert row.avg_minutes == round(sum(durs) / n, 6)
+
+
 def test_funnel_counts_tie_to_steps(spark, sf_dir):
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.sources.readers import load_table

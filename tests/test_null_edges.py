@@ -141,6 +141,7 @@ EVENT_QUERIES = [
     "events_value_outliers",  # late round 6: NULL user/value rows excluded
     "event_funnel_conversion",  # late r6: no purchase events -> NULL-safe rate
     "cohort_retention",
+    "funnel_time_to_convert",  # empty funnel -> empty result on both engines
 ]
 
 
