@@ -189,6 +189,24 @@ SECTIONS = [
         "membership row). The corpus is never shuffled before the per-doc aggregate.",
     ),
     (
+        "event_funnel_conversion (ordered funnel)",
+        "event_funnel_conversion",
+        "Each step is a per-user aggregate chained by an equi-join ON the same user_id key — after "
+        "the first exchange the join output keeps hashpartitioning(user_id), so the later steps' "
+        "aggregates add no corpus-wide exchange beyond their own filtered scan slice; per-user "
+        "state is ONE timestamp per step (min), never a collected event list. The three 1-row "
+        "counts fold via BroadcastNestedLoopJoin over single rows (constant-sized).",
+    ),
+    (
+        "funnel_time_to_convert (histogram order statistics)",
+        "funnel_time_to_convert",
+        "Durations quantize to int64 minutes via integral `div` of epoch microseconds (exact — "
+        "never a double division whose rounding could cross a minute boundary differently per "
+        "engine), and the median/p90 come from the value HISTOGRAM: the only unpartitioned window "
+        "runs over #distinct-minutes rows, so a million converters cannot create a single-task "
+        "window stage.",
+    ),
+    (
         "corpus_stats_report (histogram order statistics)",
         "corpus_stats_report",
         "EXACT median/p90 without sorting the corpus: the corpus-sized work is the "
