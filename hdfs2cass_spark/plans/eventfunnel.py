@@ -284,6 +284,70 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+    t AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    s AS (SELECT prev_type, SUM(n) AS n_prev FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           round(CAST(t.n AS DOUBLE) / s.n_prev, 6) AS p_next
+    FROM t JOIN s USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    doc="Event transition matrix — per-user NEXT-event statistics (the "
+    "Markov table behind session/path analysis): events order per user by "
+    "(ts, event_id) — the id tiebreak makes simultaneous events "
+    "deterministic — lead() pairs each event with its successor, and the "
+    "matrix reports each (prev, next) count plus P(next | prev). The "
+    "window partitions BY USER (parallel, bounded by one user's events — "
+    "never a global sort); the matrix itself is #event-types^2 rows, and "
+    "the row-normalizing join touches #event-types rows. NULL "
+    "user/ts/type rows cannot form transitions and are excluded.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    o = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    t = (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = t.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return (
+        t.join(F.broadcast(s), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_prev"), 6).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def funnel_user_steps(e: DataFrame, steps: list[str]) -> list[DataFrame]:
     """Per-user first-timestamp tables [s1, s2, ...] for an ordered funnel:
     s_k holds users whose first step-k event lies strictly after their

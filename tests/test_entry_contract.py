@@ -89,6 +89,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "dsir_importance_weights", "dedup_against_reference",
         "decontamination_by_benchmark", "event_funnel_conversion",
         "cohort_retention", "funnel_time_to_convert",
+        "event_transition_matrix",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

@@ -125,6 +125,47 @@ def test_time_to_convert_matches_direct_computation(spark, sf_dir):
     assert row.avg_minutes == round(sum(durs) / n, 6)
 
 
+def test_transition_matrix_planted_and_normalized(spark, tmp_path, sf_dir):
+    """Planted sequence a->b->a->c gives exactly the expected transitions;
+    on the fixture, each prev row's probabilities sum to 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.plans import CATALOG
+
+    rows = [(1, i, ty) for i, ty in enumerate(["a", "b", "a", "c"])]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(dt.datetime(2024, 1, 1, 0, r[1]).timestamp() * 1e6) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    pq.write_table(t, f"{d}/events.parquet")
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p_next)
+        for r in CATALOG["event_transition_matrix"].fn(spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+
+    sums = {}
+    for r in CATALOG["event_transition_matrix"].fn(spark, sf_dir).collect():
+        sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p_next
+    assert sums and all(abs(v - 1.0) < 1e-4 for v in sums.values())
+
+
 def test_funnel_counts_tie_to_steps(spark, sf_dir):
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.sources.readers import load_table

@@ -142,6 +142,7 @@ EVENT_QUERIES = [
     "event_funnel_conversion",  # late r6: no purchase events -> NULL-safe rate
     "cohort_retention",
     "funnel_time_to_convert",  # empty funnel -> empty result on both engines
+    "event_transition_matrix",
 ]
 
 
