@@ -47,7 +47,7 @@ from ..plans.compose import MAX_CONTAM_FRAC, MIN_UNIQ_RATIO, MIN_WORDS
 from ..plans.llm import W_SPARK
 from ..plans.pipeline import PACK_BUDGET, PACK_SHARD_DOCS
 from .decontam import score_batch
-from .neardup import _candidates, bands_of, signatures
+from .neardup import _candidates, _candidates_pruned, bands_of, signatures
 
 
 def _quality(d: DataFrame) -> DataFrame:
@@ -230,6 +230,7 @@ def stream_curate(
     band_cap: int | None = None,
     compact_every: int | None = 16,
     packed_path: str | None = None,
+    rows_per_bucket: int | None = None,
 ):
     """Start the streaming curation query; returns the StreamingQuery.
 
@@ -246,6 +247,20 @@ def stream_curate(
     bounded, the freeze set derives from folded counts). Decisions are
     identical with compaction on or off.
 
+    Round 7: keepers are HASH-BUCKETED on their key (exact on h, bands/cnt
+    on (band, bkey), signatures on doc_id) and every per-batch keeper scan
+    is PRUNED to the buckets the arriving batch touches
+    (streaming/index.py), so keeper bytes read per batch are bounded by
+    O(arriving keys x rows_per_bucket) once the index outgrows the trigger
+    — not O(full index). Bit-identical decisions either way.
+    ``rows_per_bucket`` overrides the bucket sizing for tests/probes.
+
+    The decisions sink additionally maintains a FOLDED per-stage-count
+    index (``index_path``/fcnt — one row per batch, summed at compaction),
+    so :func:`read_funnel_incremental` reports the curation funnel from
+    O(compact_every) rows instead of re-aggregating the whole decisions
+    sink.
+
     ``packed_path`` (round 6) adds the one curation stage the stream
     previously lacked — SEQUENCE PACKING: each batch's kept docs get
     (doc_id, n_tokens, start_offset, seq_id) with globally monotone offsets.
@@ -257,6 +272,10 @@ def stream_curate(
     files arriving in doc_id order the output is row-identical to
     :func:`pack_kept_batch` (tested). Read back with :func:`read_packed`.
     """
+
+    from .index import ROWS_PER_BUCKET
+
+    rpb = ROWS_PER_BUCKET if rows_per_bucket is None else rows_per_bucket
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Each stage's verdict feeds several downstream subtrees, and lazy
@@ -272,17 +291,35 @@ def stream_curate(
         from .neardup import _frozen_from_counts, _sum_counts
 
         spark = batch_df.sparkSession
-        exact_p, sig_p, bands_p, cnt_p, tok_p = (
-            f"{index_path}/{t}" for t in ("exact", "sig", "bands", "cnt", "tokens")
+        exact_p, sig_p, bands_p, cnt_p, tok_p, fcnt_p = (
+            f"{index_path}/{t}"
+            for t in ("exact", "sig", "bands", "cnt", "tokens", "fcnt")
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact(spark, exact_p, batch_id, fold=_min_keeper)
-            compact(spark, sig_p, batch_id)
-            compact(spark, bands_p, batch_id)
+            compact(
+                spark,
+                exact_p,
+                batch_id,
+                fold=_min_keeper,
+                bucket_cols=["h"],
+                rows_per_bucket=rpb,
+            )
+            compact(spark, sig_p, batch_id, bucket_cols=["doc_id"], rows_per_bucket=rpb)
+            compact(
+                spark, bands_p, batch_id, bucket_cols=["band", "bkey"], rows_per_bucket=rpb
+            )
             if band_cap is not None:
-                compact(spark, cnt_p, batch_id, fold=_sum_counts)
+                compact(
+                    spark,
+                    cnt_p,
+                    batch_id,
+                    fold=_sum_counts,
+                    bucket_cols=["band", "bkey"],
+                    rows_per_bucket=rpb,
+                )
             if packed_path is not None:
                 compact(spark, tok_p, batch_id, fold=_sum_token_totals)
+            compact(spark, fcnt_p, batch_id, fold=_sum_stage_counts)
             # the SINKS fold too (identity): they are never re-read per
             # batch, but a month-long ingest would otherwise leave one
             # directory per batch for the final consumer to list; the
@@ -307,9 +344,12 @@ def stream_curate(
             q = pin(_quality(d))
 
             # stage 2: exact keep-first vs the accumulated hash index — the
-            # compacted keeper (1 row/hash) plus bounded recent appends
+            # compacted keeper (1 row/hash, scan PRUNED to the arriving
+            # hashes' buckets) plus bounded recent appends
             append(_hashes(q), exact_p, batch_id)
-            keeper, recent = read_split(spark, exact_p)
+            keeper, recent = read_split(
+                spark, exact_p, prune=(_hashes(q), ["h"])
+            )
             exact_losers = pin(
                 _exact_losers(keeper, recent, q).withColumn("exact_dup", F.lit(True))
             )
@@ -330,11 +370,9 @@ def stream_curate(
                     cnt_p,
                     batch_id,
                 )
-                frozen = _frozen_from_counts(spark, cnt_p, band_cap)
-            isig = read_index(spark, sig_p)
-            ib = read_index(spark, bands_p)
+                frozen = _frozen_from_counts(spark, cnt_p, band_cap, prune=ab)
             nd_losers = pin(
-                _candidates((ib, isig), (ab, asig), frozen=frozen)
+                _candidates_pruned(spark, bands_p, sig_p, ab, asig, frozen, pin)
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
                 .withColumn("near_dup", F.lit(True))
@@ -401,6 +439,18 @@ def stream_curate(
             _verdicts(
                 d.select("doc_id"), qual, exact_losers, nd_losers, contaminated
             ).write.mode("overwrite").parquet(f"{sink_path}/batch-{batch_id:09d}")
+            # incremental funnel state: fold THIS batch's stage counts into
+            # the fcnt index (read back from the just-written decisions —
+            # a one-directory scan), so the funnel report never re-reads
+            # the whole decisions sink. Batch-id-keyed like everything else:
+            # a replay overwrites its own row, compaction sums ids < trigger.
+            append(
+                _stage_counts(
+                    spark.read.parquet(f"{sink_path}/batch-{batch_id:09d}")
+                ),
+                fcnt_p,
+                batch_id,
+            )
         finally:
             for df in pinned:
                 df.unpersist()
@@ -424,26 +474,37 @@ def read_packed(spark: SparkSession, packed_path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(packed_path)
 
 
-def read_funnel(spark: SparkSession, sink_path: str) -> DataFrame:
-    """The streaming curation funnel: aggregate the decisions sink into the
-    same (stage_id, stage, n_docs, n_dropped, retention) report as the batch
-    curation_funnel query — but under the stream's GREEDY semantics (each
-    doc judged once against what arrived before it), so the numbers are the
-    stream's own, not the offline chain's. One map-side-combined count
-    aggregate over the sink; stage columns are NULL once an earlier stage
-    rejected, so `flag = false` counts exactly that stage's survivors.
-    """
-    from ..plans.compose import funnel_from_counts
+_STAGE_COUNT_COLS = ["n_input", "n_quality", "n_exact", "n_nd", "n_kept"]
 
-    dec = read_curated(spark, sink_path)
+
+def _stage_counts(dec: DataFrame) -> DataFrame:
+    """One row of per-stage survivor counts over a decisions table. Stage
+    columns are NULL once an earlier stage rejected, so `flag = false`
+    counts exactly that stage's survivors."""
     not_set_or = lambda c: ~F.coalesce(F.col(c), F.lit(True))  # noqa: E731
-    one = dec.agg(
+    return dec.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_input"),
         F.count_if(F.col("quality_pass")).cast("bigint").alias("n_quality"),
         F.count_if(not_set_or("exact_dup")).cast("bigint").alias("n_exact"),
         F.count_if(not_set_or("near_dup")).cast("bigint").alias("n_nd"),
         F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
     )
+
+
+def _sum_stage_counts(df: DataFrame) -> DataFrame:
+    """Compaction fold for the fcnt index: stage counts are additive across
+    batches, so the keeper is their component-wise sum — one row."""
+    return df.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c) for c in _STAGE_COUNT_COLS]
+    )
+
+
+def _funnel_report(one: DataFrame) -> DataFrame:
+    """Melt a one-row stage-count table into the (stage_id, stage, n_docs,
+    n_dropped, retention) report — the same shape as the batch
+    curation_funnel query."""
+    from ..plans.compose import funnel_from_counts
+
     stages = [
         (0, "input", "n_input"),
         (1, "quality", "n_quality"),
@@ -466,3 +527,26 @@ def read_funnel(spark: SparkSession, sink_path: str) -> DataFrame:
         ).alias("s")
     ).select("s.*")
     return funnel_from_counts(melted)
+
+
+def read_funnel(spark: SparkSession, sink_path: str) -> DataFrame:
+    """The streaming curation funnel: aggregate the decisions sink into the
+    same (stage_id, stage, n_docs, n_dropped, retention) report as the batch
+    curation_funnel query — but under the stream's GREEDY semantics (each
+    doc judged once against what arrived before it), so the numbers are the
+    stream's own, not the offline chain's. One map-side-combined count
+    aggregate over the FULL sink — O(stream); prefer
+    :func:`read_funnel_incremental` for long streams.
+    """
+    return _funnel_report(_stage_counts(read_curated(spark, sink_path)))
+
+
+def read_funnel_incremental(spark: SparkSession, index_path: str) -> DataFrame:
+    """The same funnel report from the FOLDED per-stage-count index
+    (``index_path``/fcnt): one summed keeper row plus at most compact_every
+    per-batch rows — an O(compact_every) read regardless of stream age,
+    where :func:`read_funnel` re-aggregates the whole decisions sink.
+    Row-identical to read_funnel over the same stream (tested)."""
+    from .index import read_index
+
+    return _funnel_report(_sum_stage_counts(read_index(spark, f"{index_path}/fcnt")))

@@ -40,12 +40,34 @@ therefore requires wiping the indexes (and the sink) with it.
 
 Cost model, stated explicitly: each compaction rewrites the full index
 (single-keeper scheme), so amortized compaction I/O is O(index /
-compact_every) per batch — the SAME order as the per-batch candidate-join
-scan of the index, which is unavoidable (every arrival is judged against
-all history). A tiered/leveled LSM scheme would cut the write term to
-O(log) but cannot touch the dominating scan term, so the single keeper is
-the right complexity-for-simplicity trade here; revisit only if a
-deployment's write bandwidth (not scan) becomes the bottleneck.
+compact_every) per batch. A tiered/leveled LSM scheme would cut that write
+term to O(log) but not the scan term, so the single keeper is the right
+complexity-for-simplicity trade; revisit only if a deployment's write
+bandwidth (not scan) becomes the bottleneck.
+
+THE SCAN TERM (round 7): the per-batch candidate join must SEE all history,
+but it does not have to READ all of it. When ``compact`` is given
+``bucket_cols`` the keeper is written HASH-BUCKETED on the key —
+``_kb = pmod(xxhash64(key), n_buckets)`` as a directory partition column,
+rows sorted by key within each bucket file — and the read side
+(:func:`read_split` / :func:`read_index` with ``prune=``) filters the
+keeper scan to the buckets the ARRIVING batch's keys actually hash into:
+partition pruning skips every other bucket file at plan time, so a trigger
+whose key set touches a sliver of the index reads a sliver of it. The
+bucket count GROWS with the index (``n_buckets = next_pow2(rows /
+rows_per_bucket)``, recorded in the keeper directory name), so per-batch
+keeper bytes read are bounded by O(arriving_keys x rows_per_bucket) —
+independent of stream age — once the index outgrows the trigger size.
+
+Regime math, stated honestly: keys hash uniformly, so a trigger carrying k
+distinct keys touches ~n_buckets x (1 - exp(-k / n_buckets)) buckets — the
+prune only bites when k < n_buckets (i.e. once the index has outgrown the
+trigger by rows_per_bucket; exactly the month-long-ingest regime the scan
+term dominates). A trigger with k >= n_buckets keys degrades gracefully to
+the full scan (the filter is skipped when every bucket is touched). The
+pruning itself is one tiny job per read: distinct pmod values of the
+bounded arriving side — at most n_buckets ints — collected to drive a
+partition ``IN`` filter.
 
 All filesystem access goes through the Hadoop FileSystem API, so the same
 code runs on HDFS/object-store paths, not just local disk.
@@ -56,6 +78,20 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# bucket-partition column name on disk (never leaves this module: reads drop it)
+_KB = "_kb"
+# keeper bucket sizing: ~4M rows/bucket keeps bucket files in the 100-300 MB
+# band for the narrow index schemas; floor of 8 so even tiny test indexes
+# exercise the bucketed layout, ceiling bounds the directory fan-out
+ROWS_PER_BUCKET = 4_000_000
+MIN_BUCKETS = 8
+MAX_BUCKETS = 1 << 16
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
 
 def _fs(spark: SparkSession, path: str):
@@ -64,28 +100,79 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _parts(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
-    """(keeper ids, batch ids) currently present under ``path``, sorted."""
+def _keeper_meta(spark: SparkSession, path: str) -> list[tuple[int, int | None, str]]:
+    """(batch id, bucket count or None, directory path) for every keeper under
+    ``path``, sorted by id. Bucketed keepers are named
+    ``keeper-<id>-nb<count>``; unbucketed ones ``keeper-<id>``."""
     fs, hpath, _ = _fs(spark, path)
-    keepers: list[int] = []
-    batches: list[int] = []
+    out: list[tuple[int, int | None, str]] = []
     if not fs.exists(hpath):
-        return keepers, batches
+        return out
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith("keeper-"):
-            keepers.append(int(name.split("-", 1)[1]))
-        elif name.startswith("batch-"):
+            parts = name.split("-")
+            nb = int(parts[2][2:]) if len(parts) > 2 else None
+            out.append((int(parts[1]), nb, f"{path}/{name}"))
+    return sorted(out, key=lambda m: (m[0], -1 if m[1] is None else m[1]))
+
+
+def _parts(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
+    """(keeper ids, batch ids) currently present under ``path``, sorted."""
+    fs, hpath, _ = _fs(spark, path)
+    batches: list[int] = []
+    if not fs.exists(hpath):
+        return [], batches
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch-"):
             batches.append(int(name.split("-", 1)[1]))
-    return sorted(keepers), sorted(batches)
+    return [k for k, _, _ in _keeper_meta(spark, path)], sorted(batches)
 
 
 def batch_dir(path: str, batch_id: int) -> str:
     return f"{path}/batch-{batch_id:09d}"
 
 
-def _keeper_dir(path: str, batch_id: int) -> str:
-    return f"{path}/keeper-{batch_id:09d}"
+def _keeper_dir(path: str, batch_id: int, n_buckets: int | None = None) -> str:
+    base = f"{path}/keeper-{batch_id:09d}"
+    return base if n_buckets is None else f"{base}-nb{n_buckets:05d}"
+
+
+def _bucket_expr(cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def touched_buckets(keys: DataFrame, cols: list[str], n_buckets: int) -> list[int]:
+    """The distinct bucket ids ``keys``' key columns hash into — at most
+    ``n_buckets`` ints (the distinct runs over pmod VALUES, so the collect is
+    bounded by the bucket count no matter how large ``keys`` is)."""
+    rows = (
+        keys.select(_bucket_expr(cols, n_buckets).alias(_KB)).distinct().collect()
+    )
+    return sorted(r[_KB] for r in rows)
+
+
+def _read_keeper(
+    spark: SparkSession,
+    meta: tuple[int, int | None, str],
+    prune: tuple[DataFrame, list[str]] | None = None,
+) -> DataFrame:
+    """One keeper directory as a DataFrame — pruned to the arriving side's
+    buckets when the keeper is bucketed and ``prune=(keys_df, key_cols)`` is
+    given. The ``_kb`` partition column never escapes."""
+    _, nb, d = meta
+    df = spark.read.parquet(d)
+    if nb is None:
+        return df
+    if prune is not None:
+        keys, cols = prune
+        touched = touched_buckets(keys, cols, nb)
+        if len(touched) < nb:
+            df = df.filter(F.col(_KB).isin(touched))
+    return df.drop(_KB)
 
 
 def append(df: DataFrame, path: str, batch_id: int) -> None:
@@ -95,15 +182,24 @@ def append(df: DataFrame, path: str, batch_id: int) -> None:
 
 
 def read_split(
-    spark: SparkSession, path: str
+    spark: SparkSession,
+    path: str,
+    prune: tuple[DataFrame, list[str]] | None = None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """(keeper table or None, union of raw batch appends or None).
 
     Callers that maintain FOLDED per-key state (the exact-dedup min-keeper)
     must use the split view: the keeper is already one row per key and is
-    never re-aggregated — only the bounded recent appends are."""
-    keepers, batches = _parts(spark, path)
-    k = spark.read.parquet(_keeper_dir(path, keepers[-1])) if keepers else None
+    never re-aggregated — only the bounded recent appends are.
+
+    ``prune=(keys_df, key_cols)`` — the arriving batch's key table — prunes
+    a BUCKETED keeper's scan to the buckets those keys hash into (module
+    docstring). Sound because the bucket is a pure function of the key: a
+    keeper row outside the touched buckets cannot equi-join any arriving
+    key. Recent appends are bounded (<= compact_every triggers) and are
+    never pruned."""
+    keepers, batches = _keeper_meta(spark, path), _parts(spark, path)[1]
+    k = _read_keeper(spark, keepers[-1], prune) if keepers else None
     b = (
         spark.read.parquet(*[batch_dir(path, i) for i in batches])
         if batches
@@ -112,10 +208,15 @@ def read_split(
     return k, b
 
 
-def read_index(spark: SparkSession, path: str) -> DataFrame:
+def read_index(
+    spark: SparkSession,
+    path: str,
+    prune: tuple[DataFrame, list[str]] | None = None,
+) -> DataFrame:
     """The whole index (keeper + recent appends) as one DataFrame — for
-    consumers whose keeper fold is the identity (bands, signatures)."""
-    k, b = read_split(spark, path)
+    consumers whose keeper fold is the identity (bands, signatures).
+    ``prune`` as in :func:`read_split`."""
+    k, b = read_split(spark, path, prune)
     if k is None and b is None:
         raise FileNotFoundError(f"no index data under {path}")
     if k is None:
@@ -130,35 +231,81 @@ def compact(
     path: str,
     batch_id: int,
     fold: Callable[[DataFrame], DataFrame] | None = None,
+    bucket_cols: list[str] | None = None,
+    rows_per_bucket: int = ROWS_PER_BUCKET,
 ) -> bool:
     """Fold the keeper and every batch directory with id < ``batch_id`` into
     ``keeper-<batch_id>``, then delete the folded inputs. Idempotent under
     same-checkpoint replay (see the module docstring). Returns True iff a
-    keeper for this id exists afterwards."""
+    keeper for this id exists afterwards.
+
+    ``bucket_cols`` writes the keeper HASH-BUCKETED on those columns with a
+    bucket count scaled to the folded row count (clamped to
+    [MIN_BUCKETS, MAX_BUCKETS], recorded in the directory name so readers
+    recompute the same pmod), rows sorted by key within each bucket file —
+    the layout :func:`read_split`'s ``prune`` needs to skip untouched
+    buckets. The rebuild after a crash-mid-write recomputes the same count
+    from the same (still-present) sources, so the target name is replay-
+    deterministic; the done-check matches ANY keeper with this id, so a
+    crash-mid-delete replay never needs the (possibly gone) sources."""
     fs, hpath, jvm = _fs(spark, path)
+    hdfs_path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(hpath):
         return False
-    keepers, batches = _parts(spark, path)
-    old_keepers = [k for k in keepers if k < batch_id]
+    keepers = _keeper_meta(spark, path)
+    batches = _parts(spark, path)[1]
+    old_keepers = [m for m in keepers if m[0] < batch_id]
     old_batches = [b for b in batches if b < batch_id]
-    target = _keeper_dir(path, batch_id)
-    done = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{target}/_SUCCESS"))
-    if not done:
+    # done iff a COMPLETED (_SUCCESS-marked) keeper for this id exists; a
+    # torn keeper (crash mid-write) forces the rebuild, whatever its name
+    this_id = [m for m in keepers if m[0] == batch_id]
+    target = next(
+        (m[2] for m in this_id if fs.exists(hdfs_path(f"{m[2]}/_SUCCESS"))), None
+    )
+    if target is None:
+        if not old_keepers and not old_batches:
+            return False
         # only the LATEST old keeper holds live data (earlier ones can linger
         # solely after a crash mid-delete, and are strict subsets of it)
-        srcs = [_keeper_dir(path, k) for k in old_keepers[-1:]] + [
-            batch_dir(path, b) for b in old_batches
-        ]
-        if not srcs:
-            return batch_id in keepers
-        df = spark.read.parquet(*srcs)
+        df: DataFrame | None = None
+        if old_keepers:
+            df = _read_keeper(spark, old_keepers[-1])
+        if old_batches:
+            b = spark.read.parquet(*[batch_dir(path, i) for i in old_batches])
+            df = b if df is None else df.unionByName(b)
         if fold is not None:
             df = fold(df)
-        df.write.mode("overwrite").parquet(target)
-    for d in [_keeper_dir(path, k) for k in old_keepers] + [
-        batch_dir(path, b) for b in old_batches
-    ]:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        nb: int | None = None
+        if bucket_cols is not None:
+            n = df.count()
+            if n > 0:
+                nb = min(
+                    MAX_BUCKETS,
+                    max(MIN_BUCKETS, _next_pow2(-(-n // rows_per_bucket))),
+                )
+        target = _keeper_dir(path, batch_id, nb)
+        if nb is None:
+            # zero-row folds write UNBUCKETED: partitionBy of an empty frame
+            # emits no data files and the keeper would be unreadable
+            df.write.mode("overwrite").parquet(target)
+        else:
+            (
+                df.withColumn(_KB, _bucket_expr(bucket_cols, nb))
+                .repartition(F.col(_KB))
+                .sortWithinPartitions(_KB, *bucket_cols)
+                .write.mode("overwrite")
+                .partitionBy(_KB)
+                .parquet(target)
+            )
+    # delete folded inputs, plus any torn same-id keeper that is not the
+    # completed target (possible only if rows_per_bucket changed mid-crash)
+    doomed = (
+        [m[2] for m in old_keepers]
+        + [batch_dir(path, b) for b in old_batches]
+        + [m[2] for m in this_id if m[2] != target]
+    )
+    for d in doomed:
+        fs.delete(hdfs_path(d), True)
     return True
 
 

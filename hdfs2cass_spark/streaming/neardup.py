@@ -195,21 +195,65 @@ def near_dup_decisions_batch(d: DataFrame) -> DataFrame:
     return _decisions(d.select("doc_id"), verified).orderBy("doc_id")
 
 
-def _frozen_from_counts(spark, cnt_path: str, band_cap: int) -> DataFrame:
+def _frozen_from_counts(
+    spark, cnt_path: str, band_cap: int, prune: DataFrame | None = None
+) -> DataFrame:
     """(band, bkey) keys whose accumulated df exceeds the cap, from the
     COMPACTED count index: the keeper holds one summed row per key, per-batch
     appends hold that batch's counts, so the freeze set is an aggregation
     over (1 row/key + <= compact_every tiny deltas) — never a re-count of
-    the raw band table (which grows with the stream)."""
+    the raw band table (which grows with the stream). ``prune`` (the
+    arriving band table) restricts the keeper scan to the arriving keys'
+    buckets — sound because the freeze set is only ever anti-joined against
+    those same arriving keys, and a key's rows all live in its bucket."""
     from .index import read_index
 
+    pr = None if prune is None else (prune, ["band", "bkey"])
     return (
-        read_index(spark, cnt_path)
+        read_index(spark, cnt_path, prune=pr)
         .groupBy("band", "bkey")
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") > band_cap)
         .select("band", "bkey")
     )
+
+
+def _candidates_pruned(
+    spark,
+    bands_path: str,
+    sig_path: str,
+    ab: DataFrame,
+    asig: DataFrame,
+    frozen: DataFrame | None,
+    materialize,
+) -> DataFrame:
+    """(doc_a, doc_b, est) verified pairs against the ON-DISK index, with
+    both index scans PRUNED to the buckets the bounded side touches
+    (streaming/index.py module docstring):
+
+      - the band index scan reads only the buckets the ARRIVING band keys
+        hash into (a keeper row in any other bucket cannot share a key);
+      - the signature index scan reads only the buckets the candidate
+        pairs' doc_a values hash into — candidates are few by construction,
+        so this is the strongest prune of the two (the sig table carries
+        the wide arrays).
+
+    ``materialize`` pins the candidate-pair table (the caller's persist
+    helper): computing the sig prune's touched buckets is an action on the
+    pairs, and _verify consumes them again — without the pin the band join
+    would run twice."""
+    from .index import read_index
+
+    ib = read_index(spark, bands_path, prune=(ab, ["band", "bkey"]))
+    if frozen is not None:
+        ab = ab.join(F.broadcast(frozen), ["band", "bkey"], "left_anti")
+    pairs = materialize(_candidate_pairs(ib, ab))
+    isig = read_index(
+        spark,
+        sig_path,
+        prune=(pairs.select(F.col("doc_a").alias("doc_id")), ["doc_id"]),
+    )
+    return _verify(pairs, isig, asig)
 
 
 def _sum_counts(df: DataFrame) -> DataFrame:
@@ -224,6 +268,7 @@ def stream_near_dup(
     available_now: bool = False,
     band_cap: int | None = None,
     compact_every: int | None = 16,
+    rows_per_bucket: int | None = None,
 ):
     """Start the streaming near-dup query; returns the StreamingQuery.
 
@@ -242,6 +287,16 @@ def stream_near_dup(
     decisions are bit-identical with compaction on or off (the equivalence
     tests run both). None disables it (not recommended beyond short tests).
 
+    Round 7: keepers are written HASH-BUCKETED on their key — bands and the
+    cnt side index on (band, bkey), signatures on doc_id — and the per-batch
+    index scans are PRUNED to the buckets the arriving batch actually
+    touches (partition pruning; see streaming/index.py). Per-batch keeper
+    bytes read are then bounded by O(arriving keys x rows_per_bucket) once
+    the index outgrows the trigger, instead of O(full index). Pruning is a
+    scan optimization only — decisions are bit-identical with it on or off.
+    ``rows_per_bucket`` overrides the bucket sizing (tests/probes; None =
+    the production default in streaming/index.py).
+
     ``band_cap`` (production setting) FREEZES band keys whose index df
     exceeds the cap: new arrivals under a frozen key generate no candidates,
     bounding the join fan-out against boilerplate signatures. Freezing is
@@ -250,16 +305,27 @@ def stream_near_dup(
     where the exact stream==batch contract matters (the default, and what
     the equivalence tests run).
     """
-    from .index import append, batch_dir, compact, read_index
+    from .index import ROWS_PER_BUCKET, append, batch_dir, compact
+
+    rpb = ROWS_PER_BUCKET if rows_per_bucket is None else rows_per_bucket
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sig_p, bands_p, cnt_p = (f"{index_path}/{t}" for t in ("sig", "bands", "cnt"))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact(spark, sig_p, batch_id)
-            compact(spark, bands_p, batch_id)
+            compact(spark, sig_p, batch_id, bucket_cols=["doc_id"], rows_per_bucket=rpb)
+            compact(
+                spark, bands_p, batch_id, bucket_cols=["band", "bkey"], rows_per_bucket=rpb
+            )
             if band_cap is not None:
-                compact(spark, cnt_p, batch_id, fold=_sum_counts)
+                compact(
+                    spark,
+                    cnt_p,
+                    batch_id,
+                    fold=_sum_counts,
+                    bucket_cols=["band", "bkey"],
+                    rows_per_bucket=rpb,
+                )
             # decisions sink folds too (identity rewrite — bounds the final
             # consumer's directory listing; replay-safe by the same
             # below-the-triggering-id rule)
@@ -284,13 +350,25 @@ def stream_near_dup(
                 cnt_p,
                 batch_id,
             )
-            frozen = _frozen_from_counts(spark, cnt_p, band_cap)
-        isig = read_index(spark, sig_p)
-        ib = read_index(spark, bands_p)
-        verified = _candidates((ib, isig), (ab, asig), frozen=frozen)
-        _decisions(batch_df.select("doc_id"), verified).write.mode(
-            "overwrite"
-        ).parquet(f"{sink_path}/batch-{batch_id:09d}")
+            frozen = _frozen_from_counts(spark, cnt_p, band_cap, prune=ab)
+        pinned: list[DataFrame] = []
+
+        def mat(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            df.count()
+            pinned.append(df)
+            return df
+
+        try:
+            verified = _candidates_pruned(
+                spark, bands_p, sig_p, ab, asig, frozen, mat
+            )
+            _decisions(batch_df.select("doc_id"), verified).write.mode(
+                "overwrite"
+            ).parquet(f"{sink_path}/batch-{batch_id:09d}")
+        finally:
+            for df in pinned:
+                df.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -56,7 +56,8 @@ def test_driver_checked_prefix_order_is_frozen():
     quality.py registers mid-list and silently renumbers everything after
     it (this happened within round 6: select_token_budget/lang_epoch_mix
     displaced the then-documented rows 59-60 to 61/63). This test freezes
-    the prefix through row 65."""
+    the FULL oracle-backed prefix — extend `frozen` every time a query is
+    appended (round 7: through row 73)."""
     import __spark_entry__ as entry
 
     frozen = [
@@ -89,7 +90,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "dsir_importance_weights", "dedup_against_reference",
         "decontamination_by_benchmark", "event_funnel_conversion",
         "cohort_retention", "funnel_time_to_convert",
-        "event_transition_matrix",
+        "event_transition_matrix", "gopher_line_rules",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

@@ -509,6 +509,16 @@ def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
     dup_ids = {r[0] for r in want if r[0] >= hi and r[2]}
     assert dup_ids and all(dec[i][2] for i in dup_ids)
 
+    # the folded per-stage-count index reports the SAME funnel as the full
+    # decisions-sink aggregate, from a bounded read (1 keeper + 1 batch row
+    # after the id-6 fold — not one row-set per batch)
+    from hdfs2cass_spark.streaming.curate import read_funnel, read_funnel_incremental
+
+    inc = sorted(tuple(r) for r in read_funnel_incremental(spark, idx).collect())
+    full = sorted(tuple(r) for r in read_funnel(spark, out).collect())
+    assert inc == full
+    assert n_subdirs(spark, f"{idx}/fcnt") == 2
+
 
 def test_stream_curate_packing_equals_batch_twin(spark, sf_dir, tmp_path):
     """Streaming sequence packing (packed_path set): per-batch base offsets
