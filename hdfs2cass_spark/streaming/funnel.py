@@ -1,0 +1,311 @@
+"""Streaming twins for the product-analytics family (oracle rows 69-70).
+
+The batch `event_funnel_conversion` / `cohort_retention` queries
+(plans/eventfunnel.py) re-scan the whole events corpus per report; a live
+product stream wants the same answers maintained INCREMENTALLY. Per-user
+state is tiny by construction — one timestamp per funnel step, one cohort
+week plus the distinct active weeks — exactly the applyInPandasWithState
+shape proven by streaming/stateful.py, so both twins ride it.
+
+ORDER CONTRACT, stated precisely (the stream_curate precedent): with each
+user's events arriving in non-decreasing ts order, the streamed funnel state
+is row-identical to the batch ordered-funnel semantics (first view, first
+click STRICTLY after it, first purchase after that) — the in-batch walk
+sorts by (ts, event_id) and each step field is WRITE-ONCE, so the first
+qualifying event in arrival order is the first in time order. Out-of-order
+arrival across batches degrades GREEDILY, never retroactively: a late click
+that time-sorts before an already-recorded click cannot replace it (state
+is write-once), but a late event can still legally fill a step that is
+unset. That greedy gap is the inherent online/offline difference, the same
+boundary the curation stream documents — tests pin BOTH sides of it.
+
+LATE DATA / WATERMARK: applyInPandasWithState does not drop late rows
+automatically — the watermark here drives STATE EVICTION only: a user idle
+(event time) past ``retention`` has their state dropped and a later return
+restarts their journey. Size retention to the product's conversion horizon;
+state per user stays O(1) regardless.
+
+Scale shape: the stateful operator shards per-user state across executors
+by the grouping key; emissions are (user, state) rows in update mode —
+write-once fields make the FINAL state recoverable from any emission log by
+a max() aggregate (each field is emitted either NULL or at its one true
+value, so max == the value). The report aggregates #users-sized state, not
+#events-sized history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..plans.eventfunnel import FUNNEL_STEPS
+
+RETENTION_MS = 30 * 24 * 3600 * 1000  # evict funnel state 30 days (event time) idle
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+
+
+def stream_funnel(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+) -> DataFrame:
+    """Incrementally maintained ordered-funnel state (view -> click ->
+    purchase): one row per touched user per micro-batch with the write-once
+    step timestamps (epoch micros; NULL = step not reached). Output mode
+    "update"; recover final states with :func:`funnel_states`, report with
+    :func:`funnel_report_from_states`."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = list(FUNNEL_STEPS)
+
+    # self-contained closure (the stateful.py contract): everything it touches
+    # is a local or an installed package, so it ships to workers that do NOT
+    # have this package on PYTHONPATH (cloudpickle would otherwise pickle
+    # package globals by reference and the executor import would fail)
+    def advance(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        had = state.exists
+        t = list(state.get) if had else [None, None, None]
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                ev, ts = row["event_type"], int(row["ts_us"])
+                # write-once ordered transitions: a step fills only while
+                # unset, only strictly after the previous step's timestamp
+                if ev == steps[0] and t[0] is None:
+                    t[0], changed = ts, True
+                elif ev == steps[1] and t[0] is not None and t[1] is None and ts > t[0]:
+                    t[1], changed = ts, True
+                elif ev == steps[2] and t[1] is not None and t[2] is None and ts > t[1]:
+                    t[2], changed = ts, True
+        if t[0] is None:
+            return  # never entered the funnel: hold NO state for this user
+        if changed:
+            state.update(tuple(t))
+        # retention is "after last funnel-step sighting": bump every batch
+        # the user appears in (the stateful.py precedent)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        if changed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t1_us": [t[0]],
+                    "t2_us": [t[1]],
+                    "t3_us": [t[2]],
+                }
+            )
+
+    keyed = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin(steps)
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _FUNNEL_OUT,
+        _FUNNEL_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_states(emissions: DataFrame) -> DataFrame:
+    """Final per-user funnel state from an update-mode emission log: each
+    step field is write-once (NULL until set, then constant), so max() over
+    a user's emissions IS the final value — no ordering column needed."""
+    return emissions.groupBy("user_id").agg(
+        F.max("t1_us").alias("t1_us"),
+        F.max("t2_us").alias("t2_us"),
+        F.max("t3_us").alias("t3_us"),
+    )
+
+
+def funnel_report_from_states(states: DataFrame) -> DataFrame:
+    """(step, event_type, n_users, conversion_rate) — the exact shape of the
+    batch event_funnel_conversion query (oracle row 69), folded from
+    #users-sized state with one aggregate + broadcast count-folding."""
+    c = F.broadcast(
+        states.agg(
+            F.count("t1_us").cast("bigint").alias("c1"),
+            F.count("t2_us").cast("bigint").alias("c2"),
+            F.count("t3_us").cast("bigint").alias("c3"),
+        )
+    )
+
+    def _row(i: int, name: str) -> DataFrame:
+        rate = (
+            F.lit(None).cast("double")
+            if i == 0
+            else F.round(
+                F.col(f"c{i + 1}").cast("double") / F.nullif(F.col(f"c{i}"), F.lit(0)),
+                6,
+            )
+        )
+        return c.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col(f"c{i + 1}").alias("n_users"),
+            rate.alias("conversion_rate"),
+        )
+
+    out = _row(0, FUNNEL_STEPS[0])
+    for i, name in enumerate(FUNNEL_STEPS[1:], start=1):
+        out = out.unionByName(_row(i, name))
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Streaming cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cohort_day", IntegerType()),  # unix date of Monday
+        StructField("week_day", IntegerType()),
+    ]
+)
+_COHORT_STATE = StructType(
+    [
+        StructField("cohort_day", IntegerType()),
+        StructField("weeks", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _monday_unix_date(ts_us: int) -> int:
+    """Unix date of the Monday-start week containing ts (epoch micros) —
+    the exact date_trunc('week', ts) both engines compute. 1970-01-01 was a
+    Thursday, so day-of-week (Monday=0) = (unix_date + 3) % 7."""
+    day = ts_us // 86_400_000_000
+    return int(day - (day + 3) % 7)
+
+
+def stream_cohorts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+) -> DataFrame:
+    """Incrementally maintained cohort activity: emits one
+    (user_id, cohort_day, week_day) row the FIRST time a user is active in
+    a week (append semantics — the emission log is exactly the distinct
+    per-user active-week set), cohort = the Monday-start week of the user's
+    first seen event. Per-user state is the cohort week plus the distinct
+    active weeks — O(stream weeks), not O(events). Report with
+    :func:`cohort_report_from_weeks`; same order contract as
+    :func:`stream_funnel` (in-order arrival makes the cohort week exact)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # self-contained closure: see stream_funnel. The Monday computation is
+    # inlined (same formula as _monday_unix_date) so no package global is
+    # pickled by reference.
+    def advance(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cohort, weeks = state.get[0], list(state.get[1])
+        else:
+            cohort, weeks = None, []
+        new_weeks: list[int] = []
+        for pdf in pdfs:
+            for ts in sorted(int(v) for v in pdf["ts_us"]):
+                day = ts // 86_400_000_000
+                wk = int(day - (day + 3) % 7)  # Monday start; 1970-01-01 = Thu
+                if cohort is None:
+                    cohort = wk
+                if wk not in weeks and wk not in new_weeks:
+                    new_weeks.append(wk)
+        state.update((cohort, weeks + new_weeks))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        if new_weeks:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(new_weeks),
+                    "cohort_day": [cohort] * len(new_weeks),
+                    "week_day": new_weeks,
+                }
+            )
+
+    keyed = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _COHORT_OUT,
+        _COHORT_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def cohort_report_from_weeks(pairs: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_active, cohort_size, retention) — the
+    exact shape of the batch cohort_retention query (oracle row 70) — from
+    the streamed (user_id, cohort_day, week_day) emission log. The log is
+    distinct by construction, so n_active is a plain count; grain after the
+    first aggregate is #cohorts x #offsets."""
+    act = pairs.groupBy(
+        F.date_from_unix_date("cohort_day").alias("cohort_week"),
+        ((F.col("week_day") - F.col("cohort_day")) / F.lit(7))
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    base = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        act.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

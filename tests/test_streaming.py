@@ -1011,3 +1011,156 @@ def test_streaming_running_totals_transform_with_state(spark, tmp_path):
         if cur is None or r["n_events"] > cur[0]:
             final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final == {7: (3, 4.0), 8: (1, 10.0), 9: (1, -3.5)}
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir, events_dir):
+    """The incrementally maintained funnel state == the batch ordered-funnel
+    per-user timestamps, and the folded report == the oracle-row-69 query's
+    rows, on the same events."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.functions.ts import epoch_micros
+    from hdfs2cass_spark.plans.eventfunnel import (
+        FUNNEL_STEPS,
+        event_funnel_conversion,
+        funnel_user_steps,
+    )
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        funnel_report_from_states,
+        funnel_states,
+        stream_funnel,
+    )
+
+    got = _run_stream_update(
+        spark, stream_funnel(stream_events(spark, events_dir)), "funnel_eq_test"
+    )
+    states = funnel_states(got)
+
+    e = load_table(spark, sf_dir, "events")
+    s1, s2, s3 = funnel_user_steps(e, FUNNEL_STEPS)
+    want_df = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            epoch_micros("t1").alias("t1_us"),
+            epoch_micros("t2").alias("t2_us"),
+            epoch_micros("t3").alias("t3_us"),
+        )
+    )
+    g = sorted(tuple(r) for r in states.collect())
+    w = sorted(tuple(r) for r in want_df.collect())
+    assert len(g) > 0 and g == w
+
+    rep = sorted(tuple(r) for r in funnel_report_from_states(states).collect())
+    batch_rep = sorted(
+        tuple(r) for r in event_funnel_conversion(spark, sf_dir).collect()
+    )
+    assert rep == batch_rep
+    # the funnel does real work on the fixture: some users convert fully
+    assert states.filter("t3_us IS NOT NULL").count() > 0
+
+
+def test_stream_funnel_state_spans_batches_and_stays_greedy(spark, tmp_path):
+    """Cross-batch ordered transitions: a click in a LATER batch qualifies
+    against the view's stored timestamp; a late-arriving click that
+    time-sorts before the recorded one does NOT retroactively replace it
+    (the documented greedy boundary), but a late event CAN fill an unset
+    step."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import funnel_states, stream_funnel
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    S = 10**9
+
+    def write_batch(name, rows):  # (event_id, ts_ns, user_id, type)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    base = 1704067200 * S
+    # user 1: view in batch 0; clicks/purchase later. user 2: click BEFORE
+    # any view (must not count), view in batch 1, click after in batch 2.
+    write_batch("0.parquet", [(1, base + 10 * S, 1, "view"), (2, base + 5 * S, 2, "click")])
+    _time.sleep(1.1)
+    write_batch(
+        "1.parquet",
+        [(3, base + 100 * S, 1, "click"), (4, base + 50 * S, 2, "view")],
+    )
+    _time.sleep(1.1)
+    # batch 2: user 1 gets a LATE click (ts 50 < recorded 100 — ignored,
+    # greedy) and a purchase after the recorded click; user 2 a click
+    write_batch(
+        "2.parquet",
+        [
+            (5, base + 50 * S, 1, "click"),
+            (6, base + 200 * S, 1, "purchase"),
+            (7, base + 60 * S, 2, "click"),
+        ],
+    )
+
+    got = _run_stream_update(
+        spark, stream_funnel(stream_events(spark, str(src))), "funnel_greedy_test"
+    )
+    final = {r["user_id"]: r for r in funnel_states(got).collect()}
+    us = 10**6
+    b = 1704067200 * us
+    # user 1: t2 stays at the FIRST-ARRIVING qualifying click (100s), the
+    # late 50s click is ignored; purchase at 200s qualifies (> 100s)
+    assert (final[1]["t1_us"], final[1]["t2_us"], final[1]["t3_us"]) == (
+        b + 10 * us, b + 100 * us, b + 200 * us,
+    )
+    # user 2: pre-view click never counted; late-batch click fills t2
+    assert (final[2]["t1_us"], final[2]["t2_us"], final[2]["t3_us"]) == (
+        b + 50 * us, b + 60 * us, None,
+    )
+
+
+def test_stream_cohorts_equals_batch(spark, sf_dir, events_dir):
+    """The streamed (user, cohort, active-week) emission log reproduces the
+    batch cohort_retention report (oracle row 70) exactly."""
+    from hdfs2cass_spark.plans.eventfunnel import cohort_retention
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        cohort_report_from_weeks,
+        stream_cohorts,
+    )
+
+    got = _run_stream_append(
+        spark, stream_cohorts(stream_events(spark, events_dir)), "cohort_eq_test"
+    )
+    # append semantics: the emission log must already be distinct
+    assert got.count() == got.distinct().count()
+    rep = sorted(tuple(r) for r in cohort_report_from_weeks(got).collect())
+    want = sorted(tuple(r) for r in cohort_retention(spark, sf_dir).collect())
+    assert len(rep) > 0 and rep == want
+
+
+def _run_stream_update(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
