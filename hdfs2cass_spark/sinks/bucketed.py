@@ -45,11 +45,51 @@ rediscover them:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the salt column both salted writers emit and join_salted joins on
 SALT_COL = "_salt"
+
+# a key is "hot" when its rows alone exceed this multiple of the average
+# bucket size — its bucket is then at least that many times oversized, and
+# the joined-side task reading it is the unsplittable straggler
+SKEW_RATIO = 4.0
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    bucket_col: str,
+    num_buckets: int,
+    skew_ratio: float = SKEW_RATIO,
+    top: int = 10,
+) -> list[tuple]:
+    """Write-time key-frequency sketch: [(key, n_rows), ...] for the (at
+    most ``top``) keys whose row count exceeds ``skew_ratio`` x the average
+    bucket size (total_rows / num_buckets) — each such key GUARANTEES an
+    oversized, AQE-unsplittable bucket (module docstring).
+
+    Cost, stated plainly: one extra scan + a count-per-key aggregate. The
+    aggregate map-side-combines (the hot key itself collapses per mapper —
+    counting skew is skew-safe), the shuffle carries distinct keys, and the
+    driver sees at most ``top`` rows via a TakeOrdered limit. At 100 TB
+    that is ~the cost of the write's own repartition — cheap insurance
+    against discovering the straggler in production."""
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n"))
+    total_row = df.agg(F.count(F.lit(1)).alias("_t")).first()
+    total = total_row["_t"]
+    if total == 0:
+        return []
+    cutoff = skew_ratio * total / num_buckets
+    return [
+        (r[bucket_col], r["_n"])
+        for r in counts.filter(F.col("_n") > cutoff)
+        .orderBy(F.col("_n").desc())
+        .limit(top)
+        .collect()
+    ]
 
 
 def _write(
@@ -78,6 +118,9 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int,
     sort: bool = True,
+    check_skew: bool = True,
+    skew_ratio: float = SKEW_RATIO,
+    on_skew: str = "warn",
 ) -> None:
     """Write ``df`` as an external parquet table bucketed (and by default
     sorted) on ``bucket_col``.
@@ -87,7 +130,26 @@ def write_bucketed(
     it sees (tasks x buckets small files). If the join key is SKEWED, use
     :func:`write_bucketed_salted` instead — AQE cannot split a hot bucket
     (module docstring).
-    """
+
+    ``check_skew`` (round 7) runs :func:`detect_hot_keys` before writing —
+    the UNDECLARED hot key is the failure mode the salted variant cannot
+    guard against because nobody knew to reach for it. ``on_skew``:
+    "warn" (default) emits a warning naming the hot keys and the salted
+    writer; "raise" refuses the write; "ignore"/check_skew=False skips the
+    extra scan (callers who already profiled the key)."""
+    if check_skew and on_skew != "ignore":
+        hot = detect_hot_keys(df, bucket_col, num_buckets, skew_ratio)
+        if hot:
+            msg = (
+                f"write_bucketed({table!r}): hot join key(s) on {bucket_col!r} "
+                f"would make unsplittable oversized buckets (AQE cannot split "
+                f"a bucketed scan): {hot!r} each > {skew_ratio}x the average "
+                f"bucket; use write_bucketed_salted/write_bucketed_replicated "
+                f"+ join_salted instead"
+            )
+            if on_skew == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, stacklevel=2)
     _write(df, table, path, [bucket_col], num_buckets, sort)
 
 

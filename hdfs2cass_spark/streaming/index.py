@@ -94,6 +94,39 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+# keeper-relation cache: keeper directories are IMMUTABLE once their
+# _SUCCESS marker exists (compaction always writes a NEW directory name and
+# deletes old ones), so the DataFrame — and with it the file/partition
+# listing, which costs seconds per call against a bucketed keeper's
+# thousands of partition dirs — is reused across micro-batches until
+# compact() replaces the keeper and invalidates the path. Keyed by keeper
+# dir; entries from a stopped session rebuild (the session check); bounded
+# FIFO so a long-lived driver can't accumulate stale relations.
+_KEEPER_CACHE: dict[str, DataFrame] = {}
+_KEEPER_CACHE_MAX = 64
+
+
+def _keeper_raw_df(spark: SparkSession, d: str) -> DataFrame:
+    df = _KEEPER_CACHE.get(d)
+    if df is not None:
+        try:
+            if df.sparkSession is spark and not df.sparkSession._sc._jsc.sc().isStopped():
+                return df
+        except Exception:
+            pass
+        _KEEPER_CACHE.pop(d, None)
+    df = spark.read.parquet(d)
+    if len(_KEEPER_CACHE) >= _KEEPER_CACHE_MAX:
+        _KEEPER_CACHE.pop(next(iter(_KEEPER_CACHE)))
+    _KEEPER_CACHE[d] = df
+    return df
+
+
+def _invalidate_keepers(path: str) -> None:
+    for d in [d for d in _KEEPER_CACHE if d.startswith(f"{path}/keeper-")]:
+        _KEEPER_CACHE.pop(d, None)
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -164,7 +197,7 @@ def _read_keeper(
     buckets when the keeper is bucketed and ``prune=(keys_df, key_cols)`` is
     given. The ``_kb`` partition column never escapes."""
     _, nb, d = meta
-    df = spark.read.parquet(d)
+    df = _keeper_raw_df(spark, d)
     if nb is None:
         return df
     if prune is not None:
@@ -306,6 +339,9 @@ def compact(
     )
     for d in doomed:
         fs.delete(hdfs_path(d), True)
+    # folded keepers are gone (and a torn-write rebuild may have overwritten
+    # the target in place): drop every cached relation under this index
+    _invalidate_keepers(path)
     return True
 
 

@@ -66,6 +66,23 @@ def main() -> int:
         "times (early-vs-late flatness is the evidence per-batch cost no "
         "longer grows with stream age) and the bounded index dir counts",
     )
+    ap.add_argument(
+        "--keeper-probe",
+        action="store_true",
+        help="run ONLY the keeper-scan pruning A/B: grow a --docs-row exact "
+        "dedup keeper, then time the per-batch keep-first join for a SMALL "
+        "trigger against (a) the round-6 full keeper scan and (b) the "
+        "round-7 bucket-pruned scan — reports files touched and wall-clock "
+        "for each (the pruned side must read a trigger-sized sliver)",
+    )
+    ap.add_argument(
+        "--line-rules",
+        action="store_true",
+        help="run ONLY the Gopher line-rule probe over --docs MULTI-LINE "
+        "synthetic documents (~10%% pathological per rule) — the fixture "
+        "corpus has no newlines, so this is where the line family meets "
+        "non-degenerate data at scale",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -89,6 +106,106 @@ def main() -> int:
         out[label + "_sec"] = round(dt, 2)
         out[label + "_rows_per_sec"] = round(n_rows / dt)
         print(f"# {label}: {dt:.2f}s  ({n_rows / dt:,.0f} rows/s)", file=sys.stderr)
+
+    if args.keeper_probe:
+        # --- keeper-scan pruning A/B (round 7): same keep-first join, same
+        # trigger, full scan vs bucket-pruned scan of the same keeper ---
+        import shutil as _sh
+
+        from hdfs2cass_spark.streaming.curate import _exact_losers, _hashes, _min_keeper
+        from hdfs2cass_spark.streaming.index import append, compact, read_split
+
+        tmp = "/tmp/stress_keeper"
+        _sh.rmtree(tmp, ignore_errors=True)
+        p = f"{tmp}/exact"
+        n = args.docs
+        idx = spark.range(0, n).select(
+            F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("h")
+        )
+        append(idx, p, 0)
+        # rows_per_bucket sized so the bucket count lands at ~2048 for the
+        # default 2M-row probe — at 100 TB the production default (4M rows
+        # ~ 100-300 MB buckets) yields the same touched-fraction math
+        compact(
+            spark, p, 1, fold=_min_keeper, bucket_cols=["h"],
+            rows_per_bucket=max(1, n // 2048),
+        )
+        # trigger: 200 docs, half exact duplicates of indexed texts — the
+        # arriving side of a steady-state micro-batch
+        trig = spark.range(n, n + 200).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.pmod(F.col("id"), n // 2))
+            .otherwise(F.col("id"))
+            .cast("string")
+            .alias("text"),
+        )
+        append(_hashes(trig), p, 1)  # the stream appends before it reads
+
+        def files_of(df):
+            return df.select(F.input_file_name()).distinct().count()
+
+        def ab(label, prune):
+            keeper, recent = read_split(spark, p, prune=prune)
+            out[f"keeper_files_{label}"] = files_of(keeper)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                k2, r2 = read_split(spark, p, prune=prune)
+                n_losers = _exact_losers(k2, r2, trig).count()
+                best = min(best, time.perf_counter() - t0)
+            out[f"keeper_{label}_sec"] = round(best, 3)
+            return n_losers
+
+        full_losers = ab("full", None)
+        pruned_losers = ab("pruned", (_hashes(trig), ["h"]))
+        assert full_losers == pruned_losers == 100, (full_losers, pruned_losers)
+        out["keeper_rows"] = n
+        out["keeper_trigger_docs"] = 200
+        out["keeper_speedup"] = round(
+            out["keeper_full_sec"] / out["keeper_pruned_sec"], 2
+        )
+        print(
+            f"# keeper A/B @ {n} rows, 200-doc trigger: files "
+            f"{out['keeper_files_full']} -> {out['keeper_files_pruned']}, "
+            f"sec {out['keeper_full_sec']} -> {out['keeper_pruned_sec']} "
+            f"({out['keeper_speedup']}x)",
+            file=sys.stderr,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.line_rules:
+        # --- Gopher line-rule probe over MULTI-LINE docs (the fixture has
+        # none): ~30% pathological, one failure mode per planted class ---
+        from hdfs2cass_spark.plans.lines import line_rules_df
+
+        n = args.docs
+        base_lines = (
+            "transform(sequence(1, 8), i -> concat('line ', CAST(pmod(hash(id * 17 + i), 1000) AS STRING), ' of prose text'))"
+        )
+        docs = spark.range(0, n).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 10 == 1,  # bullet wall
+                F.expr("array_join(transform(sequence(1, 8), i -> concat('- item ', CAST(i AS STRING))), '\\n')"),
+            )
+            .when(
+                F.col("id") % 10 == 2,  # ellipsis spam
+                F.expr("array_join(transform(sequence(1, 8), i -> concat('teaser ', CAST(i AS STRING), '...')), '\\n')"),
+            )
+            .when(
+                F.col("id") % 10 == 3,  # duplicate lines
+                F.expr("array_join(transform(sequence(1, 8), i -> 'the same line again'), '\\n')"),
+            )
+            .otherwise(F.expr(f"array_join({base_lines}, '\\n')"))
+            .alias("text"),
+        )
+        run("line_rules", line_rules_df(docs), n)
+        kept = line_rules_df(docs).filter("keep").count()
+        out["line_rules_kept_frac"] = round(kept / n, 3)
+        assert 0.65 < out["line_rules_kept_frac"] < 0.75  # 3 of 10 classes drop
+        print(json.dumps(out))
+        return 0
 
     if args.stream_batches:
         # --- long-stream curation probe: does per-batch cost stay flat? ---

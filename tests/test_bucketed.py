@@ -192,3 +192,45 @@ def test_bucketed_write_file_layout(spark, bucketed_tables):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_undeclared_hot_key_triggers_skew_warning(spark, tmp_path):
+    """An UNDECLARED hot key must be caught at write time — the failure mode
+    write_bucketed_salted cannot guard against because nobody reached for
+    it. One key carrying half the rows over 8 buckets is >4x the average
+    bucket; uniform keys stay silent."""
+    import warnings as _w
+
+    from hdfs2cass_spark.sinks.bucketed import detect_hot_keys, write_bucketed
+
+    hot = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1001, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # cutoff is STRICT: 4x the 250-row average bucket = 1000; 1001 trips it
+    found = detect_hot_keys(hot, "k", 8)
+    assert [k for k, _ in found] == [7] and found[0][1] == 1001
+
+    with pytest.warns(UserWarning, match="hot join key.*write_bucketed_salted"):
+        write_bucketed(hot, "bt_hot_warn", str(tmp_path / "hw"), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS bt_hot_warn")
+
+    with pytest.raises(ValueError, match="hot join key"):
+        write_bucketed(
+            hot, "bt_hot_raise", str(tmp_path / "hr"), "k", 8, on_skew="raise"
+        )
+
+    # uniform keys: no detection, no warning
+    uni = spark.range(0, 2000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    assert detect_hot_keys(uni, "k", 8) == []
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        write_bucketed(uni, "bt_uni", str(tmp_path / "un"), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS bt_uni")
+
+
+def test_detect_hot_keys_empty_frame(spark):
+    from hdfs2cass_spark.sinks.bucketed import detect_hot_keys
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert detect_hot_keys(empty, "k", 8) == []
