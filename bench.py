@@ -56,6 +56,11 @@ PIPELINE = [
     "dsir_importance_weights",
     "dedup_against_reference",
     "decontamination_by_benchmark",
+    # added round 7 (line/document heuristics + lexer-grade token counts):
+    # pipeline_total_sec is not comparable to rounds <= 6, earlier keys are
+    "gopher_line_rules",
+    "c4_quality_filter",
+    "bpe_token_counts",
 ]
 
 

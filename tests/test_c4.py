@@ -126,3 +126,20 @@ def test_bpe_cross_engine_on_planted_docs(spark):
                 assert have == pytest.approx(want), (row["doc_id"], col)
             else:
                 assert have == want, (row["doc_id"], col, want, have)
+
+
+def test_c4_and_bpe_plans_are_map_side(spark):
+    """Both rows are single-scan map-side shapes: no hashpartitioning
+    anywhere in either plan (the only Exchange is the ORDER BY)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for name in ("c4_quality_filter", "bpe_token_counts"):
+        plan = (
+            CATALOG[name]
+            .fn(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "hashpartitioning" not in plan, name

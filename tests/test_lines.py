@@ -112,3 +112,17 @@ def test_cross_engine_on_planted_multiline_docs(spark, rules):
                 assert have == pytest.approx(want), (row["doc_id"], col)
             else:
                 assert have == want, (row["doc_id"], col, want, have)
+
+
+def test_line_rules_plan_is_map_side(spark, sf_dir):
+    """The compute is shuffle-free: the only Exchange is the output ORDER BY
+    rangepartitioning — no hashpartitioning (the gopher_quality_filter
+    contract, held by the whole line/document heuristic family)."""
+    plan = (
+        CATALOG["gopher_line_rules"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan

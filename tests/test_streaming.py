@@ -1164,3 +1164,64 @@ def _run_stream_update(spark, df, name):
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_embed_near_dup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming EMBEDDING-space near-dup decisions against the accumulating
+    code+vector indexes must equal the batch twin exactly when files arrive
+    in doc_id order — across bucketed compactions, with every index scan
+    pruned to the arriving batch's buckets."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.embdup import (
+        embed_near_dup_decisions_batch,
+        stream_embed_near_dup,
+    )
+    from hdfs2cass_spark.streaming.index import n_subdirs
+    from hdfs2cass_spark.streaming.neardup import read_decisions
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # seed exact text copies (cosine 1.0 under any featurizer) so the dup
+    # path provably fires in BOTH the stream and the twin
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    dupes = (
+        base.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(8)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    train = base.unionByName(dupes)
+    n = train.agg(F.max("doc_id")).first()[0] + 1
+
+    flat = tmp_path / "ed_flat"
+    flat.mkdir()
+    for i in range(3):  # doc_id RANGES: batch order == doc_id order
+        part = tmp_path / f"ed_p{i}"
+        train.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("ed_idx", "ed_out", "ed_ck"))
+    q = stream_embed_near_dup(
+        stream_documents(spark, str(flat)), idx, out, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in read_decisions(spark, out).collect())
+    want_df = embed_near_dup_decisions_batch(train)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    # the dup path fired: every seeded copy is flagged against an earlier doc
+    dec = {r[0]: r for r in got}
+    seeded = [r[0] for r in want if r[0] >= hi]
+    assert len(seeded) == 8 and all(dec[i][1] for i in seeded)
+    # compaction bounded the index dirs (last fold at batch 2; batch 2 raw)
+    for sub in ("emb", "codes"):
+        assert n_subdirs(spark, f"{idx}/{sub}") == 2, sub
