@@ -63,8 +63,9 @@ Regime math, stated honestly: keys hash uniformly, so a trigger carrying k
 distinct keys touches ~n_buckets x (1 - exp(-k / n_buckets)) buckets — the
 prune only bites when k < n_buckets (i.e. once the index has outgrown the
 trigger by rows_per_bucket; exactly the month-long-ingest regime the scan
-term dominates). A trigger with k >= n_buckets keys degrades gracefully to
-the full scan (the filter is skipped when every bucket is touched). The
+term dominates). A trigger touching more than HALF the buckets degrades
+gracefully to the full scan — past that point a huge literal IN list
+bloats the plan for a sub-2x read saving, so the filter is elided. The
 pruning itself is one tiny job per read: distinct pmod values of the
 bounded arriving side — at most n_buckets ints — collected to drive a
 partition ``IN`` filter.
@@ -203,7 +204,10 @@ def _read_keeper(
     if prune is not None:
         keys, cols = prune
         touched = touched_buckets(keys, cols, nb)
-        if len(touched) < nb:
+        # prune only when it skips a meaningful share: a 60k-literal IN list
+        # on a 65536-bucket keeper bloats the plan for a <2x read saving —
+        # past half the buckets, the full scan is the better plan
+        if len(touched) <= nb // 2:
             df = df.filter(F.col(_KB).isin(touched))
     return df.drop(_KB)
 

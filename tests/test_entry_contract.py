@@ -57,7 +57,7 @@ def test_driver_checked_prefix_order_is_frozen():
     it (this happened within round 6: select_token_budget/lang_epoch_mix
     displaced the then-documented rows 59-60 to 61/63). This test freezes
     the FULL oracle-backed prefix — extend `frozen` every time a query is
-    appended (round 7: through row 75)."""
+    appended (round 7: through row 76)."""
     import __spark_entry__ as entry
 
     frozen = [
@@ -91,7 +91,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "decontamination_by_benchmark", "event_funnel_conversion",
         "cohort_retention", "funnel_time_to_convert",
         "event_transition_matrix", "gopher_line_rules",
-        "c4_quality_filter", "bpe_token_counts",
+        "c4_quality_filter", "bpe_token_counts", "gopher_paragraph_rules",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen

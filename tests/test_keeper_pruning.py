@@ -147,7 +147,9 @@ def test_pruned_exact_losers_equal_unpruned(spark, tmp_path):
         F.md5(F.pmod(F.col("id"), 500).cast("string")).alias("h"),
     )
     append(base, p, 0)
-    compact(spark, p, 1, fold=_min_keeper, bucket_cols=["h"], rows_per_bucket=50)
+    # 500 folded rows / rpb 10 -> 64 buckets: the 20-key trigger touches
+    # <= 20 <= nb/2, so the prune engages (the half-the-buckets guard)
+    compact(spark, p, 1, fold=_min_keeper, bucket_cols=["h"], rows_per_bucket=10)
     arriving = spark.range(2000, 2020).select(
         F.col("id").alias("doc_id"),
         # half collide with index hashes, half are fresh
@@ -173,3 +175,15 @@ def test_pruned_exact_losers_equal_unpruned(spark, tmp_path):
     want, got = losers(full), losers(pruned)
     assert want == got and len(want) == 10
     assert _files_read(pruned) < _files_read(full)
+
+
+def test_prune_skipped_past_half_the_buckets(spark, tmp_path):
+    """A trigger touching more than half the buckets skips the filter — a
+    huge IN list bloats the plan for a <2x saving (the guard's contract)."""
+    p = str(tmp_path / "idx")
+    append(_docs(spark, 0, 4000), p, 0)
+    compact(spark, p, 1, bucket_cols=["h"], rows_per_bucket=100)  # nb = 64
+    # ~200 uniform keys touch ~61 of 64 buckets (> 32): full scan is better
+    arriving = _docs(spark, 0, 200).select("h")
+    pruned, _ = read_split(spark, p, prune=(arriving, ["h"]))
+    assert _files_read(pruned) == _files_read(read_split(spark, p)[0])
