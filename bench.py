@@ -61,6 +61,7 @@ PIPELINE = [
     "gopher_line_rules",
     "c4_quality_filter",
     "bpe_token_counts",
+    "gopher_paragraph_rules",
 ]
 
 
