@@ -71,25 +71,29 @@ def detect_hot_keys(
     bucket size (total_rows / num_buckets) — each such key GUARANTEES an
     oversized, AQE-unsplittable bucket (module docstring).
 
-    Cost, stated plainly: one extra scan + a count-per-key aggregate. The
+    Cost, stated plainly: ONE extra scan + a count-per-key aggregate. The
     aggregate map-side-combines (the hot key itself collapses per mapper —
-    counting skew is skew-safe), the shuffle carries distinct keys, and the
-    driver sees at most ``top`` rows via a TakeOrdered limit. At 100 TB
-    that is ~the cost of the write's own repartition — cheap insurance
-    against discovering the straggler in production."""
-    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n"))
-    total_row = df.agg(F.count(F.lit(1)).alias("_t")).first()
-    total = total_row["_t"]
-    if total == 0:
-        return []
-    cutoff = skew_ratio * total / num_buckets
-    return [
-        (r[bucket_col], r["_n"])
-        for r in counts.filter(F.col("_n") > cutoff)
-        .orderBy(F.col("_n").desc())
-        .limit(top)
-        .collect()
-    ]
+    counting skew is skew-safe), the shuffle carries distinct keys, the
+    per-key counts persist so the total and the cutoff filter both read the
+    aggregate (not the input again), and the driver sees at most ``top``
+    rows via a TakeOrdered limit. At 100 TB that is ~the cost of the
+    write's own repartition — cheap insurance against discovering the
+    straggler in production."""
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        total = counts.agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_t")).first()["_t"]
+        if total == 0:
+            return []
+        cutoff = skew_ratio * total / num_buckets
+        return [
+            (r[bucket_col], r["_n"])
+            for r in counts.filter(F.col("_n") > cutoff)
+            .orderBy(F.col("_n").desc())
+            .limit(top)
+            .collect()
+        ]
+    finally:
+        counts.unpersist()
 
 
 def _write(
@@ -136,7 +140,11 @@ def write_bucketed(
     guard against because nobody knew to reach for it. ``on_skew``:
     "warn" (default) emits a warning naming the hot keys and the salted
     writer; "raise" refuses the write; "ignore"/check_skew=False skips the
-    extra scan (callers who already profiled the key)."""
+    extra scan (callers who already profiled the key). An unrecognized
+    value fails loudly — a typo'd "error"/"abort" silently downgrading to
+    a warning would defeat the refuse-the-write intent."""
+    if on_skew not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_skew must be 'warn', 'raise', or 'ignore', got {on_skew!r}")
     if check_skew and on_skew != "ignore":
         hot = detect_hot_keys(df, bucket_col, num_buckets, skew_ratio)
         if hot:

@@ -66,9 +66,12 @@ def _hashes(d: DataFrame) -> DataFrame:
 
 
 def _exact_losers(
-    keeper: DataFrame | None, recent: DataFrame, arriving: DataFrame
+    keeper: DataFrame | None, recent: DataFrame, arriving_h: DataFrame
 ) -> DataFrame:
     """Arriving doc_ids that share an md5 with any EARLIER doc.
+    ``arriving_h`` is the arriving batch's PRE-HASHED (doc_id, h) table —
+    the stream reads it back from the index file it just appended, so the
+    md5 chain runs once per batch, not once per consumer.
 
     ``keeper`` is the COMPACTED index — already folded to one min-doc_id row
     per hash (streaming/index.py, min fold) — and ``recent`` the union of
@@ -93,7 +96,7 @@ def _exact_losers(
         )
     )
     return (
-        cand.join(F.broadcast(_hashes(arriving)), "h")
+        cand.join(F.broadcast(arriving_h), "h")
         .filter(F.col("_idx_doc") < F.col("doc_id"))
         .select("doc_id")
         .distinct()
@@ -345,13 +348,16 @@ def stream_curate(
 
             # stage 2: exact keep-first vs the accumulated hash index — the
             # compacted keeper (1 row/hash, scan PRUNED to the arriving
-            # hashes' buckets) plus bounded recent appends
+            # hashes' buckets) plus bounded recent appends. The arriving
+            # hashes are read BACK from the file just appended (the same
+            # protocol as the sig/band tables), so the md5 chain runs once
+            # per batch — not re-evaluated by the prune collect and the
+            # loser join
             append(_hashes(q), exact_p, batch_id)
-            keeper, recent = read_split(
-                spark, exact_p, prune=(_hashes(q), ["h"])
-            )
+            ah = spark.read.parquet(batch_dir(exact_p, batch_id))
+            keeper, recent = read_split(spark, exact_p, prune=(ah, ["h"]))
             exact_losers = pin(
-                _exact_losers(keeper, recent, q).withColumn("exact_dup", F.lit(True))
+                _exact_losers(keeper, recent, ah).withColumn("exact_dup", F.lit(True))
             )
             dd = q.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
 

@@ -93,19 +93,28 @@ def stream_funnel(
         had = state.exists
         t = list(state.get) if had else [None, None, None]
         changed = False
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
-                ev, ts = row["event_type"], int(row["ts_us"])
-                # write-once ordered transitions: a step fills only while
-                # unset, only strictly after the previous step's timestamp
-                if ev == steps[0] and t[0] is None:
-                    t[0], changed = ts, True
-                elif ev == steps[1] and t[0] is not None and t[1] is None and ts > t[0]:
-                    t[1], changed = ts, True
-                elif ev == steps[2] and t[1] is not None and t[2] is None and ts > t[1]:
-                    t[2], changed = ts, True
+        # the group iterator yields one pandas frame PER ARROW CHUNK
+        # (maxRecordsPerBatch rows each), not one per micro-batch — sorting
+        # chunks independently would walk a user's events out of time order
+        # whenever their batch spans chunks (>10k events), silently breaking
+        # the in-batch ordering contract. Concat THEN sort; the memory bound
+        # is one user's events per trigger, the sessionization class.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(frames).sort_values(["ts_us", "event_id"])
+            if frames
+            else pd.DataFrame(columns=["event_type", "ts_us"])
+        )
+        for ev, ts in zip(rows["event_type"], rows["ts_us"]):
+            ts = int(ts)
+            # write-once ordered transitions: a step fills only while
+            # unset, only strictly after the previous step's timestamp
+            if ev == steps[0] and t[0] is None:
+                t[0], changed = ts, True
+            elif ev == steps[1] and t[0] is not None and t[1] is None and ts > t[0]:
+                t[1], changed = ts, True
+            elif ev == steps[2] and t[1] is not None and t[2] is None and ts > t[1]:
+                t[2], changed = ts, True
         if t[0] is None:
             return  # never entered the funnel: hold NO state for this user
         if changed:
@@ -211,14 +220,6 @@ _COHORT_STATE = StructType(
 )
 
 
-def _monday_unix_date(ts_us: int) -> int:
-    """Unix date of the Monday-start week containing ts (epoch micros) —
-    the exact date_trunc('week', ts) both engines compute. 1970-01-01 was a
-    Thursday, so day-of-week (Monday=0) = (unix_date + 3) % 7."""
-    day = ts_us // 86_400_000_000
-    return int(day - (day + 3) % 7)
-
-
 def stream_cohorts(
     events: DataFrame,
     watermark: str = "2 hours",
@@ -235,8 +236,7 @@ def stream_cohorts(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # self-contained closure: see stream_funnel. The Monday computation is
-    # inlined (same formula as _monday_unix_date) so no package global is
-    # pickled by reference.
+    # inlined so no package global is pickled by reference.
     def advance(key, pdfs, state):
         import pandas as pd
 
@@ -247,15 +247,25 @@ def stream_cohorts(
             cohort, weeks = state.get[0], list(state.get[1])
         else:
             cohort, weeks = None, []
+        # fold across Arrow chunks (the iterator yields one frame per chunk,
+        # not per micro-batch): the week set is order-free, but the cohort
+        # must come from the batch's MINIMUM timestamp — taking the first
+        # chunk's first event would pin a new user to the wrong cohort
+        # whenever their earliest event lands in a later chunk
         new_weeks: list[int] = []
+        min_ts: int | None = None
         for pdf in pdfs:
-            for ts in sorted(int(v) for v in pdf["ts_us"]):
+            for v in pdf["ts_us"]:
+                ts = int(v)
+                if min_ts is None or ts < min_ts:
+                    min_ts = ts
                 day = ts // 86_400_000_000
                 wk = int(day - (day + 3) % 7)  # Monday start; 1970-01-01 = Thu
-                if cohort is None:
-                    cohort = wk
                 if wk not in weeks and wk not in new_weeks:
                     new_weeks.append(wk)
+        if cohort is None and min_ts is not None:
+            day = min_ts // 86_400_000_000
+            cohort = int(day - (day + 3) % 7)
         state.update((cohort, weeks + new_weeks))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
         if new_weeks:

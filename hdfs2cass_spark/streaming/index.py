@@ -134,34 +134,41 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _keeper_meta(spark: SparkSession, path: str) -> list[tuple[int, int | None, str]]:
-    """(batch id, bucket count or None, directory path) for every keeper under
-    ``path``, sorted by id. Bucketed keepers are named
-    ``keeper-<id>-nb<count>``; unbucketed ones ``keeper-<id>``."""
+def _list(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, int | None, str]], list[int]]:
+    """ONE directory listing -> (keeper metas sorted by id, batch ids
+    sorted). Keeper meta is (batch id, bucket count or None, dir path);
+    bucketed keepers are named ``keeper-<id>-nb<count>``, unbucketed
+    ``keeper-<id>``. One fs.listStatus per call — on object stores every
+    LIST is a billed, latency-bearing RPC, and the per-batch read path
+    calls this once per index."""
     fs, hpath, _ = _fs(spark, path)
-    out: list[tuple[int, int | None, str]] = []
+    metas: list[tuple[int, int | None, str]] = []
+    batches: list[int] = []
     if not fs.exists(hpath):
-        return out
+        return metas, batches
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith("keeper-"):
             parts = name.split("-")
             nb = int(parts[2][2:]) if len(parts) > 2 else None
-            out.append((int(parts[1]), nb, f"{path}/{name}"))
-    return sorted(out, key=lambda m: (m[0], -1 if m[1] is None else m[1]))
+            metas.append((int(parts[1]), nb, f"{path}/{name}"))
+        elif name.startswith("batch-"):
+            batches.append(int(name.split("-", 1)[1]))
+    metas.sort(key=lambda m: (m[0], -1 if m[1] is None else m[1]))
+    return metas, sorted(batches)
+
+
+def _keeper_meta(spark: SparkSession, path: str) -> list[tuple[int, int | None, str]]:
+    """Keeper metas only (see :func:`_list`)."""
+    return _list(spark, path)[0]
 
 
 def _parts(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
     """(keeper ids, batch ids) currently present under ``path``, sorted."""
-    fs, hpath, _ = _fs(spark, path)
-    batches: list[int] = []
-    if not fs.exists(hpath):
-        return [], batches
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if name.startswith("batch-"):
-            batches.append(int(name.split("-", 1)[1]))
-    return [k for k, _, _ in _keeper_meta(spark, path)], sorted(batches)
+    metas, batches = _list(spark, path)
+    return [k for k, _, _ in metas], batches
 
 
 def batch_dir(path: str, batch_id: int) -> str:
@@ -235,7 +242,7 @@ def read_split(
     keeper row outside the touched buckets cannot equi-join any arriving
     key. Recent appends are bounded (<= compact_every triggers) and are
     never pruned."""
-    keepers, batches = _keeper_meta(spark, path), _parts(spark, path)[1]
+    keepers, batches = _list(spark, path)
     k = _read_keeper(spark, keepers[-1], prune) if keepers else None
     b = (
         spark.read.parquet(*[batch_dir(path, i) for i in batches])
@@ -289,8 +296,7 @@ def compact(
     hdfs_path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(hpath):
         return False
-    keepers = _keeper_meta(spark, path)
-    batches = _parts(spark, path)[1]
+    keepers, batches = _list(spark, path)
     old_keepers = [m for m in keepers if m[0] < batch_id]
     old_batches = [b for b in batches if b < batch_id]
     # done iff a COMPLETED (_SUCCESS-marked) keeper for this id exists; a

@@ -113,7 +113,7 @@ def main() -> int:
         import shutil as _sh
 
         from hdfs2cass_spark.streaming.curate import _exact_losers, _hashes, _min_keeper
-        from hdfs2cass_spark.streaming.index import append, compact, read_split
+        from hdfs2cass_spark.streaming.index import append, batch_dir, compact, read_split
 
         tmp = "/tmp/stress_keeper"
         _sh.rmtree(tmp, ignore_errors=True)
@@ -140,6 +140,7 @@ def main() -> int:
             .alias("text"),
         )
         append(_hashes(trig), p, 1)  # the stream appends before it reads
+        ah = spark.read.parquet(batch_dir(p, 1))  # ...then reads back
 
         def files_of(df):
             return df.select(F.input_file_name()).distinct().count()
@@ -151,13 +152,13 @@ def main() -> int:
             for _ in range(3):
                 t0 = time.perf_counter()
                 k2, r2 = read_split(spark, p, prune=prune)
-                n_losers = _exact_losers(k2, r2, trig).count()
+                n_losers = _exact_losers(k2, r2, ah).count()
                 best = min(best, time.perf_counter() - t0)
             out[f"keeper_{label}_sec"] = round(best, 3)
             return n_losers
 
         full_losers = ab("full", None)
-        pruned_losers = ab("pruned", (_hashes(trig), ["h"]))
+        pruned_losers = ab("pruned", (ah, ["h"]))
         assert full_losers == pruned_losers == 100, (full_losers, pruned_losers)
         out["keeper_rows"] = n
         out["keeper_trigger_docs"] = 200

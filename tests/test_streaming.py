@@ -1225,3 +1225,75 @@ def test_stream_embed_near_dup_equals_batch(spark, sf_dir, tmp_path):
     # compaction bounded the index dirs (last fold at batch 2; batch 2 raw)
     for sub in ("emb", "codes"):
         assert n_subdirs(spark, f"{idx}/{sub}") == 2, sub
+
+
+def test_stream_funnel_state_correct_across_arrow_chunks(spark, tmp_path):
+    """The group iterator yields one pandas frame PER ARROW CHUNK, not per
+    micro-batch: with maxRecordsPerBatch forced to 2, a user whose earliest
+    view lands in a LATER chunk must still get the batch-minimum t1 (and
+    the cohort week from the minimum ts) — the chunk-local walk bug the
+    round-7 self-review found."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        funnel_states,
+        stream_cohorts,
+        stream_funnel,
+    )
+
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    S = 10**9
+    base = 1704067200 * S  # Monday 2024-01-01
+    week = 7 * 24 * 3600 * S
+    # ONE user, ONE file: 6 events written in REVERSE time order, so with
+    # 2-row arrow chunks the earliest view (t=10s) arrives in the LAST
+    # chunk; in-time-order the journey is view@10 -> click@20 -> buy@30.
+    # The first event is also a week later than the earliest one, so a
+    # chunk-local cohort pick lands in the wrong week.
+    rows = [
+        (1, base + week + 50 * S, "view"),
+        (2, base + week + 40 * S, "click"),
+        (3, base + 30 * S, "purchase"),
+        (4, base + 20 * S, "click"),
+        (5, base + 15 * S, "view"),
+        (6, base + 10 * S, "view"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        src / "0.parquet",
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = _run_stream_update(
+            spark, stream_funnel(stream_events(spark, str(src))), "chunk_funnel_test"
+        )
+        st = funnel_states(got).collect()[0]
+        us = 10**6
+        b = 1704067200 * us
+        assert (st["t1_us"], st["t2_us"], st["t3_us"]) == (
+            b + 10 * us, b + 20 * us, b + 30 * us,
+        )
+
+        pairs = _run_stream_append(
+            spark, stream_cohorts(stream_events(spark, str(src))), "chunk_cohort_test"
+        ).collect()
+        # cohort = the Monday of the MINIMUM-ts week (2024-01-01), even
+        # though the file's first row is a week later
+        assert all(r["cohort_day"] == 19723 for r in pairs)  # 2024-01-01
+        assert sorted(r["week_day"] for r in pairs) == [19723, 19730]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
