@@ -1063,21 +1063,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window in streaming/ingest.py.",
 )
 def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    # full-precision gap test (µs), matching the oracle's exact
-    # `ts - LAG(ts) > INTERVAL 30 MINUTE`: whole-second truncation would
-    # misclassify a gap like 1800.5 s on sub-second timestamps
-    new_session = F.when(
-        prev_ts.isNull() | (epoch_micros("ts") - epoch_micros(prev_ts) > 1_800_000_000), 1
-    ).otherwise(0)
-    numbered = e.withColumn("new_session", new_session).withColumn(
-        "session_no",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
-    )
+    numbered = sessionized(load_table(spark, sf_dir, "events"))
     return (
         numbered.groupBy("user_id", "session_no")
         .agg(
@@ -1086,6 +1072,26 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_millis(F.max("ts")).alias("session_end_ms"),
         )
         .orderBy("user_id", "session_no")
+    )
+
+
+def sessionized(e: DataFrame) -> DataFrame:
+    """Events + (new_session, session_no): the ONE 30-min-gap sessionization
+    definition — sessionize_events_batch and the session-path analytics
+    (plans/sessions.py) both consume it, so the gap semantics cannot drift.
+    Full-precision gap test (µs), matching the oracle's exact
+    `ts - LAG(ts) > INTERVAL 30 MINUTE`: whole-second truncation would
+    misclassify a gap like 1800.5 s on sub-second timestamps."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (epoch_micros("ts") - epoch_micros(prev_ts) > 1_800_000_000), 1
+    ).otherwise(0)
+    return e.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
     )
 
 

@@ -57,7 +57,7 @@ def test_driver_checked_prefix_order_is_frozen():
     it (this happened within round 6: select_token_budget/lang_epoch_mix
     displaced the then-documented rows 59-60 to 61/63). This test freezes
     the FULL oracle-backed prefix — extend `frozen` every time a query is
-    appended (round 7: through row 76)."""
+    appended (round 7: through row 78)."""
     import __spark_entry__ as entry
 
     frozen = [
@@ -92,6 +92,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "cohort_retention", "funnel_time_to_convert",
         "event_transition_matrix", "gopher_line_rules",
         "c4_quality_filter", "bpe_token_counts", "gopher_paragraph_rules",
+        "session_top_paths", "engagement_dau_wau",
     ]
     names = list(entry.queries())
     assert names[: len(frozen)] == frozen
