@@ -212,6 +212,9 @@ def main() -> int:
                 "asof_join_events",
                 "tumbling_window_events",
                 "event_funnel_conversion",
+                # round 7: the rest of the product-analytics family
+                "session_top_paths",
+                "engagement_dau_wau",
             ):
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm

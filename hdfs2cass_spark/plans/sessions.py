@@ -95,23 +95,27 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
     tot = census.agg(F.sum("n_sessions").cast("bigint").alias("t"))
-    ranked = (
+    # top-k FIRST via orderBy+limit -> TakeOrderedAndProject (mappers
+    # truncate to 20; the path census never rides an unpartitioned window),
+    # THEN rank: the row_number window is global but sees <= TOP_PATHS rows
+    top = (
         census.crossJoin(F.broadcast(tot))
         .select(
             "path",
             "n_sessions",
             F.round(F.col("n_sessions").cast("double") / F.col("t"), 6).alias("share"),
         )
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("n_sessions").desc(), "path")
-            ),
-        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(TOP_PATHS)
     )
     return (
-        ranked.filter(F.col("rnk") <= TOP_PATHS)
-        .select(F.col("rnk").cast("int").alias("rnk"), "path", "n_sessions", "share")
+        top.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_sessions").desc(), "path"))
+            .cast("int"),
+        )
+        .select("rnk", "path", "n_sessions", "share")
         .orderBy("rnk")
     )
 

@@ -120,3 +120,18 @@ def test_cross_engine_on_planted_events(spark, events_sf):
                     assert str(g)[:10] == str(w)[:10], (name, col, w, g)
                 else:
                     assert str(g) == str(w), (name, col, w, g)
+
+
+def test_top_paths_census_is_takeordered_not_windowed(spark, events_sf):
+    """The top-k must be TakeOrderedAndProject over the census — an
+    unpartitioned row_number window would sort the full path census in one
+    task at 100 TB path cardinality (the single-task-window anti-pattern);
+    the only global window allowed is the rank over the <= 20 survivors."""
+    plan = (
+        CATALOG["session_top_paths"]
+        .fn(spark, events_sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
