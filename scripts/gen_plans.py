@@ -216,6 +216,37 @@ SECTIONS = [
         "`--hot-source` probe holds ~1M docs/s with ONE source at 2M docs). The vocabulary count "
         "spreads on (source, word); the share window runs over #sources rows.",
     ),
+    (
+        "gopher_line_rules (map-side line heuristics — round 7)",
+        "gopher_line_rules",
+        "Pure whole-stage-codegen column arithmetic over ONE scan: the only Exchange is the "
+        "output ORDER BY's rangepartitioning — no hashpartitioning anywhere (plan-asserted in "
+        "tests; the c4_quality_filter / bpe_token_counts / gopher_paragraph_rules siblings share "
+        "the shape). Line splitting, bullet/ellipsis classification and the duplicate-line "
+        "fractions are all array expressions inside the same codegen stage — no UDF, no shuffle, "
+        "embarrassingly parallel at any corpus size (848k multi-line docs/s at the 1M-doc probe).",
+    ),
+    (
+        "session_top_paths (Sankey census — round 7)",
+        "session_top_paths",
+        "The session paths ride the SAME user_id window partitioning as sessionization (bounded "
+        "by one user's events — never a global sort); the path census is a partial/final "
+        "`HashAggregate` pair on the path string; the top-20 is `TakeOrderedAndProject` "
+        "(per-partition heaps truncate map-side — the census never flows through an "
+        "unpartitioned row_number window, plan-asserted); the share denominator is a 1-row "
+        "`BroadcastNestedLoopJoin` count-fold. The only unpartitioned Window ranks the <= 20 "
+        "survivors. 2.8M events/s at the 5M-event probe.",
+    ),
+    (
+        "engagement_dau_wau (exact sliding distinct — round 7)",
+        "engagement_dau_wau",
+        "The corpus collapses to DISTINCT (user, day) pairs first (one exchange, map-side "
+        "combined); the trailing 7-day window is a codegen'd `Generate` (map-only 1->7 explode "
+        "of the PAIRS, not the events) joined to the broadcast #days-sized active-day list — "
+        "exact sliding distinct WITHOUT a range self-join of the corpus; the distinct-user "
+        "count per day is the standard two-phase expand aggregate. 1.85M events/s at the "
+        "5M-event probe.",
+    ),
 ]
 
 
