@@ -150,6 +150,14 @@ def engagement_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return engagement_from_pairs(ud)
+
+
+def engagement_from_pairs(ud: DataFrame) -> DataFrame:
+    """The report over DISTINCT (user_id, day DATE) activity pairs — the ONE
+    DAU/WAU computation, shared by the batch query above and the streaming
+    active-day emission log (streaming/funnel.py stream_active_days), so
+    the two surfaces cannot drift."""
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
     # each (user, day) pair covers target days day..day+6; keep only

@@ -291,6 +291,78 @@ def stream_cohorts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming engagement (DAU / WAU)
+# ---------------------------------------------------------------------------
+
+_DAYS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", IntegerType()),  # unix date
+    ]
+)
+_DAYS_STATE = StructType([StructField("days", ArrayType(IntegerType()))])
+
+
+def stream_active_days(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+) -> DataFrame:
+    """Incrementally maintained activity log: emits one (user_id, day) row
+    the FIRST time a user is active on a day (append semantics — the
+    emission log IS the distinct (user, day) pair set the batch
+    engagement_dau_wau query computes from the corpus). Per-user state is
+    the distinct active-day list (bounded by the retention horizon's days).
+    Report with :func:`engagement_report_from_days`."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # self-contained closure (see stream_funnel): day folding is
+    # order-free, so no cross-chunk concat or min is needed here
+    def advance(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        days = list(state.get[0]) if state.exists else []
+        new: list[int] = []
+        for pdf in pdfs:
+            for v in pdf["ts_us"]:
+                d = int(int(v) // 86_400_000_000)
+                if d not in days and d not in new:
+                    new.append(d)
+        state.update((days + new,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        if new:
+            yield pd.DataFrame({"user_id": [key[0]] * len(new), "day": new})
+
+    keyed = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _DAYS_OUT,
+        _DAYS_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def engagement_report_from_days(pairs: DataFrame) -> DataFrame:
+    """(day, dau, wau, stickiness) from the streamed (user_id, day) emission
+    log — literally the batch query's computation (plans/sessions.py
+    engagement_from_pairs), so the two surfaces cannot drift; the log is
+    distinct by construction."""
+    from ..plans.sessions import engagement_from_pairs
+
+    return engagement_from_pairs(
+        pairs.select("user_id", F.date_from_unix_date("day").alias("day"))
+    )
+
+
 def cohort_report_from_weeks(pairs: DataFrame) -> DataFrame:
     """(cohort_week, week_offset, n_active, cohort_size, retention) — the
     exact shape of the batch cohort_retention query (oracle row 70) — from

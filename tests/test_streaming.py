@@ -1297,3 +1297,23 @@ def test_stream_funnel_state_correct_across_arrow_chunks(spark, tmp_path):
         assert sorted(r["week_day"] for r in pairs) == [19723, 19730]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_active_days_equals_batch_engagement(spark, sf_dir, events_dir):
+    """The streamed (user, day) activity log folded through the SHARED
+    engagement computation reproduces the batch oracle-row-78 report
+    exactly, and the append-mode log is distinct by construction."""
+    from hdfs2cass_spark.plans.sessions import engagement_dau_wau
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        engagement_report_from_days,
+        stream_active_days,
+    )
+
+    got = _run_stream_append(
+        spark, stream_active_days(stream_events(spark, events_dir)), "days_eq_test"
+    )
+    assert got.count() == got.distinct().count()
+    rep = sorted(tuple(r) for r in engagement_report_from_days(got).collect())
+    want = sorted(tuple(r) for r in engagement_dau_wau(spark, sf_dir).collect())
+    assert len(rep) > 0 and rep == want
