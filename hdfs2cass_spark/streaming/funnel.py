@@ -266,7 +266,16 @@ def stream_cohorts(
         if cohort is None and min_ts is not None:
             day = min_ts // 86_400_000_000
             cohort = int(day - (day + 3) % 7)
-        state.update((cohort, weeks + new_weeks))
+        # state trim: weeks older than the retention horizon below the
+        # newest seen week can never legally re-emit under the order
+        # contract (and an event THAT late is already outside the
+        # documented late-data boundary) — so per-user state is
+        # O(retention window), not O(user lifetime)
+        all_weeks = weeks + new_weeks
+        if all_weeks:
+            floor_wk = max(all_weeks) - (retention_ms // 86_400_000) - 7
+            all_weeks = [w for w in all_weeks if w >= floor_wk]
+        state.update((cohort, all_weeks))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
         if new_weeks:
             yield pd.DataFrame(
@@ -332,7 +341,16 @@ def stream_active_days(
                 d = int(int(v) // 86_400_000_000)
                 if d not in days and d not in new:
                     new.append(d)
-        state.update((days + new,))
+        # state trim (the cohort-weeks argument): a day more than the
+        # retention horizon older than the newest seen day cannot legally
+        # re-arrive under the order contract, so dropping it from the
+        # dedup state keeps per-user state O(retention window) over an
+        # always-active user's lifetime
+        all_days = days + new
+        if all_days:
+            floor_day = max(all_days) - (retention_ms // 86_400_000) - 1
+            all_days = [d for d in all_days if d >= floor_day]
+        state.update((all_days,))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
         if new:
             yield pd.DataFrame({"user_id": [key[0]] * len(new), "day": new})
