@@ -91,6 +91,15 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = counts[0]
     for extra in counts[1:]:
         c = c.crossJoin(extra)
+    return funnel_report_from_step_counts(c)
+
+
+def funnel_report_from_step_counts(c: DataFrame) -> DataFrame:
+    """(step, event_type, n_users, conversion_rate) from a ONE-ROW
+    (c1..cN) per-step user-count frame — the report fold shared by the
+    batch query above and the streaming funnel
+    (streaming/funnel.py funnel_report_from_states), so the rate/NULL
+    semantics cannot drift between the two surfaces."""
 
     def _row(i: int, name: str) -> DataFrame:
         rate = (
@@ -170,6 +179,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+    return cohort_report_from_act(act)
+
+
+def cohort_report_from_act(act: DataFrame) -> DataFrame:
+    """The retention report from a (cohort_week, week_offset, n_active)
+    activity aggregate — shared by the batch query above and the streaming
+    cohort log (streaming/funnel.py cohort_report_from_weeks), so the
+    base-size join and rounding cannot drift between the two surfaces."""
     base = act.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")
     )

@@ -120,8 +120,14 @@ def stream_funnel(
         if changed:
             state.update(tuple(t))
         # retention is "after last funnel-step sighting": bump every batch
-        # the user appears in (the stateful.py precedent)
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        # the user appears in. Anchored to max(watermark, batch max event
+        # time): during batch 0 the watermark is still 0, and a 0-anchored
+        # timeout lands in 1970 — every user seen only in the first batch
+        # would be evicted at the very next trigger (self-review finding).
+        mx_ms = int(rows["ts_us"].max()) // 1000 if len(rows) else 0
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), mx_ms) + retention_ms
+        )
         if changed:
             yield pd.DataFrame(
                 {
@@ -157,20 +163,33 @@ def stream_funnel(
 
 
 def funnel_states(emissions: DataFrame) -> DataFrame:
-    """Final per-user funnel state from an update-mode emission log: each
-    step field is write-once (NULL until set, then constant), so max() over
-    a user's emissions IS the final value — no ordering column needed."""
+    """Final per-user funnel state from an update-mode emission log.
+
+    Within one journey the step fields are write-once (NULL until set, then
+    constant) — but a user whose state was retention-EVICTED and who later
+    returns starts a NEW journey with a later t1, and a plain per-field
+    max() would merge the two into an impossible state (old journey's t2
+    glued onto the new journey's t1). The log is therefore keyed by t1 —
+    the journey identifier (strictly later for a later journey under the
+    order contract) — and each field recovers as the max of
+    (t1, field) structs: struct ordering picks the LATEST journey first,
+    and within it the field's single non-NULL value (NULL struct fields
+    sort below values)."""
     return emissions.groupBy("user_id").agg(
         F.max("t1_us").alias("t1_us"),
-        F.max("t2_us").alias("t2_us"),
-        F.max("t3_us").alias("t3_us"),
+        F.max(F.struct("t1_us", "t2_us")).getField("t2_us").alias("t2_us"),
+        F.max(F.struct("t1_us", "t3_us")).getField("t3_us").alias("t3_us"),
     )
 
 
 def funnel_report_from_states(states: DataFrame) -> DataFrame:
     """(step, event_type, n_users, conversion_rate) — the exact shape of the
-    batch event_funnel_conversion query (oracle row 69), folded from
-    #users-sized state with one aggregate + broadcast count-folding."""
+    batch event_funnel_conversion query (oracle row 69): one aggregate over
+    #users-sized state into the SHARED report fold
+    (plans/eventfunnel.py funnel_report_from_step_counts), so the rate
+    semantics cannot drift between the batch and streaming surfaces."""
+    from ..plans.eventfunnel import funnel_report_from_step_counts
+
     c = F.broadcast(
         states.agg(
             F.count("t1_us").cast("bigint").alias("c1"),
@@ -178,27 +197,7 @@ def funnel_report_from_states(states: DataFrame) -> DataFrame:
             F.count("t3_us").cast("bigint").alias("c3"),
         )
     )
-
-    def _row(i: int, name: str) -> DataFrame:
-        rate = (
-            F.lit(None).cast("double")
-            if i == 0
-            else F.round(
-                F.col(f"c{i + 1}").cast("double") / F.nullif(F.col(f"c{i}"), F.lit(0)),
-                6,
-            )
-        )
-        return c.select(
-            F.lit(i + 1).alias("step"),
-            F.lit(name).alias("event_type"),
-            F.col(f"c{i + 1}").alias("n_users"),
-            rate.alias("conversion_rate"),
-        )
-
-    out = _row(0, FUNNEL_STEPS[0])
-    for i, name in enumerate(FUNNEL_STEPS[1:], start=1):
-        out = out.unionByName(_row(i, name))
-    return out.orderBy("step")
+    return funnel_report_from_step_counts(c)
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +253,14 @@ def stream_cohorts(
         # whenever their earliest event lands in a later chunk
         new_weeks: list[int] = []
         min_ts: int | None = None
+        max_ts = 0
         for pdf in pdfs:
             for v in pdf["ts_us"]:
                 ts = int(v)
                 if min_ts is None or ts < min_ts:
                     min_ts = ts
+                if ts > max_ts:
+                    max_ts = ts
                 day = ts // 86_400_000_000
                 wk = int(day - (day + 3) % 7)  # Monday start; 1970-01-01 = Thu
                 if wk not in weeks and wk not in new_weeks:
@@ -267,16 +269,23 @@ def stream_cohorts(
             day = min_ts // 86_400_000_000
             cohort = int(day - (day + 3) % 7)
         # state trim: weeks older than the retention horizon below the
-        # newest seen week can never legally re-emit under the order
-        # contract (and an event THAT late is already outside the
-        # documented late-data boundary) — so per-user state is
-        # O(retention window), not O(user lifetime)
+        # newest seen week can never legally arrive under the order
+        # contract — so per-user state is O(retention window), not O(user
+        # lifetime). The boundary is ENFORCED, not assumed: a new week
+        # below the floor is dropped rather than emitted, because its dedup
+        # record may already have been trimmed and re-emitting would
+        # duplicate a (user, cohort, week) row and inflate n_active (the
+        # reports count, they don't re-distinct).
         all_weeks = weeks + new_weeks
         if all_weeks:
             floor_wk = max(all_weeks) - (retention_ms // 86_400_000) - 7
             all_weeks = [w for w in all_weeks if w >= floor_wk]
+            new_weeks = [w for w in new_weeks if w >= floor_wk]
         state.update((cohort, all_weeks))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        # batch-max anchor: see stream_funnel (watermark is 0 in batch 0)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ts // 1000) + retention_ms
+        )
         if new_weeks:
             yield pd.DataFrame(
                 {
@@ -336,22 +345,32 @@ def stream_active_days(
             return
         days = list(state.get[0]) if state.exists else []
         new: list[int] = []
+        max_ts = 0
         for pdf in pdfs:
             for v in pdf["ts_us"]:
-                d = int(int(v) // 86_400_000_000)
+                ts = int(v)
+                if ts > max_ts:
+                    max_ts = ts
+                d = ts // 86_400_000_000
                 if d not in days and d not in new:
                     new.append(d)
         # state trim (the cohort-weeks argument): a day more than the
         # retention horizon older than the newest seen day cannot legally
-        # re-arrive under the order contract, so dropping it from the
-        # dedup state keeps per-user state O(retention window) over an
-        # always-active user's lifetime
+        # arrive under the order contract, so dropping it from the dedup
+        # state keeps per-user state O(retention window) over an
+        # always-active user's lifetime. Enforced like the weeks trim:
+        # a below-floor day is dropped, never re-emitted (its dedup record
+        # may already be gone, and a duplicate pair would inflate DAU).
         all_days = days + new
         if all_days:
             floor_day = max(all_days) - (retention_ms // 86_400_000) - 1
             all_days = [d for d in all_days if d >= floor_day]
+            new = [d for d in new if d >= floor_day]
         state.update((all_days,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+        # batch-max anchor: see stream_funnel (watermark is 0 in batch 0)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ts // 1000) + retention_ms
+        )
         if new:
             yield pd.DataFrame({"user_id": [key[0]] * len(new), "day": new})
 
@@ -386,26 +405,14 @@ def cohort_report_from_weeks(pairs: DataFrame) -> DataFrame:
     exact shape of the batch cohort_retention query (oracle row 70) — from
     the streamed (user_id, cohort_day, week_day) emission log. The log is
     distinct by construction, so n_active is a plain count; grain after the
-    first aggregate is #cohorts x #offsets."""
+    first aggregate is #cohorts x #offsets; the base-size join and rounding
+    are the SHARED fold (plans/eventfunnel.py cohort_report_from_act)."""
+    from ..plans.eventfunnel import cohort_report_from_act
+
     act = pairs.groupBy(
         F.date_from_unix_date("cohort_day").alias("cohort_week"),
         ((F.col("week_day") - F.col("cohort_day")) / F.lit(7))
         .cast("int")
         .alias("week_offset"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
-    base = act.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
-    )
-    return (
-        act.join(F.broadcast(base), "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "n_active",
-            "cohort_size",
-            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
-                "retention"
-            ),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
+    return cohort_report_from_act(act)

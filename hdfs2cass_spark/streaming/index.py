@@ -100,18 +100,33 @@ def _next_pow2(n: int) -> int:
 # deletes old ones), so the DataFrame — and with it the file/partition
 # listing, which costs seconds per call against a bucketed keeper's
 # thousands of partition dirs — is reused across micro-batches until
-# compact() replaces the keeper and invalidates the path. Keyed by keeper
-# dir; entries from a stopped session rebuild (the session check); bounded
-# FIFO so a long-lived driver can't accumulate stale relations.
-_KEEPER_CACHE: dict[str, DataFrame] = {}
+# compact() replaces the keeper and invalidates the path. Entries validate
+# against the directory's MODIFICATION TIME (one getFileStatus RPC — cheap
+# next to the listing it saves): the wipe-indexes-and-restart flow can
+# recreate an identically-named keeper in the same driver session, and a
+# stale cached listing would point at deleted part files. Entries from a
+# stopped session rebuild (the session check); bounded FIFO so a
+# long-lived driver can't accumulate stale relations.
+_KEEPER_CACHE: dict[str, tuple[DataFrame, int]] = {}
 _KEEPER_CACHE_MAX = 64
 
 
+def _dir_mtime(spark: SparkSession, d: str) -> int:
+    fs, hpath, _ = _fs(spark, d)
+    return int(fs.getFileStatus(hpath).getModificationTime())
+
+
 def _keeper_raw_df(spark: SparkSession, d: str) -> DataFrame:
-    df = _KEEPER_CACHE.get(d)
-    if df is not None:
+    hit = _KEEPER_CACHE.get(d)
+    mtime = _dir_mtime(spark, d)
+    if hit is not None:
+        df, cached_mtime = hit
         try:
-            if df.sparkSession is spark and not df.sparkSession._sc._jsc.sc().isStopped():
+            if (
+                cached_mtime == mtime
+                and df.sparkSession is spark
+                and not df.sparkSession._sc._jsc.sc().isStopped()
+            ):
                 return df
         except Exception:
             pass
@@ -119,7 +134,7 @@ def _keeper_raw_df(spark: SparkSession, d: str) -> DataFrame:
     df = spark.read.parquet(d)
     if len(_KEEPER_CACHE) >= _KEEPER_CACHE_MAX:
         _KEEPER_CACHE.pop(next(iter(_KEEPER_CACHE)))
-    _KEEPER_CACHE[d] = df
+    _KEEPER_CACHE[d] = (df, mtime)
     return df
 
 
@@ -243,6 +258,14 @@ def read_split(
     key. Recent appends are bounded (<= compact_every triggers) and are
     never pruned."""
     keepers, batches = _list(spark, path)
+    # batch dirs with id < the newest keeper's id are ALREADY FOLDED into
+    # it — they exist only inside compact()'s write-then-delete window (or
+    # after a crash in it). Reading them would double-count every summed
+    # fold (fcnt stage counts, cnt freeze dfs) for any reader that races a
+    # compaction or inspects a crashed stream's indexes; the keeper is the
+    # authoritative copy, so stale batches are simply skipped.
+    if keepers:
+        batches = [b for b in batches if b >= keepers[-1][0]]
     k = _read_keeper(spark, keepers[-1], prune) if keepers else None
     b = (
         spark.read.parquet(*[batch_dir(path, i) for i in batches])
@@ -316,16 +339,23 @@ def compact(
         if old_batches:
             b = spark.read.parquet(*[batch_dir(path, i) for i in old_batches])
             df = b if df is None else df.unionByName(b)
-        if fold is not None:
-            df = fold(df)
         nb: int | None = None
         if bucket_cols is not None:
+            # bucket sizing uses the PRE-fold source count: counting the
+            # fold output would execute the whole fold-and-union twice
+            # (once for the count, again for the write — 2x the documented
+            # compaction I/O). The source count is a plain scan, it is
+            # replay-deterministic, and it only OVERESTIMATES fold-output
+            # rows, making buckets at most proportionally smaller than the
+            # rows_per_bucket target — never oversized.
             n = df.count()
             if n > 0:
                 nb = min(
                     MAX_BUCKETS,
                     max(MIN_BUCKETS, _next_pow2(-(-n // rows_per_bucket))),
                 )
+        if fold is not None:
+            df = fold(df)  # folds are group-preserving: rows > 0 stays > 0
         target = _keeper_dir(path, batch_id, nb)
         if nb is None:
             # zero-row folds write UNBUCKETED: partitionBy of an empty frame

@@ -62,9 +62,13 @@ def streaming_dedup_first(events: DataFrame, watermark: str = "2 hours") -> Data
             state.remove()
             return
         best = None
+        max_ts_ms = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            max_ts_ms = max(
+                max_ts_ms, int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
+            )
             row = pdf.sort_values(["ts", "event_id"]).iloc[0]
             if best is None or (row["ts"], row["event_id"]) < (best["ts"], best["event_id"]):
                 best = row
@@ -74,11 +78,16 @@ def streaming_dedup_first(events: DataFrame, watermark: str = "2 hours") -> Data
         if is_new:
             state.update((int(best["event_id"]),))
         # event-time eviction: drop this key's state once the watermark passes
-        # now + retention (must be > current watermark or Spark rejects the
-        # timestamp). Set on EVERY batch the key appears in — retention is
-        # "after LAST sighting"; extending only on first sight would evict a
-        # still-active key and re-emit its next duplicate.
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + RETENTION_MS)
+        # now + retention. Set on EVERY batch the key appears in — retention
+        # is "after LAST sighting"; extending only on first sight would evict
+        # a still-active key and re-emit its next duplicate. Anchored to
+        # max(watermark, batch max event time): the watermark is 0 during
+        # batch 0, and a 0-anchored timeout lands in 1970 — a key seen only
+        # in the first batch would be evicted at the next trigger and its
+        # later duplicates re-emitted (round-7 self-review finding).
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ts_ms) + RETENTION_MS
+        )
         if is_new:
             yield pd.DataFrame(
                 {
