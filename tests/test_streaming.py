@@ -1317,3 +1317,61 @@ def test_stream_active_days_equals_batch_engagement(spark, sf_dir, events_dir):
     rep = sorted(tuple(r) for r in engagement_report_from_days(got).collect())
     want = sorted(tuple(r) for r in engagement_dau_wau(spark, sf_dir).collect())
     assert len(rep) > 0 and rep == want
+
+
+def test_stateful_keys_seen_only_in_batch_zero_survive(spark, tmp_path):
+    """The batch-0 watermark is 0; a timeout anchored to it lands in 1970
+    and the key is evicted at the next trigger. Regression: a user whose
+    view arrives ONLY in batch 0 must still convert on a batch-2 click,
+    and a batch-0 dedup key must still drop its batch-2 duplicate."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events, streaming_dedup_first
+    from hdfs2cass_spark.streaming.funnel import funnel_states, stream_funnel
+
+    src = tmp_path / "b0_src"
+    src.mkdir()
+    S = 10**9
+    base = 1704067200 * S
+
+    def write_batch(name, rows):  # (event_id, ts_ns, user_id, type)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    # batch 0: user 1's view AND a duplicate-key probe (user 9, click)
+    write_batch("0.parquet", [(1, base, 1, "view"), (2, base + S, 9, "click")])
+    _time.sleep(1.1)
+    # batch 1: only OTHER users — advances the watermark past 1970
+    write_batch("1.parquet", [(3, base + 3600 * S, 5, "view")])
+    _time.sleep(1.1)
+    # batch 2: user 1 clicks; user 9 repeats the dedup key
+    write_batch(
+        "2.parquet",
+        [(4, base + 7200 * S, 1, "click"), (5, base + 7200 * S, 9, "click")],
+    )
+
+    got = _run_stream_update(
+        spark, stream_funnel(stream_events(spark, str(src))), "b0_funnel_test"
+    )
+    st = {r["user_id"]: r for r in funnel_states(got).collect()}
+    assert st[1]["t2_us"] is not None  # state survived batches 1-2
+
+    dd = _run_stream_append(
+        spark, streaming_dedup_first(stream_events(spark, str(src))), "b0_dedup_test"
+    )
+    nine = dd.filter("user_id = 9 AND event_type = 'click'").collect()
+    assert len(nine) == 1 and nine[0]["event_id"] == 2  # duplicate dropped
