@@ -27,10 +27,11 @@ state per user stays O(1) regardless.
 
 Scale shape: the stateful operator shards per-user state across executors
 by the grouping key; emissions are (user, state) rows in update mode —
-write-once fields make the FINAL state recoverable from any emission log by
-a max() aggregate (each field is emitted either NULL or at its one true
-value, so max == the value). The report aggregates #users-sized state, not
-#events-sized history.
+fields are write-once WITHIN a journey, and the final state recovers from
+the emission log with a journey-keyed aggregate (latest t1 wins; see
+funnel_states — a retention-evicted user who returns starts a new journey,
+and a naive per-field max would merge the two). The report aggregates
+#users-sized state, not #events-sized history.
 """
 
 from __future__ import annotations

@@ -332,12 +332,18 @@ def compact(
         if not old_keepers and not old_batches:
             return False
         # only the LATEST old keeper holds live data (earlier ones can linger
-        # solely after a crash mid-delete, and are strict subsets of it)
+        # solely after a crash mid-delete, and are strict subsets of it);
+        # batch dirs below that keeper's id are already folded into it (the
+        # read_split invariant) — refolding them would double-count summed
+        # folds permanently, so they are inputs to the DELETE pass only
         df: DataFrame | None = None
         if old_keepers:
             df = _read_keeper(spark, old_keepers[-1])
-        if old_batches:
-            b = spark.read.parquet(*[batch_dir(path, i) for i in old_batches])
+            old_batches_live = [b for b in old_batches if b >= old_keepers[-1][0]]
+        else:
+            old_batches_live = old_batches
+        if old_batches_live:
+            b = spark.read.parquet(*[batch_dir(path, i) for i in old_batches_live])
             df = b if df is None else df.unionByName(b)
         nb: int | None = None
         if bucket_cols is not None:

@@ -159,3 +159,34 @@ def test_random_append_compact_interleavings_preserve_rows(spark, tmp_path):
             (i, i % 5) for lo, hi in appended for i in range(lo, hi)
         )
         assert got == want, f"seed {seed}"
+
+
+def test_stale_batches_below_keeper_never_refold_or_reread(spark, tmp_path):
+    """Batch dirs with id < the newest keeper are that keeper's own folded
+    content, alive only inside compact's write-then-delete window (or after
+    a crash in it). They must be (a) invisible to readers — a racing
+    read_split would otherwise double-count summed folds — and (b) inputs
+    to the next compaction's DELETE pass only, never its fold — a refold
+    would double-count PERMANENTLY."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "idx")
+    cnt = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.pmod(F.col("id"), 3).alias("k"), F.lit(1).alias("c")
+    )
+    fold = lambda df: df.groupBy("k").agg(F.sum("c").alias("c"))  # noqa: E731
+    append(cnt(0, 30), p, 0)
+    append(cnt(30, 60), p, 1)
+    compact(spark, p, 2, fold=fold)
+    # simulate the crash-mid-delete leftover: re-create batch 1's dir
+    append(cnt(30, 60), p, 1)
+    # (a) readers skip it: totals stay exact
+    total = read_index(spark, p).agg(F.sum("c")).first()[0]
+    assert total == 60
+    # (b) the next compaction deletes it without refolding
+    append(cnt(60, 90), p, 2)
+    compact(spark, p, 3, fold=fold)
+    keepers, batches = _parts(spark, p)
+    assert keepers == [3] and batches == []
+    got = {r["k"]: r["c"] for r in read_index(spark, p).collect()}
+    assert got == {0: 30, 1: 30, 2: 30}
