@@ -33,7 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import WS_CHARS, WS_DUCK, WS_SPARK
+from ..functions.tokenize import WS_CHARS
+from ..functions.tokenize import words_duck as _wduck
+from ..functions.tokenize import words_spark as _wspark
 from ..sources.readers import load_table
 from .lines import _LINES_DUCK, _LINES_SPARK
 from .llm import W_DUCK, W_SPARK
@@ -43,9 +45,13 @@ MIN_SENTENCES = 3
 MIN_LINE_WORDS = 5
 
 # a sentence boundary is a terminal punctuation mark; a "terminal line" ends
-# in one (optionally closing a quote) — the C4 line-keep rule
+# in one — Raffel et al. 2020 §2.2 counts an END QUOTATION MARK itself as
+# terminal punctuation, so bare straight/curly closing quotes qualify too
+# ('''' is one apostrophe inside a SQL single-quoted literal, both engines)
 _SENT_PAT = "[.!?]"
-_TERMINAL = "(right(l, 1) IN ('.', '!', '?') OR right(l, 2) IN ('.\"', '!\"', '?\"'))"
+_TERMINAL = (
+    "right(l, 1) IN ('.', '!', '?', '\"', '''', '”', '’')"
+)
 
 
 @declare(
@@ -59,7 +65,7 @@ _TERMINAL = "(right(l, 1) IN ('.', '!', '?') OR right(l, 2) IN ('.\"', '!\"', '?
                AS n_sentences,
              CAST(len(list_filter(ls, l -> {_TERMINAL})) AS INTEGER) AS _nt,
              CAST(len(list_filter(ls,
-                    l -> len(str_split_regex(trim(l, ' '), '{WS_DUCK}+'))
+                    l -> len({_wduck("l")})
                          < {MIN_LINE_WORDS})) AS INTEGER) AS _ns,
              coalesce(contains(text, '{{'), FALSE) AS has_brace,
              coalesce(contains(lower(text), 'lorem ipsum'), FALSE) AS has_lorem,
@@ -96,10 +102,10 @@ def c4_filter_df(d: DataFrame) -> DataFrame:
         .cast("int")
         .alias("n_sentences"),
         F.expr(f"size(filter(ls, l -> {_TERMINAL}))").cast("int").alias("_nt"),
-        F.expr(
-            f"size(filter(ls, l -> size(split(trim(l), '{WS_SPARK}+'))"
-            f" < {MIN_LINE_WORDS}))"
-        )
+        # the SHARED tokenizer helpers (functions/tokenize.py): hand-rolled
+        # copies of these expressions are how the trim-vs-trim(' ') unicode
+        # divergence would creep back in
+        F.expr(f"size(filter(ls, l -> size({_wspark('l')}) < {MIN_LINE_WORDS}))")
         .cast("int")
         .alias("_ns"),
         F.coalesce(F.expr("contains(text, '{')"), F.lit(False)).alias("has_brace"),

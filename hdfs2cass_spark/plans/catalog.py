@@ -1035,21 +1035,32 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "sessionize_events_batch",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id,
+def session_cte_sql(cols: str, where: str = "") -> str:
+    """The ONE 30-minute-gap sessionization CTE text (gaps -> numbered),
+    parameterized by the extra event columns to carry — consumed by the
+    sessionize_events_batch oracle below AND the session-path oracle
+    (plans/sessions.py), so the gap semantics cannot drift between the two
+    oracles any more than between the two Spark plans (which share
+    :func:`sessionized`)."""
+    extra = f", {cols}" if cols else ""
+    return f"""gaps AS (
+      SELECT user_id, ts, event_id{extra},
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events),
+      FROM events{where}),
     numbered AS (
-      SELECT user_id, ts, event_id,
+      SELECT user_id, ts, event_id{extra},
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM gaps)
+      FROM gaps)"""
+
+
+@declare(
+    "sessionize_events_batch",
+    oracle=f"""
+    WITH {session_cte_sql("")}
     SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
            COUNT(*) AS n_events,
            epoch_ms(MIN(ts)) AS session_start_ms,

@@ -55,6 +55,35 @@ _IS_BULLET = f"substring(l, 1, 2) IN {_BULLET_SQL}"
 _IS_ELLIPSIS = "(right(l, 3) = '...' OR right(l, 1) = '…')"
 
 
+def seg_dup_duck(arr: str) -> str:
+    """DuckDB fragments for segment-repetition metrics over an array column:
+    distinct count, total chars, distinct chars — THE shared cross-engine-
+    sensitive arithmetic of the line AND paragraph repetition rules
+    (plans/paragraphs.py), generated once so the two families cannot
+    drift."""
+    return f"""CAST(len(list_distinct({arr})) AS INTEGER) AS _nd,
+             CAST(coalesce(list_sum(list_transform({arr}, s -> length(s))), 0)
+                  AS BIGINT) AS _ch,
+             CAST(coalesce(list_sum(list_transform(list_distinct({arr}),
+                                                   s -> length(s))), 0)
+                  AS BIGINT) AS _dch"""
+
+
+def seg_dup_spark(arr: str) -> list:
+    """The identical three metrics as Spark columns (see seg_dup_duck)."""
+    return [
+        F.expr(f"size(array_distinct({arr}))").cast("int").alias("_nd"),
+        F.expr(
+            f"coalesce(aggregate({arr}, CAST(0 AS BIGINT),"
+            " (acc, s) -> acc + length(s)), CAST(0 AS BIGINT))"
+        ).alias("_ch"),
+        F.expr(
+            f"coalesce(aggregate(array_distinct({arr}), CAST(0 AS BIGINT),"
+            " (acc, s) -> acc + length(s)), CAST(0 AS BIGINT))"
+        ).alias("_dch"),
+    ]
+
+
 @declare(
     "gopher_line_rules",
     oracle=f"""
@@ -64,12 +93,7 @@ _IS_ELLIPSIS = "(right(l, 3) = '...' OR right(l, 1) = '…')"
              CAST(len(ls) AS INTEGER) AS n_lines,
              CAST(len(list_filter(ls, l -> {_IS_BULLET})) AS INTEGER) AS _nb,
              CAST(len(list_filter(ls, l -> {_IS_ELLIPSIS})) AS INTEGER) AS _ne,
-             CAST(len(list_distinct(ls)) AS INTEGER) AS _nd,
-             CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)
-                  AS BIGINT) AS _ch,
-             CAST(coalesce(list_sum(list_transform(list_distinct(ls),
-                                                   l -> length(l))), 0)
-                  AS BIGINT) AS _dch
+             {seg_dup_duck("ls")}
       FROM t)
     SELECT doc_id, n_lines,
            round(CAST(_nb AS DOUBLE) / nullif(n_lines, 0), 6) AS frac_bullet,
@@ -118,15 +142,7 @@ def line_rules_df(d: DataFrame) -> DataFrame:
         F.expr("size(ls)").cast("int").alias("n_lines"),
         F.expr(f"size(filter(ls, l -> {_IS_BULLET}))").cast("int").alias("_nb"),
         F.expr(f"size(filter(ls, l -> {_IS_ELLIPSIS}))").cast("int").alias("_ne"),
-        F.expr("size(array_distinct(ls))").cast("int").alias("_nd"),
-        F.expr(
-            "coalesce(aggregate(ls, CAST(0 AS BIGINT), (acc, l) -> acc + length(l)),"
-            " CAST(0 AS BIGINT))"
-        ).alias("_ch"),
-        F.expr(
-            "coalesce(aggregate(array_distinct(ls), CAST(0 AS BIGINT),"
-            " (acc, l) -> acc + length(l)), CAST(0 AS BIGINT))"
-        ).alias("_dch"),
+        *seg_dup_spark("ls"),
     )
     nl = F.expr("nullif(n_lines, 0)")
     ch = F.expr("nullif(_ch, CAST(0 AS BIGINT))")

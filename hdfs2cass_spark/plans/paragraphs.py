@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .lines import seg_dup_duck, seg_dup_spark
 from .registry import declare
 
 MAX_DUP_PARA_FRAC = 0.30
@@ -37,8 +38,11 @@ MAX_DUP_PARA_CHAR_FRAC = 0.20
 
 # split on the literal two-newline separator; Spark's split takes a regex —
 # '\n\n' is literal enough (no metacharacters) — and DuckDB splits on the
-# plain string. Both then drop empty segments (3+ consecutive newlines
-# produce them).
+# plain string. Both then drop empty segments — note the exact arithmetic:
+# a run of 2k newlines yields k-1 empty segments (4+ newlines, i.e. two
+# adjacent separators, produce the first), while an ODD stray newline stays
+# attached to the next paragraph ('a\n\n\nb' -> ['a', '\nb']) and counts
+# toward its character length.
 _PARAS_SPARK = "filter(split(text, '\\n\\n', -1), p -> length(p) > 0)"
 _PARAS_DUCK = (
     "list_filter(string_split(text, chr(10) || chr(10)), p -> length(p) > 0)"
@@ -52,12 +56,7 @@ _PARAS_DUCK = (
     m AS (
       SELECT doc_id,
              CAST(len(ps) AS INTEGER) AS n_paragraphs,
-             CAST(len(list_distinct(ps)) AS INTEGER) AS _nd,
-             CAST(coalesce(list_sum(list_transform(ps, p -> length(p))), 0)
-                  AS BIGINT) AS _ch,
-             CAST(coalesce(list_sum(list_transform(list_distinct(ps),
-                                                   p -> length(p))), 0)
-                  AS BIGINT) AS _dch
+             {seg_dup_duck("ps")}
       FROM t)
     SELECT doc_id, n_paragraphs,
            round(1.0 - CAST(_nd AS DOUBLE) / nullif(n_paragraphs, 0), 6)
@@ -89,18 +88,12 @@ def gopher_paragraph_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def paragraph_rules_df(d: DataFrame) -> DataFrame:
     t = d.select("doc_id", F.expr(_PARAS_SPARK).alias("ps"))
+    # the SHARED segment-repetition metrics (plans/lines.py seg_dup_*):
+    # one definition serves the line and paragraph families
     m = t.select(
         "doc_id",
         F.expr("size(ps)").cast("int").alias("n_paragraphs"),
-        F.expr("size(array_distinct(ps))").cast("int").alias("_nd"),
-        F.expr(
-            "coalesce(aggregate(ps, CAST(0 AS BIGINT), (acc, p) -> acc + length(p)),"
-            " CAST(0 AS BIGINT))"
-        ).alias("_ch"),
-        F.expr(
-            "coalesce(aggregate(array_distinct(ps), CAST(0 AS BIGINT),"
-            " (acc, p) -> acc + length(p)), CAST(0 AS BIGINT))"
-        ).alias("_dch"),
+        *seg_dup_spark("ps"),
     )
     np_ = F.expr("nullif(n_paragraphs, 0)")
     ch = F.expr("nullif(_ch, CAST(0 AS BIGINT))")

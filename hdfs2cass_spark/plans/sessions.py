@@ -27,26 +27,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import sessionized
+from .catalog import session_cte_sql, sessionized
 from .registry import declare
 
 PATH_STEPS = 5
 TOP_PATHS = 20
 WAU_DAYS = 7
 
-_SESSION_CTE = """
-    gaps AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
-                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events),
-    numbered AS (
-      SELECT user_id, ts, event_id, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM gaps)"""
+# NULL policy, pinned: rows with NULL user/ts/event_type cannot take part in
+# a path (Spark sorts NULLs FIRST, DuckDB LAST — an unfiltered NULL ts would
+# session and order DIFFERENTLY per engine; tests/test_null_edges.py plants
+# exactly that row). The filter lives in the shared CTE call AND the Spark
+# plan, and sessionize_events_batch (row 25) keeps its own historical
+# unfiltered contract.
+_PATH_WHERE = (
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL"
+)
+_SESSION_CTE = session_cte_sql("event_type", _PATH_WHERE)
 
 
 @declare(
@@ -81,7 +78,14 @@ _SESSION_CTE = """
 def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    numbered = sessionized(load_table(spark, sf_dir, "events"))
+    # NULL filter mirrors the oracle's CTE WHERE (see _PATH_WHERE)
+    numbered = sessionized(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+    )
     # deterministic in-session order without a second window pass:
     # array_sort over (ts, event_id, event_type) structs sorts by field
     # order, then the first PATH_STEPS types join into the path

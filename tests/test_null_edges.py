@@ -143,6 +143,11 @@ EVENT_QUERIES = [
     "cohort_retention",
     "funnel_time_to_convert",  # empty funnel -> empty result on both engines
     "event_transition_matrix",
+    # round 7: NULL user/ts/event_type rows cannot take part in a path or
+    # an active day (Spark sorts NULLs first, DuckDB last — unfiltered they
+    # would session differently per engine)
+    "session_top_paths",
+    "engagement_dau_wau",
 ]
 
 

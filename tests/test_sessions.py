@@ -37,6 +37,11 @@ EVENTS = [
     ],
     # user 4 active on day 8 only (exercises the trailing WAU window)
     (20, BASE + 7 * DAY, 4, "view"),
+    # NULL ts and NULL user: excluded by BOTH engines — Spark sorts NULLs
+    # first, DuckDB last, so an unfiltered NULL ts would session and order
+    # DIFFERENTLY per engine (the review finding the filter pins)
+    (21, None, 1, "view"),
+    (22, BASE + 5 * DAY, None, "click"),
 ]
 
 
@@ -101,7 +106,10 @@ def test_cross_engine_on_planted_events(spark, events_sf):
         pd.DataFrame(
             {
                 "event_id": [r[0] for r in EVENTS],
-                "ts": pd.to_datetime([r[1] // US for r in EVENTS], unit="s"),
+                "ts": pd.to_datetime(
+                    [r[1] // US if r[1] is not None else None for r in EVENTS],
+                    unit="s",
+                ),
                 "user_id": [r[2] for r in EVENTS],
                 "event_type": [r[3] for r in EVENTS],
             }
