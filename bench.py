@@ -88,22 +88,45 @@ def main() -> int:
     # 2x minute-to-minute) — the min is the standard noise-robust estimator
     # and stays honest (same plan, same data, no caching between passes;
     # a FRESH DataFrame per pass, so no stage reuse; noop sink re-executes
-    # everything)
+    # everything). Round 8 (verdict item 3): the recorded scalar stays the
+    # min (round-over-round comparable), but every timed name ALSO records
+    # median + relative spread ((max-min)/median) + pass count under
+    # "stats", plus the box's load average, so a cross-round delta can be
+    # adjudicated as noise (wide spread / high load) vs a real regression.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
+    stats: dict[str, dict[str, float]] = {}
+
+    def record(name: str, samples: list[float]) -> float:
+        s = sorted(samples)
+        n = len(s)
+        med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        stats[name] = {
+            "min": round(s[0], 4),
+            "median": round(med, 4),
+            "rel_spread": round((s[-1] - s[0]) / med, 3) if med > 0 else 0.0,
+            "passes": n,
+        }
+        return round(s[0], 4)
 
     def time_query(name: str) -> float:
         q = CATALOG[name]
-        best = float("inf")
+        samples = []
         for _ in range(passes):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop write materializes every output column (count() would let
             # Catalyst prune the aggregates away)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
-        return round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        best = record(name, samples)
+        print(
+            f"# {name}: {best:.3f}s (median {stats[name]['median']:.3f}, "
+            f"spread {stats[name]['rel_spread']:.0%})",
+            file=sys.stderr,
+        )
+        return best
 
+    loadavg_start = list(os.getloadavg())
     timings = {name: time_query(name) for name in HEADLINE}
     pipeline_timings = {name: time_query(name) for name in PIPELINE}
 
@@ -114,11 +137,12 @@ def main() -> int:
     # min-of-2 with a warm pass, like the stress section
     curate = CATALOG["curate_corpus"]
     curate.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    curate_best = float("inf")
-    for _ in range(2):
+    curate_samples = []
+    for _ in range(3):
         t0 = time.perf_counter()
         curate.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        curate_best = min(curate_best, time.perf_counter() - t0)
+        curate_samples.append(time.perf_counter() - t0)
+    curate_best = record("curate_corpus", curate_samples)
     print(f"# curate_corpus: {curate_best:.3f}s", file=sys.stderr)
 
     # tracked throughput metric: the full bulk-load dataflow in rows/s
@@ -163,16 +187,18 @@ def main() -> int:
             for name in PIPELINE:
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm plan
-                # min-of-2 like the headliners: one loaded pass shouldn't set
-                # the recorded throughput
-                dt = float("inf")
-                for _ in range(2):
+                # min-of-3: one loaded pass shouldn't set the recorded
+                # throughput, and 3 samples give the stats block a median
+                samples = []
+                for _ in range(3):
                     t0 = time.perf_counter()
                     df.write.mode("overwrite").format("noop").save()
-                    dt = min(dt, time.perf_counter() - t0)
+                    samples.append(time.perf_counter() - t0)
+                dt = record(f"stress_{name}", samples)
                 stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
                 print(
-                    f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s)",
+                    f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s, "
+                    f"spread {stats[f'stress_{name}']['rel_spread']:.0%})",
                     file=sys.stderr,
                 )
         finally:
@@ -218,14 +244,16 @@ def main() -> int:
             ):
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm
-                dt = float("inf")
-                for _ in range(2):
+                samples = []
+                for _ in range(3):
                     t0 = time.perf_counter()
                     df.write.mode("overwrite").format("noop").save()
-                    dt = min(dt, time.perf_counter() - t0)
+                    samples.append(time.perf_counter() - t0)
+                dt = record(f"stress_{name}_events", samples)
                 stress[name + "_events_per_sec"] = round(ev_n / dt, 1)
                 print(
-                    f"# events stress {name}: {dt:.2f}s ({ev_n / dt:,.0f} events/s)",
+                    f"# events stress {name}: {dt:.2f}s ({ev_n / dt:,.0f} events/s, "
+                    f"spread {stats[f'stress_{name}_events']['rel_spread']:.0%})",
                     file=sys.stderr,
                 )
         finally:
@@ -243,6 +271,12 @@ def main() -> int:
         "stress_events": ev_n,
         **stress,
         "bulk_load_rows_per_sec": bulk_rows_per_sec,
+        # per-name {min, median, rel_spread, passes}: the recorded scalars
+        # above stay min-based (comparable to rounds 1-7); this block is the
+        # noise-vs-regression evidence (verdict r7 item 3)
+        "stats": stats,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_dir,
     }
     print(json.dumps(result))

@@ -46,16 +46,39 @@ def declare(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def _ordered() -> list[DeclaredQuery]:
-    """Oracle-backed queries first (insertion order), rows-only entries last.
+# The driver's correctness gate hash-compares a bounded PREFIX of queries()
+# (50 entries since round 2). Rounds 2-7 therefore always checked declaration
+# rows 1-50; oracle-backed rows declared after them (51+) only ever had
+# builder-side + judge-rehearsal green. Round 8 rotates the oracle-backed
+# ordering LEFT so the driver's 50-row window covers the LAST 50 declared
+# oracle rows — i.e. every row that has never had (or has the fewest) driver
+# verdicts, including anything appended this round; rows 1-(n-50) drop out of
+# the window this round but carry seven consecutive driver verdicts (r1-r7)
+# and stay oracle-checked at sf0.001 by tests/test_catalog_oracle.py on every
+# pytest run. The rotation is a pure function of the catalog (not
+# round-dependent state), so the ordering stays deterministic and
+# tests/test_entry_contract.py asserts it literally (see OPERATORS.md
+# "Driver-prefix rotation" for the schedule rationale).
+DRIVER_PREFIX = 50
 
-    The driver's correctness gate hash-compares a bounded prefix of
-    ``queries()`` (50 entries in rounds 2-3), so every hash-comparable query
-    must sit inside that prefix; rows-only entries carry a documented weaker
-    check and go at the end. Stable sort preserves declaration order within
-    each group.
+
+def rotation(n_oracle: int) -> int:
+    return max(0, n_oracle - DRIVER_PREFIX)
+
+
+def _ordered() -> list[DeclaredQuery]:
+    """Oracle-backed queries first (declaration order rotated left by
+    :func:`rotation`), rows-only entries last.
+
+    Every hash-comparable query must sit inside the driver's checked prefix
+    across rounds (the rotation schedules WHICH 50 this round); rows-only
+    entries carry a documented weaker check and always go at the end. Stable
+    sort preserves declaration order within each group before rotation.
     """
-    return sorted(CATALOG.values(), key=lambda q: q.oracle is None)
+    qs = sorted(CATALOG.values(), key=lambda q: q.oracle is None)
+    n_oracle = sum(1 for q in qs if q.oracle is not None)
+    r = rotation(n_oracle) % n_oracle if n_oracle else 0
+    return qs[r:n_oracle] + qs[:r] + qs[n_oracle:]
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -86,15 +86,26 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("event_type").isNotNull()
         )
     )
-    # deterministic in-session order without a second window pass:
-    # array_sort over (ts, event_id, event_type) structs sorts by field
-    # order, then the first PATH_STEPS types join into the path
+    # Bound the aggregation state BEFORE grouping: a bot/instrumentation-loop
+    # user emitting events forever at <30-min gaps produces ONE unbounded
+    # session, and a bare collect_list would materialize every event in that
+    # group's agg buffer (the classic hot-group OOM at 100x). Number events
+    # within the session and keep only the first PATH_STEPS, so the
+    # collect_list input — and the agg state — is <= PATH_STEPS structs per
+    # session. The window adds NO shuffle: hash(user_id) from sessionization
+    # already clusters (user_id, session_no), Spark only re-sorts in place.
+    in_session = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    head = numbered.withColumn("rn", F.row_number().over(in_session)).filter(
+        F.col("rn") <= PATH_STEPS
+    )
+    # deterministic in-session order: array_sort over (ts, event_id,
+    # event_type) structs sorts by field order (<= PATH_STEPS elements)
     path = F.expr(
-        "array_join(transform(slice(array_sort(collect_list("
-        f"struct(ts, event_id, event_type))), 1, {PATH_STEPS}),"
+        "array_join(transform(array_sort(collect_list("
+        "struct(ts, event_id, event_type))),"
         " s -> s.event_type), '>')"
     )
-    paths = numbered.groupBy("user_id", "session_no").agg(path.alias("path"))
+    paths = head.groupBy("user_id", "session_no").agg(path.alias("path"))
     census = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )

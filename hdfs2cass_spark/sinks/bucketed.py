@@ -78,8 +78,20 @@ def detect_hot_keys(
     aggregate (not the input again), and the driver sees at most ``top``
     rows via a TakeOrdered limit. At 100 TB that is ~the cost of the
     write's own repartition — cheap insurance against discovering the
-    straggler in production."""
-    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n")).persist()
+    straggler in production. (write_bucketed's default check avoids even
+    that: it scans the WRITTEN table's key column, not the upstream.)
+
+    NULL keys are excluded: NULL never equi-joins, so a mostly-NULL bucket
+    column would otherwise trip a misleading (None, n) hot-key warning
+    pointing at the salted writer when the right fix is filtering the NULLs
+    before the write (a NULL-heavy bucket is dead weight in the scan, not a
+    join-match straggler)."""
+    counts = (
+        df.filter(F.col(bucket_col).isNotNull())
+        .groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
     try:
         total = counts.agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_t")).first()["_t"]
         if total == 0:
@@ -135,30 +147,44 @@ def write_bucketed(
     :func:`write_bucketed_salted` instead — AQE cannot split a hot bucket
     (module docstring).
 
-    ``check_skew`` (round 7) runs :func:`detect_hot_keys` before writing —
-    the UNDECLARED hot key is the failure mode the salted variant cannot
-    guard against because nobody knew to reach for it. ``on_skew``:
-    "warn" (default) emits a warning naming the hot keys and the salted
-    writer; "raise" refuses the write; "ignore"/check_skew=False skips the
-    extra scan (callers who already profiled the key). An unrecognized
-    value fails loudly — a typo'd "error"/"abort" silently downgrading to
-    a warning would defeat the refuse-the-write intent."""
+    ``check_skew`` (round 7) runs :func:`detect_hot_keys` — the UNDECLARED
+    hot key is the failure mode the salted variant cannot guard against
+    because nobody knew to reach for it. ``on_skew``:
+    "warn" (default) checks AFTER the write by scanning the just-written
+    table's key column — a single-column parquet read, so an expensive
+    upstream is NEVER recomputed (round-7 advice: the pre-write check was a
+    silent 2x cost for expensive upstreams) — and emits a warning naming
+    the hot keys and the salted writer; "raise" checks BEFORE the write
+    (one full upstream recompute, the documented price of refusing the
+    write); "ignore"/check_skew=False skips the check entirely (callers who
+    already profiled the key). An unrecognized value fails loudly — a
+    typo'd "error"/"abort" silently downgrading to a warning would defeat
+    the refuse-the-write intent."""
     if on_skew not in ("warn", "raise", "ignore"):
         raise ValueError(f"on_skew must be 'warn', 'raise', or 'ignore', got {on_skew!r}")
-    if check_skew and on_skew != "ignore":
+    checking = check_skew and on_skew != "ignore"
+    if checking and on_skew == "raise":
         hot = detect_hot_keys(df, bucket_col, num_buckets, skew_ratio)
         if hot:
-            msg = (
-                f"write_bucketed({table!r}): hot join key(s) on {bucket_col!r} "
-                f"would make unsplittable oversized buckets (AQE cannot split "
-                f"a bucketed scan): {hot!r} each > {skew_ratio}x the average "
-                f"bucket; use write_bucketed_salted/write_bucketed_replicated "
-                f"+ join_salted instead"
-            )
-            if on_skew == "raise":
-                raise ValueError(msg)
-            warnings.warn(msg, stacklevel=2)
+            raise ValueError(_skew_msg(table, bucket_col, hot, skew_ratio))
     _write(df, table, path, [bucket_col], num_buckets, sort)
+    if checking and on_skew == "warn":
+        written = df.sparkSession.table(table).select(bucket_col)
+        hot = detect_hot_keys(written, bucket_col, num_buckets, skew_ratio)
+        if hot:
+            warnings.warn(
+                _skew_msg(table, bucket_col, hot, skew_ratio), stacklevel=2
+            )
+
+
+def _skew_msg(table: str, bucket_col: str, hot: list[tuple], skew_ratio: float) -> str:
+    return (
+        f"write_bucketed({table!r}): hot join key(s) on {bucket_col!r} "
+        f"would make unsplittable oversized buckets (AQE cannot split "
+        f"a bucketed scan): {hot!r} each > {skew_ratio}x the average "
+        f"bucket; use write_bucketed_salted/write_bucketed_replicated "
+        f"+ join_salted instead"
+    )
 
 
 def write_bucketed_salted(

@@ -404,13 +404,33 @@ def engagement_report_from_days(pairs: DataFrame) -> DataFrame:
 def cohort_report_from_weeks(pairs: DataFrame) -> DataFrame:
     """(cohort_week, week_offset, n_active, cohort_size, retention) — the
     exact shape of the batch cohort_retention query (oracle row 70) — from
-    the streamed (user_id, cohort_day, week_day) emission log. The log is
-    distinct by construction, so n_active is a plain count; grain after the
-    first aggregate is #cohorts x #offsets; the base-size join and rounding
-    are the SHARED fold (plans/eventfunnel.py cohort_report_from_act)."""
+    the streamed (user_id, cohort_day, week_day) emission log.
+
+    EVICTION-INDUCED COHORT SPLITS are healed here (round-7 advice): a
+    retention-evicted user who returns is assigned a NEW cohort_day by
+    :func:`stream_cohorts` (its state is gone — it cannot know the old
+    one), so the raw log can hold one user's weeks under TWO cohorts, and a
+    naive per-row aggregate would count that user in both cohorts'
+    n_active/cohort_size — diverging from the batch cohort_retention, which
+    pins ONE first-event cohort per user. The fix is the funnel_states
+    journey-recovery pattern: re-key every week row to the user's EARLIEST
+    logged cohort (the batch definition) via a user-partitioned min window,
+    then distinct — a post-eviction week re-emission (its dedup state was
+    also evicted) collapses with its earlier twin once both carry the same
+    cohort. One hash(user_id) shuffle; the distinct reuses the window's
+    partitioning (user_id ⊂ the distinct key). Grain after the aggregate is
+    #cohorts x #offsets; the base-size join and rounding are the SHARED
+    fold (plans/eventfunnel.py cohort_report_from_act)."""
+    from pyspark.sql.window import Window
+
     from ..plans.eventfunnel import cohort_report_from_act
 
-    act = pairs.groupBy(
+    one_cohort = pairs.select(
+        "user_id",
+        F.min("cohort_day").over(Window.partitionBy("user_id")).alias("cohort_day"),
+        "week_day",
+    ).distinct()
+    act = one_cohort.groupBy(
         F.date_from_unix_date("cohort_day").alias("cohort_week"),
         ((F.col("week_day") - F.col("cohort_day")) / F.lit(7))
         .cast("int")

@@ -143,6 +143,20 @@ def _invalidate_keepers(path: str) -> None:
         _KEEPER_CACHE.pop(d, None)
 
 
+def invalidate_cache(path: str | None = None) -> None:
+    """Explicitly drop cached keeper relations — REQUIRED after any
+    out-of-band wipe of an index directory. The cache's mtime validation
+    has filesystem granularity (1 s on many filesystems): a
+    wipe-indexes-and-restart flow that recreates an identically named
+    keeper within the same second would otherwise return a stale cached
+    relation pointing at deleted part files. ``path=None`` clears
+    everything; a path clears that index's keepers only."""
+    if path is None:
+        _KEEPER_CACHE.clear()
+    else:
+        _invalidate_keepers(path)
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -151,15 +165,21 @@ def _fs(spark: SparkSession, path: str):
 
 def _list(
     spark: SparkSession, path: str
-) -> tuple[list[tuple[int, int | None, str]], list[int]]:
+) -> tuple[list[tuple[int, int | None, str, bool]], list[int]]:
     """ONE directory listing -> (keeper metas sorted by id, batch ids
-    sorted). Keeper meta is (batch id, bucket count or None, dir path);
-    bucketed keepers are named ``keeper-<id>-nb<count>``, unbucketed
-    ``keeper-<id>``. One fs.listStatus per call — on object stores every
-    LIST is a billed, latency-bearing RPC, and the per-batch read path
-    calls this once per index."""
-    fs, hpath, _ = _fs(spark, path)
-    metas: list[tuple[int, int | None, str]] = []
+    sorted). Keeper meta is (batch id, bucket count or None, dir path,
+    _SUCCESS marker present); bucketed keepers are named
+    ``keeper-<id>-nb<count>``, unbucketed ``keeper-<id>``. One
+    fs.listStatus per call plus one exists() per keeper present (normally
+    exactly one) — on object stores every LIST is a billed, latency-bearing
+    RPC, and the per-batch read path calls this once per index. The marker
+    bit is load-bearing: a keeper WITHOUT it is a torn write (crash mid-
+    compaction) and must never be treated as authoritative — its sources
+    are guaranteed still present (deletes only run after the marker), so
+    readers fall back to them."""
+    fs, hpath, jvm = _fs(spark, path)
+    hdfs_path = jvm.org.apache.hadoop.fs.Path
+    metas: list[tuple[int, int | None, str, bool]] = []
     batches: list[int] = []
     if not fs.exists(hpath):
         return metas, batches
@@ -168,14 +188,18 @@ def _list(
         if name.startswith("keeper-"):
             parts = name.split("-")
             nb = int(parts[2][2:]) if len(parts) > 2 else None
-            metas.append((int(parts[1]), nb, f"{path}/{name}"))
+            d = f"{path}/{name}"
+            complete = bool(fs.exists(hdfs_path(f"{d}/_SUCCESS")))
+            metas.append((int(parts[1]), nb, d, complete))
         elif name.startswith("batch-"):
             batches.append(int(name.split("-", 1)[1]))
     metas.sort(key=lambda m: (m[0], -1 if m[1] is None else m[1]))
     return metas, sorted(batches)
 
 
-def _keeper_meta(spark: SparkSession, path: str) -> list[tuple[int, int | None, str]]:
+def _keeper_meta(
+    spark: SparkSession, path: str
+) -> list[tuple[int, int | None, str, bool]]:
     """Keeper metas only (see :func:`_list`)."""
     return _list(spark, path)[0]
 
@@ -183,7 +207,7 @@ def _keeper_meta(spark: SparkSession, path: str) -> list[tuple[int, int | None, 
 def _parts(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
     """(keeper ids, batch ids) currently present under ``path``, sorted."""
     metas, batches = _list(spark, path)
-    return [k for k, _, _ in metas], batches
+    return [m[0] for m in metas], batches
 
 
 def batch_dir(path: str, batch_id: int) -> str:
@@ -213,13 +237,13 @@ def touched_buckets(keys: DataFrame, cols: list[str], n_buckets: int) -> list[in
 
 def _read_keeper(
     spark: SparkSession,
-    meta: tuple[int, int | None, str],
+    meta: tuple[int, int | None, str, bool],
     prune: tuple[DataFrame, list[str]] | None = None,
 ) -> DataFrame:
     """One keeper directory as a DataFrame — pruned to the arriving side's
     buckets when the keeper is bucketed and ``prune=(keys_df, key_cols)`` is
     given. The ``_kb`` partition column never escapes."""
-    _, nb, d = meta
+    _, nb, d, _ = meta
     df = _keeper_raw_df(spark, d)
     if nb is None:
         return df
@@ -258,15 +282,23 @@ def read_split(
     key. Recent appends are bounded (<= compact_every triggers) and are
     never pruned."""
     keepers, batches = _list(spark, path)
-    # batch dirs with id < the newest keeper's id are ALREADY FOLDED into
-    # it — they exist only inside compact()'s write-then-delete window (or
-    # after a crash in it). Reading them would double-count every summed
-    # fold (fcnt stage counts, cnt freeze dfs) for any reader that races a
-    # compaction or inspects a crashed stream's indexes; the keeper is the
-    # authoritative copy, so stale batches are simply skipped.
-    if keepers:
-        batches = [b for b in batches if b >= keepers[-1][0]]
-    k = _read_keeper(spark, keepers[-1], prune) if keepers else None
+    # Only a COMPLETED (_SUCCESS-marked) keeper is authoritative. An
+    # external reader (read_funnel_incremental, read_decisions, a monitor)
+    # racing a live compaction mid-write — or inspecting a crashed stream
+    # before its replay — must never read a torn keeper as the only copy of
+    # the folded data; its sources are guaranteed still present (deletes
+    # run only after the marker), so fall back to the newest complete
+    # keeper and keep batch dirs >= ITS id.
+    complete = [m for m in keepers if m[3]]
+    # batch dirs with id < the newest COMPLETE keeper's id are ALREADY
+    # FOLDED into it — they exist only inside compact()'s write-then-delete
+    # window (or after a crash in it). Reading them would double-count
+    # every summed fold (fcnt stage counts, cnt freeze dfs) for any reader
+    # that races a compaction or inspects a crashed stream's indexes; the
+    # keeper is the authoritative copy, so stale batches are simply skipped.
+    if complete:
+        batches = [b for b in batches if b >= complete[-1][0]]
+    k = _read_keeper(spark, complete[-1], prune) if complete else None
     b = (
         spark.read.parquet(*[batch_dir(path, i) for i in batches])
         if batches
@@ -325,26 +357,33 @@ def compact(
     # done iff a COMPLETED (_SUCCESS-marked) keeper for this id exists; a
     # torn keeper (crash mid-write) forces the rebuild, whatever its name
     this_id = [m for m in keepers if m[0] == batch_id]
-    target = next(
-        (m[2] for m in this_id if fs.exists(hdfs_path(f"{m[2]}/_SUCCESS"))), None
-    )
+    target = next((m[2] for m in this_id if m[3]), None)
     if target is None:
         if not old_keepers and not old_batches:
             return False
-        # only the LATEST old keeper holds live data (earlier ones can linger
-        # solely after a crash mid-delete, and are strict subsets of it);
-        # batch dirs below that keeper's id are already folded into it (the
+        # only the LATEST old COMPLETE keeper holds live data (earlier ones
+        # can linger solely after a crash mid-delete, and are strict subsets
+        # of it; a torn one — crash mid-write — is partial and its sources
+        # are all still present, so it is delete-pass input only); batch
+        # dirs below that keeper's id are already folded into it (the
         # read_split invariant) — refolding them would double-count summed
         # folds permanently, so they are inputs to the DELETE pass only
         df: DataFrame | None = None
-        if old_keepers:
-            df = _read_keeper(spark, old_keepers[-1])
-            old_batches_live = [b for b in old_batches if b >= old_keepers[-1][0]]
+        old_complete = [m for m in old_keepers if m[3]]
+        if old_complete:
+            df = _read_keeper(spark, old_complete[-1])
+            old_batches_live = [b for b in old_batches if b >= old_complete[-1][0]]
         else:
             old_batches_live = old_batches
         if old_batches_live:
             b = spark.read.parquet(*[batch_dir(path, i) for i in old_batches_live])
             df = b if df is None else df.unionByName(b)
+        if df is None:
+            # only torn old keepers remain and no batch dirs — impossible
+            # under the protocol (a torn write leaves its sources intact),
+            # but never write a keeper from nothing: leave the torn dirs
+            # for a later compaction that has real sources
+            return False
         nb: int | None = None
         if bucket_cols is not None:
             # bucket sizing uses the PRE-fold source count: counting the

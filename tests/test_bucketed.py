@@ -234,3 +234,53 @@ def test_detect_hot_keys_empty_frame(spark):
 
     empty = spark.range(0).select(F.col("id").alias("k"))
     assert detect_hot_keys(empty, "k", 8) == []
+
+
+def test_detect_hot_keys_excludes_nulls(spark, tmp_path):
+    """NULL never equi-joins, so a mostly-NULL bucket column must not trip
+    a misleading (None, n) hot-key warning pointing at the salted writer
+    (round-7 advice): the right fix for NULL weight is filtering before the
+    write, and the sketch stays silent about it."""
+    import warnings as _w
+
+    from hdfs2cass_spark.sinks.bucketed import detect_hot_keys, write_bucketed
+
+    mostly_null = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1500, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    assert detect_hot_keys(mostly_null, "k", 8) == []
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        write_bucketed(mostly_null, "bt_nulls", str(tmp_path / "nn"), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS bt_nulls")
+
+
+def test_warn_mode_checks_written_table_not_upstream(spark, tmp_path):
+    """on_skew='warn' (the default) must read the WRITTEN table's key
+    column, never recompute the upstream — a silent 2x cost for expensive
+    upstreams (round-7 advice). Pinned with a Python-UDF upstream whose
+    invocations are counted: the write evaluates it once per row; the skew
+    check must add ZERO further invocations."""
+    from pyspark.sql.types import LongType
+
+    from hdfs2cass_spark.sinks.bucketed import write_bucketed
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def expensive(x):
+        calls.add(1)
+        return x
+
+    f = F.udf(expensive, LongType())
+    hot = spark.range(0, 400).select(
+        F.when(F.col("id") < 201, F.lit(7)).otherwise(F.col("id")).alias("raw"),
+        F.col("id").alias("v"),
+    ).select(f("raw").alias("k"), "v")
+    with pytest.warns(UserWarning, match="hot join key"):
+        write_bucketed(hot, "bt_postcheck", str(tmp_path / "pc"), "k", 8)
+    # the repartition+write evaluates the UDF once per row (maybe twice if
+    # the planner re-evaluates across the exchange); the post-write check
+    # reads parquet, so the count must not grow past the write's own reads
+    assert calls.value <= 2 * 400
+    spark.sql("DROP TABLE IF EXISTS bt_postcheck")

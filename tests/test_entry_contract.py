@@ -49,16 +49,21 @@ def test_events_queries_survive_missing_nanos_conf(spark):
 def test_driver_checked_prefix_order_is_frozen():
     """The driver's correctness gate hash-compares a bounded PREFIX of
     queries() and records per-position results round-over-round — so the
-    first 65 oracle-backed entries (every row documented driver-green or
-    rehearsal-green through round 6) must keep their exact order. New
-    oracle queries APPEND (declare them in a module imported AFTER every
-    module below — plans/report.py or later); declaring one in e.g.
-    quality.py registers mid-list and silently renumbers everything after
-    it (this happened within round 6: select_token_budget/lang_epoch_mix
-    displaced the then-documented rows 59-60 to 61/63). This test freezes
-    the FULL oracle-backed prefix — extend `frozen` every time a query is
-    appended (round 7: through row 78)."""
+    oracle-backed entries must keep a deterministic, documented order. New
+    oracle queries APPEND to the declaration order (declare them in a module
+    imported AFTER every module below); declaring one in e.g. quality.py
+    registers mid-list and silently renumbers everything after it (this
+    happened within round 6: select_token_budget/lang_epoch_mix displaced
+    the then-documented rows 59-60 to 61/63). `frozen` below is the
+    DECLARATION order (extend it every time a query is appended); the
+    exposed order is that list rotated left by registry.rotation(n) so the
+    driver's 50-row checked window covers the LAST 50 declared oracle rows
+    — every row that had never had a driver verdict through round 7 — see
+    OPERATORS.md "Driver-prefix rotation". This test asserts the exact
+    rotated order."""
     import __spark_entry__ as entry
+
+    from hdfs2cass_spark.plans.registry import rotation
 
     frozen = [
         "cql_reshape_customer", "thrift_melt_nation", "token_route_customer",
@@ -93,6 +98,13 @@ def test_driver_checked_prefix_order_is_frozen():
         "event_transition_matrix", "gopher_line_rules",
         "c4_quality_filter", "bpe_token_counts", "gopher_paragraph_rules",
         "session_top_paths", "engagement_dau_wau",
+        # round 8
+        "quality_classifier_score",
     ]
+    r = rotation(len(frozen)) % len(frozen)
+    rotated = frozen[r:] + frozen[:r]
     names = list(entry.queries())
-    assert names[: len(frozen)] == frozen
+    assert names[: len(frozen)] == rotated
+    # the rotation's whole point: every declaration row past 50 (never
+    # driver-checked through r7) must sit inside the driver's 50-row window
+    assert set(frozen[50:]) <= set(names[:50])

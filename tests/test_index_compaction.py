@@ -128,6 +128,82 @@ def test_crash_mid_delete_finishes_cleanup_without_reread(spark, tmp_path):
     assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 30))
 
 
+def test_readers_never_trust_a_torn_keeper(spark, tmp_path):
+    """An external reader (a monitor, read_funnel_incremental) racing a
+    live compaction mid-write — after the keeper dir exists but before its
+    _SUCCESS lands — must fall back to the newest COMPLETE keeper and keep
+    batch dirs >= ITS id; a torn keeper as the only visible copy of folded
+    data would silently serve partial rows (round-7 advice, medium)."""
+    p = str(tmp_path / "idx")
+    append(_mk(spark, 0, 10), p, 0)
+    append(_mk(spark, 10, 20), p, 1)
+    compact(spark, p, 2)  # complete keeper-2
+    append(_mk(spark, 20, 30), p, 2)
+    append(_mk(spark, 30, 40), p, 3)
+    # simulate a racing compact(4) caught mid-write: partial content, no marker
+    torn = f"{p}/keeper-{4:09d}"
+    _mk(spark, 0, 5).write.mode("overwrite").parquet(torn)
+    os.remove(f"{torn}/_SUCCESS")
+    keeper, recent = read_split(spark, p)
+    assert _rows(keeper) == _rows(_mk(spark, 0, 20))  # complete keeper-2
+    assert _rows(recent) == _rows(_mk(spark, 20, 40))  # batches >= 2 survive
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 40))
+
+
+def test_readers_with_only_a_torn_keeper_fall_back_to_batches(spark, tmp_path):
+    """No complete keeper at all (first-ever compaction caught mid-write):
+    every batch dir is still present and must stay visible."""
+    p = str(tmp_path / "idx")
+    append(_mk(spark, 0, 10), p, 0)
+    append(_mk(spark, 10, 20), p, 1)
+    torn = f"{p}/keeper-{2:09d}"
+    _mk(spark, 0, 3).write.mode("overwrite").parquet(torn)
+    os.remove(f"{torn}/_SUCCESS")
+    keeper, recent = read_split(spark, p)
+    assert keeper is None
+    assert _rows(recent) == _rows(_mk(spark, 0, 20))
+
+
+def test_compact_rebuild_ignores_torn_old_keeper_and_deletes_it(spark, tmp_path):
+    """A torn keeper from an EARLIER crashed compaction (id < the new
+    trigger) must not be folded as authoritative — its sources are still
+    present and carry the truth; the torn dir is delete-pass input only."""
+    p = str(tmp_path / "idx")
+    append(_mk(spark, 0, 10), p, 0)
+    append(_mk(spark, 10, 20), p, 1)
+    compact(spark, p, 2)  # complete keeper-2
+    append(_mk(spark, 20, 30), p, 2)
+    # crashed compact(3): torn keeper holding a partial subset
+    torn = f"{p}/keeper-{3:09d}"
+    _mk(spark, 0, 5).write.mode("overwrite").parquet(torn)
+    os.remove(f"{torn}/_SUCCESS")
+    append(_mk(spark, 30, 40), p, 3)
+    assert compact(spark, p, 4)
+    keepers, batches = _parts(spark, p)
+    assert keepers == [4] and batches == []  # torn keeper-3 deleted
+    assert _rows(read_index(spark, p)) == _rows(_mk(spark, 0, 40))
+
+
+def test_invalidate_cache_hook(spark, tmp_path):
+    """The wipe-and-restart escape hatch: mtime granularity (1 s on many
+    filesystems) means a same-second wipe+recreate of an identically named
+    keeper could serve a stale cached relation; invalidate_cache() is the
+    documented explicit fix."""
+    from hdfs2cass_spark.streaming.index import _KEEPER_CACHE, invalidate_cache
+
+    p = str(tmp_path / "idx")
+    append(_mk(spark, 0, 10), p, 0)
+    compact(spark, p, 1)
+    read_split(spark, p)  # populates the cache
+    assert any(d.startswith(f"{p}/keeper-") for d in _KEEPER_CACHE)
+    invalidate_cache(p)
+    assert not any(d.startswith(f"{p}/keeper-") for d in _KEEPER_CACHE)
+    read_split(spark, p)
+    assert any(d.startswith(f"{p}/keeper-") for d in _KEEPER_CACHE)
+    invalidate_cache()
+    assert not _KEEPER_CACHE
+
+
 def test_compact_on_empty_or_missing_path_is_a_noop(spark, tmp_path):
     p = str(tmp_path / "nothing")
     assert compact(spark, p, 5) is False

@@ -42,7 +42,7 @@ def test_pruned_read_touches_fewer_files_same_join_result(spark, tmp_path):
         bucket_cols=["h"],
         rows_per_bucket=100,  # 4000 rows -> 64 buckets
     )
-    (_, nb, _), = _keeper_meta(spark, p)
+    (_, nb, _, _), = _keeper_meta(spark, p)
     assert nb == 64
 
     arriving = _docs(spark, 2, 7).select("h")  # 5 keys -> <= 5 buckets
@@ -81,10 +81,10 @@ def test_bucket_count_grows_with_index(spark, tmp_path):
     p = str(tmp_path / "idx")
     append(_docs(spark, 0, 500), p, 0)
     compact(spark, p, 1, bucket_cols=["h"], rows_per_bucket=100)
-    (_, nb1, _), = _keeper_meta(spark, p)
+    (_, nb1, _, _), = _keeper_meta(spark, p)
     append(_docs(spark, 500, 4000), p, 1)
     compact(spark, p, 2, bucket_cols=["h"], rows_per_bucket=100)
-    (_, nb2, _), = _keeper_meta(spark, p)
+    (_, nb2, _, _), = _keeper_meta(spark, p)
     assert nb1 == MIN_BUCKETS and nb2 == 64 and nb2 > nb1
     assert read_index(spark, p).count() == 4000
 
@@ -98,7 +98,7 @@ def test_zero_row_fold_writes_readable_unbucketed_keeper(spark, tmp_path):
     p = str(tmp_path / "idx")
     append(_docs(spark, 0, 10).filter("doc_id < 0"), p, 0)  # empty append
     compact(spark, p, 1, bucket_cols=["h"], rows_per_bucket=100)
-    (_, nb, _), = _keeper_meta(spark, p)
+    (_, nb, _, _), = _keeper_meta(spark, p)
     assert nb is None  # partitionBy of an empty frame would be unreadable
     keeper, recent = read_split(spark, p, prune=(_docs(spark, 0, 1), ["h"]))
     assert keeper.count() == 0 and recent is None
@@ -118,20 +118,29 @@ def test_bucketed_keeper_refolds_into_next_compaction(spark, tmp_path):
 
 
 def test_crash_mid_write_torn_bucketed_keeper_rebuilds(spark, tmp_path):
-    """A torn BUCKETED keeper (no _SUCCESS) must be rebuilt — the done-check
-    matches completed keepers only, whatever the directory suffix says."""
+    """A torn BUCKETED keeper (no _SUCCESS) must be rebuilt from its
+    still-present sources — the done-check matches completed keepers only,
+    whatever the directory suffix says. The simulated state is the
+    protocol-REACHABLE one: a crash mid-write leaves the torn keeper AND
+    every batch dir it was folding (deletes only run after the marker), so
+    the rebuild reads the batches and the torn dir is delete-pass input
+    only (round-8 change: readers and rebuilds never trust a torn keeper —
+    pre-change this test wrongly removed _SUCCESS from a keeper whose
+    sources were already deleted, a state no crash can produce)."""
     import os
 
     p = str(tmp_path / "idx")
     for b in range(2):
         append(_docs(spark, 100 * b, 100 * (b + 1)), p, b)
-    compact(spark, p, 2, bucket_cols=["h"], rows_per_bucket=10)
-    (_, _, d), = _keeper_meta(spark, p)
-    os.remove(f"{d}/_SUCCESS")  # simulate the torn write
+    # simulate compact(2) crashing mid-write: a partial bucketed keeper-2
+    # exists without _SUCCESS, batches 0 and 1 are still present
+    torn = f"{p}/keeper-{2:09d}-nb00008"
+    _docs(spark, 0, 30).write.mode("overwrite").parquet(torn)
+    os.remove(f"{torn}/_SUCCESS")
     append(_docs(spark, 200, 300), p, 2)
     assert compact(spark, p, 3, bucket_cols=["h"], rows_per_bucket=10)
     metas = _keeper_meta(spark, p)
-    assert [m[0] for m in metas] == [3]
+    assert [m[0] for m in metas] == [3]  # torn keeper-2 deleted
     assert read_index(spark, p).count() == 300
 
 

@@ -130,6 +130,63 @@ def test_cross_engine_on_planted_events(spark, events_sf):
                     assert str(g) == str(w), (name, col, w, g)
 
 
+def test_top_paths_agg_input_is_rn_bounded(spark, events_sf):
+    """The collect_list input must be row_number-filtered to PATH_STEPS
+    BEFORE the groupBy — a bare collect_list over an unbounded bot session
+    (one user, <30-min gaps forever) materializes every event in that
+    group's agg buffer (the hot-group OOM at 100x; round-7 verdict item 2).
+    The filter must appear below the aggregate in the executed plan, and the
+    (user_id, session_no) window must NOT add a shuffle on top of
+    sessionization's hash(user_id) exchange."""
+    df = CATALOG["session_top_paths"].fn(spark, events_sf)
+    df.collect()  # AQE finalizes (exchange reuse is a runtime decision)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("collect_list")
+    assert agg_pos != -1
+    filt_pos = plan.find("rn", agg_pos)  # rn <= 5 filter BELOW the agg
+    assert filt_pos != -1 and "<= 5" in plan[filt_pos : filt_pos + 40]
+    # Catalyst pushes the rn<=5 into a WindowGroupLimit: each sort partition
+    # truncates to 5 rows/session BEFORE the window materializes anything
+    assert "WindowGroupLimit" in plan
+    # hash(user_id) from sessionization already clusters (user_id,
+    # session_no): the in-session window must re-sort in place, not shuffle
+    assert ", session_no" not in plan.split("Exchange hashpartitioning", 1)[-1].split(")", 1)[0]
+    # the census subtree feeds BOTH the top-k and the share denominator —
+    # AQE must reuse the census exchange, not recompute scan+sessionize
+    assert "ReusedExchange" in plan
+
+
+def test_top_paths_mega_session_bounded(spark, tmp_path):
+    """A bot user emitting 200k events at 10-s gaps forms ONE session; the
+    census must still answer (bounded agg state) and truncate its path to
+    the first PATH_STEPS types."""
+    n = 200_000
+    d = tmp_path / "bot_events"
+    d.mkdir()
+    types = ["view", "click", "view", "click", "purchase"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, n + 1), pa.int64()),
+                "ts": pa.array(
+                    [BASE + i * 10 * US for i in range(n)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([7] * n, pa.int64()),
+                "event_type": pa.array(
+                    [types[i % len(types)] for i in range(n)], pa.string()
+                ),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    rows = CATALOG["session_top_paths"].fn(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["path"] == "view>click>view>click>purchase"
+    assert rows[0]["n_sessions"] == 1
+
+
 def test_top_paths_census_is_takeordered_not_windowed(spark, events_sf):
     """The top-k must be TakeOrderedAndProject over the census — an
     unpartitioned row_number window would sort the full path census in one

@@ -1154,6 +1154,44 @@ def test_stream_cohorts_equals_batch(spark, sf_dir, events_dir):
     assert len(rep) > 0 and rep == want
 
 
+def test_cohort_report_heals_eviction_split_cohorts(spark):
+    """A retention-evicted user who returns is re-assigned a NEW cohort_day
+    by stream_cohorts (its state — including the old cohort — is gone), so
+    the raw emission log can carry one user's weeks under TWO cohorts and a
+    re-emitted duplicate week. cohort_report_from_weeks must count that
+    user ONCE, under the EARLIEST cohort, with weeks deduplicated — the
+    batch cohort_retention definition (round-7 advice item 4)."""
+    from hdfs2cass_spark.streaming.funnel import cohort_report_from_weeks
+
+    # Mondays as unix dates: 19723 = 2024-01-01
+    m0 = 19723
+    rows = [
+        # user 1, first journey: cohort m0, active weeks m0 and m0+7
+        (1, m0, m0),
+        (1, m0, m0 + 7),
+        # user 1 evicted, returns 10 weeks later: NEW cohort m0+70, and the
+        # return week emitted under it; plus a re-emission of week m0+7
+        # (its dedup state was evicted too)
+        (1, m0 + 70, m0 + 70),
+        (1, m0 + 70, m0 + 7),
+        # user 2: a clean single-journey cohort-m0 user active in week m0
+        (2, m0, m0),
+    ]
+    pairs = spark.createDataFrame(rows, "user_id long, cohort_day int, week_day int")
+    rep = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["cohort_size"])
+        for r in cohort_report_from_weeks(pairs).collect()
+    }
+    # ONE cohort (2024-01-01) — user 1's second journey folded into it
+    assert {k[0] for k in rep} == {"2024-01-01"}
+    # offset 0: both users; cohort_size 2 everywhere
+    assert rep[("2024-01-01", 0)] == (2, 2)
+    # offset 1: user 1 only, counted ONCE despite the duplicate emission
+    assert rep[("2024-01-01", 1)] == (1, 2)
+    # offset 10: user 1's return week, under the original cohort
+    assert rep[("2024-01-01", 10)] == (1, 2)
+
+
 def _run_stream_update(spark, df, name):
     q = (
         df.writeStream.format("memory")
