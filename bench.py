@@ -62,6 +62,10 @@ PIPELINE = [
     "c4_quality_filter",
     "bpe_token_counts",
     "gopher_paragraph_rules",
+    # added round 8 (fixture-weights learned quality scorer — map-side
+    # featurize + literal-weights margin): pipeline_total_sec is not
+    # comparable to rounds <= 7, earlier keys are
+    "quality_classifier_score",
 ]
 
 

@@ -106,6 +106,17 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s -> s.event_type), '>')"
     )
     paths = head.groupBy("user_id", "session_no").agg(path.alias("path"))
+    return top_paths_report(paths)
+
+
+def top_paths_report(paths: DataFrame) -> DataFrame:
+    """(rnk, path, n_sessions, share) from a one-row-per-session ``path``
+    frame — the ONE census fold, shared by the batch query above and the
+    streaming session-path log (streaming/funnel.py
+    session_paths_from_log), so the census/share/top-k semantics cannot
+    drift between the two surfaces."""
+    from pyspark.sql.window import Window
+
     census = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )

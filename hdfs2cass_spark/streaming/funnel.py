@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -387,6 +388,155 @@ def stream_active_days(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session-path census (the batch session_top_paths twin)
+# ---------------------------------------------------------------------------
+
+_PATHS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("path", StringType()),
+    ]
+)
+_PATHS_STATE = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("path", StringType()),
+    ]
+)
+
+SESSION_GAP_US = 1_800_000_000  # the ONE 30-min gap (plans/catalog.sessionized)
+
+
+def stream_session_paths(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+    path_steps: int = 5,
+) -> DataFrame:
+    """Incrementally maintained session paths: per-user state is ONLY the
+    CURRENT session (start, last event time, first ``path_steps`` event
+    types joined with '>') — O(1) per user by construction, the bound the
+    batch query gets from its pre-groupBy row_number filter. Every time a
+    session's path changes, (user_id, session_start_us, path) is emitted;
+    the path within one session only ever GROWS by appending, so the
+    emission log recovers each session's final path as its LONGEST logged
+    path (the funnel_states journey-key pattern, keyed by session start) —
+    a session closing (gap exceeded / state evicted) needs no extra
+    emission. Census with :func:`session_paths_from_log`.
+
+    ORDER CONTRACT (the stream_funnel boundary): with each user's events
+    arriving in non-decreasing ts order, session boundaries and paths are
+    row-identical to the batch 30-min-gap sessionization (both walk events
+    in (ts, event_id) order; the gap test is the same strict
+    ts - prev > 30 min in µs). Out-of-order arrival degrades GREEDILY: a
+    late event time-sorts within its own batch, but against state it can
+    only extend the CURRENT session (ts - last < 0 never opens a gap) —
+    it cannot retroactively split a session or reorder an already-built
+    path prefix. NULL user/ts/event_type rows are excluded, matching the
+    batch _PATH_WHERE."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = SESSION_GAP_US
+    steps = int(path_steps)
+
+    # self-contained closure (the stateful.py contract)
+    def advance(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            start, last, n, path = state.get
+        else:
+            start = None
+            last = n = 0
+            path = ""
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        out_starts: list[int] = []
+        out_paths: list[str] = []
+        dirty = False
+        for ev, ts in zip(rows["event_type"], rows["ts_us"]):
+            ts = int(ts)
+            if start is None or ts - last > gap_us:
+                if start is not None and dirty:
+                    # the closing session changed in THIS batch: emit its
+                    # final form before switching (unchanged-since-last-
+                    # batch sessions were already fully logged)
+                    out_starts.append(start)
+                    out_paths.append(path)
+                start, last, n, path, dirty = ts, ts, 1, str(ev), True
+            else:
+                if n < steps:
+                    path = f"{path}>{ev}"
+                    n += 1
+                    dirty = True
+                if ts > last:
+                    last = ts
+        state.update((start, last, n, path))
+        # batch-max anchor: see stream_funnel (watermark is 0 in batch 0)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), last // 1000) + retention_ms
+        )
+        if dirty:
+            out_starts.append(start)
+            out_paths.append(path)
+        if out_starts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_starts),
+                    "session_start_us": out_starts,
+                    "path": out_paths,
+                }
+            )
+
+    keyed = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _PATHS_OUT,
+        _PATHS_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def session_paths_from_log(emissions: DataFrame) -> DataFrame:
+    """(rnk, path, n_sessions, share) — the exact shape of the batch
+    session_top_paths query (oracle row 77) — from the streamed
+    (user_id, session_start_us, path) update log. Within one session the
+    path only grows by appending (write-once prefix), so the final path is
+    the LONGEST logged one — recovered with a max over (length, path)
+    structs per (user, session-start) journey key, then folded through the
+    SHARED census (plans/sessions.py top_paths_report), so the two
+    surfaces cannot drift."""
+    from ..plans.sessions import top_paths_report
+
+    paths = emissions.groupBy("user_id", "session_start_us").agg(
+        F.max(F.struct(F.length("path").alias("_l"), F.col("path")))["path"].alias(
+            "path"
+        )
+    )
+    return top_paths_report(paths)
 
 
 def engagement_report_from_days(pairs: DataFrame) -> DataFrame:

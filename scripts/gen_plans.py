@@ -227,15 +227,19 @@ SECTIONS = [
         "embarrassingly parallel at any corpus size (848k multi-line docs/s at the 1M-doc probe).",
     ),
     (
-        "session_top_paths (Sankey census — round 7)",
+        "session_top_paths (Sankey census — rounds 7-8)",
         "session_top_paths",
         "The session paths ride the SAME user_id window partitioning as sessionization (bounded "
-        "by one user's events — never a global sort); the path census is a partial/final "
-        "`HashAggregate` pair on the path string; the top-20 is `TakeOrderedAndProject` "
-        "(per-partition heaps truncate map-side — the census never flows through an "
-        "unpartitioned row_number window, plan-asserted); the share denominator is a 1-row "
-        "`BroadcastNestedLoopJoin` count-fold. The only unpartitioned Window ranks the <= 20 "
-        "survivors. 2.8M events/s at the 5M-event probe.",
+        "by one user's events — never a global sort). Round 8 bounds the AGGREGATION STATE: a "
+        "row_number over (user_id, session_no) filters to the first 5 events BEFORE the "
+        "collect_list — Catalyst pushes it into a `WindowGroupLimit` (each sort partition "
+        "truncates per session map-side), so a bot emitting one endless session can no longer "
+        "materialize every event in one agg buffer; the window adds NO exchange (hash(user_id) "
+        "already clusters the key). The path census is a partial/final `HashAggregate` pair on "
+        "the path string; the top-20 is `TakeOrderedAndProject`; the share denominator is a "
+        "1-row `BroadcastNestedLoopJoin` count-fold whose census subtree AQE reuses "
+        "(`ReusedExchange` — scan+sessionize run once). The only unpartitioned Window ranks "
+        "the <= 20 survivors.",
     ),
     (
         "engagement_dau_wau (exact sliding distinct — round 7)",

@@ -1154,6 +1154,87 @@ def test_stream_cohorts_equals_batch(spark, sf_dir, events_dir):
     assert len(rep) > 0 and rep == want
 
 
+def test_stream_session_paths_equals_batch(spark, sf_dir, events_dir):
+    """The streamed (user, session-start, path) update log folds through the
+    SHARED census into rows identical to the batch session_top_paths report
+    (oracle row 77) on in-order arrival."""
+    from hdfs2cass_spark.plans.registry import CATALOG
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        session_paths_from_log,
+        stream_session_paths,
+    )
+
+    got = _run_stream_update(
+        spark, stream_session_paths(stream_events(spark, events_dir)), "paths_eq_test"
+    )
+    rep = sorted(tuple(r) for r in session_paths_from_log(got).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["session_top_paths"].fn(spark, sf_dir).collect()
+    )
+    assert len(rep) > 0 and rep == want
+
+
+def test_stream_session_paths_greedy_cross_batch_boundary(spark, tmp_path):
+    """Cross-batch session continuation + the documented greedy boundary: a
+    LATE event (ts before the state's last seen) extends the CURRENT
+    session — it cannot retroactively split or reorder — while in-order
+    cross-batch events continue and close sessions exactly like batch."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        session_paths_from_log,
+        stream_session_paths,
+    )
+
+    src = tmp_path / "paths_src"
+    src.mkdir()
+    S = 10**9
+
+    def write_batch(name, rows):  # (event_id, ts_ns, user_id, type)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    base = 1704067200 * S
+    # batch 0: view at 10s, then a >30-min gap to click at 4200s — closes
+    # session 1 ("view"), opens session 2
+    write_batch("0.parquet", [(1, base + 10 * S, 1, "view"), (2, base + 4200 * S, 1, "click")])
+    _time.sleep(1.1)
+    # batch 1: a LATE scroll at 20s (before the state's last=4200) extends
+    # the CURRENT session greedily (batch would have put it in session 1);
+    # an in-order purchase at 4300s continues the same session
+    write_batch(
+        "1.parquet",
+        [(3, base + 20 * S, 1, "scroll"), (4, base + 4300 * S, 1, "purchase")],
+    )
+    _time.sleep(1.1)
+    # batch 2: 7000s is >30 min past 4300 — a new session opens cross-batch
+    write_batch("2.parquet", [(5, base + 7000 * S, 1, "view")])
+
+    got = _run_stream_update(
+        spark, stream_session_paths(stream_events(spark, str(src))), "paths_greedy_test"
+    )
+    rep = {r["path"]: r for r in session_paths_from_log(got).collect()}
+    assert rep["view"]["n_sessions"] == 2  # session 1 + the batch-2 session
+    assert rep["click>scroll>purchase"]["n_sessions"] == 1  # the greedy path
+    assert rep["view"]["rnk"] == 1
+
+
 def test_cohort_report_heals_eviction_split_cohorts(spark):
     """A retention-evicted user who returns is re-assigned a NEW cohort_day
     by stream_cohorts (its state — including the old cohort — is gone), so
