@@ -350,7 +350,26 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("prev_type"), "next_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    s = t.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return transition_report_from_counts(t)
+
+
+def transition_report_from_counts(t: DataFrame) -> DataFrame:
+    """The (prev_type, next_type, n, p_next) matrix from a
+    (prev_type, next_type, n) transition-count table — the ONE
+    row-normalizing fold, shared by the batch query above and the streaming
+    transition log (streaming/funnel.py transition_report_from_log), so the
+    P(next | prev) semantics cannot drift. Grain in = grain out =
+    #event-types^2 rows; the normalizer join touches #event-types rows.
+    The normalizer side renames its key before the self-join: both sides
+    derive from the same relation, and when that relation is a bare scan
+    (the streaming memory sink) the analyzer cannot disambiguate the
+    shared attribute ids."""
+    s = (
+        t.select(F.col("prev_type").alias("_pt"), "n")
+        .groupBy("_pt")
+        .agg(F.sum("n").alias("n_prev"))
+        .withColumnRenamed("_pt", "prev_type")
+    )
     return (
         t.join(F.broadcast(s), "prev_type")
         .select(

@@ -391,6 +391,120 @@ def stream_active_days(
 
 
 # ---------------------------------------------------------------------------
+# Streaming event-transition matrix (the batch event_transition_matrix twin)
+# ---------------------------------------------------------------------------
+
+_TRANS_OUT = StructType(
+    [
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+_TRANS_STATE = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def stream_transitions(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+) -> DataFrame:
+    """Incrementally maintained next-event transitions: per-user state is
+    ONLY the last seen event (type, ts, event_id) — O(1) per user. Each
+    micro-batch walks the user's events in (ts, event_id) order and emits
+    the batch's (prev_type, next_type, n) transition counts (update mode,
+    counts are PER BATCH and additive — the report sums them). Report with
+    :func:`transition_report_from_log`.
+
+    ORDER CONTRACT (the stream_funnel boundary): in-order arrival per user
+    reproduces the batch lead()-pair multiset exactly (same (ts, event_id)
+    walk). Out-of-order arrival degrades GREEDILY: a late event pairs with
+    whatever the state last saw — it cannot retroactively re-pair earlier
+    transitions. A retention-evicted user who returns loses exactly the
+    one transition that would have crossed the eviction gap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def advance(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_type, last_ts, last_eid = state.get
+        else:
+            last_type = None
+            last_ts = last_eid = 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        counts: dict[tuple[str, str], int] = {}
+        for ev, ts, eid in zip(rows["event_type"], rows["ts_us"], rows["event_id"]):
+            ts, eid = int(ts), int(eid)
+            if last_type is not None:
+                k = (last_type, str(ev))
+                counts[k] = counts.get(k, 0) + 1
+            last_type, last_ts, last_eid = str(ev), ts, eid
+        state.update((last_type, last_ts, last_eid))
+        # batch-max anchor: see stream_funnel (watermark is 0 in batch 0)
+        mx_ms = int(rows["ts_us"].max()) // 1000
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), mx_ms) + retention_ms
+        )
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "prev_type": [k[0] for k in ks],
+                    "next_type": [k[1] for k in ks],
+                    "n": [counts[k] for k in ks],
+                }
+            )
+
+    keyed = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _TRANS_OUT,
+        _TRANS_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def transition_report_from_log(emissions: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n, p_next) — the exact shape of the batch
+    event_transition_matrix (oracle row 72) — from the streamed per-batch
+    transition counts. Counts are additive across batches (each transition
+    is emitted exactly once, in the batch that observed its second event),
+    so a plain sum recovers the totals; the row-normalizing fold is SHARED
+    (plans/eventfunnel.py transition_report_from_counts)."""
+    from ..plans.eventfunnel import transition_report_from_counts
+
+    t = emissions.groupBy("prev_type", "next_type").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    return transition_report_from_counts(t)
+
+
+# ---------------------------------------------------------------------------
 # Streaming session-path census (the batch session_top_paths twin)
 # ---------------------------------------------------------------------------
 

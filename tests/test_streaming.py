@@ -1235,6 +1235,79 @@ def test_stream_session_paths_greedy_cross_batch_boundary(spark, tmp_path):
     assert rep["view"]["rnk"] == 1
 
 
+def test_stream_transitions_equals_batch(spark, sf_dir, events_dir):
+    """The streamed per-batch transition counts sum into rows identical to
+    the batch event_transition_matrix (oracle row 72) on in-order arrival —
+    the SHARED row-normalizing fold guarantees P(next|prev) can't drift."""
+    from hdfs2cass_spark.plans.registry import CATALOG
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        stream_transitions,
+        transition_report_from_log,
+    )
+
+    got = _run_stream_update(
+        spark, stream_transitions(stream_events(spark, events_dir)), "trans_eq_test"
+    )
+    rep = sorted(tuple(r) for r in transition_report_from_log(got).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["event_transition_matrix"].fn(spark, sf_dir).collect()
+    )
+    assert len(rep) > 0 and rep == want
+
+
+def test_stream_transitions_greedy_cross_batch(spark, tmp_path):
+    """Cross-batch pairing + the greedy boundary: an event in a later batch
+    pairs with the state's last event; a LATE event pairs with whatever the
+    state last saw (it cannot re-pair earlier transitions)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import (
+        stream_transitions,
+        transition_report_from_log,
+    )
+
+    src = tmp_path / "trans_src"
+    src.mkdir()
+    S = 10**9
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            src / name,
+        )
+
+    base = 1704067200 * S
+    write_batch("0.parquet", [(1, base + 10 * S, 1, "view"), (2, base + 20 * S, 1, "click")])
+    _time.sleep(1.1)
+    # batch 1: a LATE scroll at 15s pairs with the state's last (click),
+    # NOT between view and click (greedy); then purchase pairs with scroll
+    write_batch("1.parquet", [(3, base + 15 * S, 1, "scroll"), (4, base + 30 * S, 1, "purchase")])
+
+    got = _run_stream_update(
+        spark, stream_transitions(stream_events(spark, str(src))), "trans_greedy_test"
+    )
+    rep = {(r["prev_type"], r["next_type"]): r["n"] for r in transition_report_from_log(got).collect()}
+    assert rep == {
+        ("view", "click"): 1,
+        ("click", "scroll"): 1,  # greedy: late scroll pairs with click
+        ("scroll", "purchase"): 1,
+    }
+
+
 def test_cohort_report_heals_eviction_split_cohorts(spark):
     """A retention-evicted user who returns is re-assigned a NEW cohort_day
     by stream_cohorts (its state — including the old cohort — is gone), so
