@@ -64,43 +64,65 @@ def embed_texts(
     """
     if dims < 2 or dims > 4096:
         raise ValueError(f"dims must be in [2, 4096], got {dims}")
-    if hash_mode == "xxhash64":
-        h = "xxhash64(_w)"  # JVM-native, the production path
-    elif hash_mode == "md5":
-        # the oracle-checkable twin: same 60-bit md5-derived word hash as
-        # plans.llm.hash60_spark / hash60_duck, so a DuckDB query can
-        # reproduce the embedding bit-for-bit (text_embed_near_dup_pairs_md5)
-        h = "CAST(conv(substr(md5(CAST(_w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    else:
-        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+    bucket, sign = bucket_sign_exprs(hash_mode, dims)
     words = d.select(
         F.col(id_col),
         # the shared explicit-whitespace tokenizer (Java \s vs RE2 \s
         # diverge on \x0B; functions/tokenize.py)
         F.explode(F.expr(words_spark(text_col))).alias("_w"),
-    ).select(
-        id_col,
-        F.expr(f"CAST(pmod({h}, {dims}) AS INT)").alias("_b"),
-        F.expr(f"CASE WHEN (pmod({h}, {2 * dims}) DIV {dims}) = 0 "
-               "THEN 1 ELSE -1 END").alias("_s"),
+    ).select(id_col, bucket.alias("_b"), sign.alias("_s"))
+    return (
+        words.groupBy(id_col)
+        .agg(*embed_sum_aggs(dims))
+        .withColumn("_raw", F.array(*[F.col(f"_d{i}") for i in range(dims)]))
+        .withColumn("_n", F.expr(NORM_SQL))
+        .select(id_col, F.expr(NORMALIZE_SQL).alias(out_col))
     )
-    sums = [
+
+
+# The shareable pieces of the embedding aggregate — exported so a composing
+# operator (the quality classifier's fused featurizer,
+# plans/quality_clf.py) can compute the embedding sums and its own
+# word-statistics aggregates in ONE explode + ONE groupBy instead of
+# tokenizing the corpus twice and joining, WITHOUT duplicating the
+# hash/bucket/sign/normalize arithmetic (drift here would silently fork the
+# md5 oracle twins).
+
+NORM_SQL = "sqrt(aggregate(_raw, 0D, (a, x) -> a + x * x))"
+NORMALIZE_SQL = (
+    "transform(_raw, x -> CAST(CASE WHEN _n = 0 THEN 0.0 ELSE x / _n END AS FLOAT))"
+)
+
+
+def word_hash_sql(hash_mode: str) -> str:
+    """The per-word hash over an exploded ``_w`` column."""
+    if hash_mode == "xxhash64":
+        return "xxhash64(_w)"  # JVM-native, the production path
+    if hash_mode == "md5":
+        # the oracle-checkable twin: same 60-bit md5-derived word hash as
+        # plans.llm.hash60_spark / hash60_duck, so a DuckDB query can
+        # reproduce the embedding bit-for-bit (text_embed_near_dup_pairs_md5)
+        return "CAST(conv(substr(md5(CAST(_w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+
+
+def bucket_sign_exprs(hash_mode: str, dims: int):
+    """(bucket, sign) columns over an exploded ``_w`` word column."""
+    h = word_hash_sql(hash_mode)
+    return (
+        F.expr(f"CAST(pmod({h}, {dims}) AS INT)"),
+        F.expr(
+            f"CASE WHEN (pmod({h}, {2 * dims}) DIV {dims}) = 0 THEN 1 ELSE -1 END"
+        ),
+    )
+
+
+def embed_sum_aggs(dims: int) -> list:
+    """The ``dims`` signed-bucket histogram sums _d0.._d{dims-1} over
+    (_b, _s) columns."""
+    return [
         F.coalesce(
             F.sum(F.when(F.col("_b") == i, F.col("_s"))), F.lit(0)
         ).cast("double").alias(f"_d{i}")
         for i in range(dims)
     ]
-    raw = F.array(*[F.col(f"_d{i}") for i in range(dims)])
-    norm = "sqrt(aggregate(_raw, 0D, (a, x) -> a + x * x))"
-    return (
-        words.groupBy(id_col)
-        .agg(*sums)
-        .withColumn("_raw", raw)
-        .withColumn("_n", F.expr(norm))
-        .select(
-            id_col,
-            F.expr(
-                "transform(_raw, x -> CAST(CASE WHEN _n = 0 THEN 0.0 ELSE x / _n END AS FLOAT))"
-            ).alias(out_col),
-        )
-    )

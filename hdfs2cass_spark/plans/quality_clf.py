@@ -77,7 +77,17 @@ _STATS_SPARK = (
 
 def _features_spark(d: DataFrame, hash_mode: str) -> DataFrame:
     """(doc_id, features: array<double>[68]) — hashed-BoW embedding ++ doc
-    stats. NULL-text docs are absent (the embedder's contract)."""
+    stats, joined on doc_id. NULL-text docs are absent (the embedder's
+    contract; the oracle CTE filters identically).
+
+    Shape decision, MEASURED (round 8): fusing the stats into the
+    embedding's explode+aggregate (one tokenization, no join) looks like
+    the obvious win but LOSES 10-15% at the 1M-doc stress shape (md5 4.11s
+    join vs 4.54s fused; xxhash64 3.07 vs 3.57, min-of-3 same-JVM,
+    bit-equal outputs): the per-word stat columns widen every exploded row
+    and the aggregation state, while the join form evaluates the stats as
+    per-doc array lambdas (1M rows, not 30M) and the doc_id join is cheap
+    next to the explode aggregate. Keep the join."""
     from ..operators.embed import embed_texts
 
     emb = embed_texts(_spread_docs(d), dims=_DIMS, hash_mode=hash_mode)
