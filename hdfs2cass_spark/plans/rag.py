@@ -61,10 +61,20 @@ _CNORM = embed_norm_expr()
 _CARR = embed_arr_expr()
 
 
-@declare(
-    "rag_chunk_retrieval_md5",
-    oracle=f"""
-    WITH {_embed_md5_duck_ctes()},
+def _retrieval_ctes(with_vec: bool = False) -> str:
+    """The chunk -> embed -> rank CTE chain (emb .. ranked) shared by the
+    retrieval oracle and the MMR-rerank oracle. ``with_vec`` additionally
+    carries each candidate chunk's embedding and its L2 norm through sims/
+    ranked (the MMR oracle needs candidate-candidate similarities)."""
+    vec_sel = (
+        ",\n             c.cembedding AS cembedding,\n"
+        "             sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "c.cembedding[i]::DOUBLE * c.cembedding[i]::DOUBLE))) AS cn"
+        if with_vec
+        else ""
+    )
+    vec_carry = ", cembedding, cn" if with_vec else ""
+    return f"""{_embed_md5_duck_ctes()},
     cgrid AS (
       SELECT doc_id, ws, n,
              unnest(generate_series(0, {CHUNK_LAST_DUCK})) AS chunk_id
@@ -91,16 +101,22 @@ _CARR = embed_arr_expr()
       FROM (SELECT *, sqrt({_CNORM}) AS nrm FROM cagg) t),
     sims AS (
       SELECT q.vec_id AS q_id, c.doc_id, c.chunk_id,
-             round({_cosine_duck('q.embedding', 'c.cembedding')}, 6) AS cosine
+             round({_cosine_duck('q.embedding', 'c.cembedding')}, 6) AS cosine{vec_sel}
       FROM (SELECT * FROM emb WHERE vec_id < {_N_QUERIES}) q
       CROSS JOIN cemb c
       WHERE c.doc_id <> q.vec_id
         AND {_cosine_duck('q.embedding', 'c.cembedding')} IS NOT NULL),
     ranked AS (
-      SELECT q_id, doc_id, chunk_id, cosine,
+      SELECT q_id, doc_id, chunk_id, cosine{vec_carry},
              ROW_NUMBER() OVER (PARTITION BY q_id
                                 ORDER BY cosine DESC, doc_id, chunk_id) AS rnk
-      FROM sims)
+      FROM sims)"""
+
+
+@declare(
+    "rag_chunk_retrieval_md5",
+    oracle=f"""
+    WITH {_retrieval_ctes()}
     SELECT q_id, doc_id, chunk_id, cosine, CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= {_RAG_K} ORDER BY q_id, rnk
     """,
@@ -138,8 +154,11 @@ def rag_retrieve_df(
     k: int = _RAG_K,
     n_queries: int = _N_QUERIES,
     hash_mode: str = "xxhash64",
+    keep_vectors: bool = False,
 ) -> DataFrame:
-    """Composable form over any (doc_id, text, ...) DataFrame."""
+    """Composable form over any (doc_id, text, ...) DataFrame.
+    ``keep_vectors`` carries each hit's chunk embedding through the top-k
+    (the MMR reranker consumes candidate-candidate similarities)."""
     from ..operators.embed import embed_texts
 
     ws = (
@@ -186,6 +205,7 @@ def rag_retrieve_df(
         F.col("embedding").alias("qe"),
         F.expr(_norm_sql("embedding")).alias("_qn"),
     )
+    vec_cols = ["cembedding"] if keep_vectors else []
     sims = (
         F.broadcast(qemb)
         .crossJoin(cemb)
@@ -197,6 +217,7 @@ def rag_retrieve_df(
             F.round(_cosine_prenormed("qe", "cembedding", "_qn", "_cn"), 6).alias(
                 "cosine"
             ),
+            *vec_cols,
         )
         .filter(F.col("cosine").isNotNull())
     )
@@ -210,6 +231,9 @@ def rag_retrieve_df(
     )
     return (
         ranked.filter(F.col("rnk") <= k)
-        .select("q_id", "doc_id", "chunk_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+        .select(
+            "q_id", "doc_id", "chunk_id", "cosine",
+            F.col("rnk").cast("int").alias("rnk"), *vec_cols,
+        )
         .orderBy("q_id", "rnk")
     )

@@ -99,7 +99,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "c4_quality_filter", "bpe_token_counts", "gopher_paragraph_rules",
         "session_top_paths", "engagement_dau_wau",
         # round 8
-        "quality_classifier_score",
+        "quality_classifier_score", "rag_mmr_rerank_md5",
     ]
     r = rotation(len(frozen)) % len(frozen)
     rotated = frozen[r:] + frozen[:r]

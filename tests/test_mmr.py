@@ -1,0 +1,88 @@
+"""MMR reranking (operators/rerank.py + plans/mmr.py): the diversity
+property on planted candidates, selection invariants, and the twin
+contract. Cross-engine trajectory equality is the oracle's job
+(rag_mmr_rerank_md5 hash-matches the DuckDB recursive-CTE twin at two
+scale factors via the catalog gate)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.operators.rerank import mmr_rerank
+from hdfs2cass_spark.plans.registry import CATALOG
+
+
+def _unit(*vals):
+    n = math.sqrt(sum(v * v for v in vals))
+    return [float(v / n) for v in vals] + [0.0] * (64 - len(vals))
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "q_id long, doc_id long, chunk_id int, cosine double, cembedding array<float>"
+    )
+
+
+def test_mmr_demotes_the_near_duplicate(spark):
+    """The reason MMR exists: candidate B is a near-copy of the top hit A
+    (cos(A,B) ~ 1), candidate C is less relevant but orthogonal. Plain
+    top-k ranks A, B, C; MMR must select A, then C (B's redundancy penalty
+    ~ its full relevance), then B."""
+    a = _unit(1.0, 0.0)
+    b = _unit(0.999, 0.01)  # near-copy of a
+    c = _unit(0.0, 1.0)  # orthogonal
+    rows = [
+        (0, 10, 0, 0.9, a),
+        (0, 11, 0, 0.89, b),
+        (0, 12, 0, 0.5, c),
+    ]
+    got = mmr_rerank(_cands(spark, rows), k=3).collect()
+    assert [(r["doc_id"], r["sel_rank"]) for r in got] == [(10, 1), (12, 2), (11, 3)]
+    # step-1 score is half the relevance (maxsim over the empty set is 0)
+    assert got[0]["mmr_score"] == pytest.approx(0.45)
+    # the near-dup's score carries the ~1.0 redundancy penalty
+    assert got[2]["mmr_score"] < 0
+
+
+def test_mmr_selection_invariants(spark):
+    """k-bounded output, 1..k ranks, ties broken on (doc_id, chunk_id),
+    cosine preserved through quantization."""
+    e1, e2, e3 = _unit(1, 0, 0), _unit(0, 1, 0), _unit(0, 0, 1)
+    rows = [
+        (0, 2, 1, 0.7, e1),
+        (0, 2, 0, 0.7, e2),  # tie with (2,1): lower chunk_id wins
+        (0, 1, 5, 0.7, e3),  # tie: lowest doc_id wins overall
+        (1, 9, 0, 0.3, e1),  # second query group, single candidate
+    ]
+    got = {r["q_id"]: [] for r in []}
+    out = mmr_rerank(_cands(spark, rows), k=2).collect()
+    q0 = [r for r in out if r["q_id"] == 0]
+    q1 = [r for r in out if r["q_id"] == 1]
+    assert [r["sel_rank"] for r in q0] == [1, 2]
+    assert (q0[0]["doc_id"], q0[0]["chunk_id"]) == (1, 5)
+    # second pick: orthogonal candidates tie on score -> (2, 0) over (2, 1)
+    assert (q0[1]["doc_id"], q0[1]["chunk_id"]) == (2, 0)
+    assert [round(r["cosine"], 6) for r in q0] == [0.7, 0.7]
+    assert len(q1) == 1 and q1[0]["sel_rank"] == 1
+
+
+def test_mmr_twins_share_shape_and_diversify(spark, sf_dir):
+    """Both declared twins return the same schema and their selections are
+    no less diverse than the plain retrieval's top-k (the MMR guarantee on
+    an overlap-chunked corpus: adjacent chunks of one doc stop crowding
+    the result list)."""
+    md5 = CATALOG["rag_mmr_rerank_md5"].fn(spark, sf_dir)
+    xx = CATALOG["rag_mmr_rerank"].fn(spark, sf_dir)
+    assert md5.columns == xx.columns == [
+        "q_id", "doc_id", "chunk_id", "cosine", "mmr_score", "sel_rank",
+    ]
+    a, b = md5.collect(), xx.collect()
+    assert len(a) == len(b) > 0
+    plain = CATALOG["rag_chunk_retrieval_md5"].fn(spark, sf_dir).collect()
+
+    def n_docs(rows):
+        return len({(r["q_id"], r["doc_id"]) for r in rows})
+
+    # per (query, doc) multiplicity can only drop under MMR
+    assert n_docs(a) >= n_docs(plain)
