@@ -63,9 +63,11 @@ PIPELINE = [
     "bpe_token_counts",
     "gopher_paragraph_rules",
     # added round 8 (fixture-weights learned quality scorer — map-side
-    # featurize + literal-weights margin): pipeline_total_sec is not
-    # comparable to rounds <= 7, earlier keys are
+    # featurize + literal-weights margin; reference-LM perplexity terciles
+    # — ref-split bigram fit + left-join score + histogram-rank buckets):
+    # pipeline_total_sec is not comparable to rounds <= 7, earlier keys are
     "quality_classifier_score",
+    "ref_perplexity_buckets",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Reference-LM perplexity bucketing (oracle row 81) — the ACTUAL CCNet
+recipe shape.
+
+``bigram_logprob_score`` (plans/lm.py) fits its LM on the corpus being
+scored; CCNet (Wenzek et al. 2020) fits on a trusted REFERENCE corpus
+(Wikipedia), scores the crawl with it, and splits each language into
+head / middle / tail perplexity TERCILES — downstream training samples
+head-heavy. This module declares that full recipe in-dataflow:
+
+  - fit: the bigram MLE model (the lm.py arithmetic, unchanged) over the
+    REFERENCE split (doc_id % REF_MOD == 0 — the crossdedup fixture
+    convention for "the corpus we trust");
+  - score: every NEW doc's average log P(w_i | w_{i-1}) under that model,
+    transitions unseen in the reference floored at OOV_LOGP (a crawl doc
+    full of reference-unseen transitions scores to the floor — exactly the
+    signal the filter wants);
+  - bucket: per-language head/middle/tail terciles of the score.
+
+TERCILES AT 100 TB (the interesting part): NTILE(3) OVER (PARTITION BY
+lang ORDER BY ...) is the one-line oracle, but a per-language window over
+the scored corpus is the single-task-window anti-pattern — one task sorts
+one language's entire corpus. The Spark plan computes the IDENTICAL
+bucketing without it, the corpus_stats_report histogram trick extended to
+ranks: scores are rounded to 6dp, so the (lang, score) HISTOGRAM is small;
+a window over the histogram gives each score's "better-rows-before-me"
+offset; each doc's exact rank = that offset + its row_number among its
+equal-score peers (a (lang, score)-partitioned window — bounded by tie
+counts, not corpus size); the ntile bucket is then closed-form arithmetic
+on (rank, n). Every window in the plan is bounded: histogram-sized or
+tie-sized, never corpus-sized. Engine-exactness: ranks are exact integers
+under the deterministic (score DESC, doc_id) order, and the closed-form
+bucket reproduces NTILE's ceil/floor sizes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .crossdedup import REF_MOD
+from .llm import W_DUCK, W_SPARK, _spread_docs, hash60_duck, hash60_spark
+from .lm import _LOGP_DEC
+from .registry import declare
+
+# OOV floor for transitions unseen in the reference model: strictly below
+# any MLE log-prob a realistic reference can produce (ln(1/cnt_a) with
+# cnt_a ~ 1e13 is ~ -29.9), and a CONSTANT so the score stays a pure
+# function of the doc + model (no corpus-size coupling)
+OOV_LOGP = -30.0
+
+
+@declare(
+    "ref_perplexity_buckets",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, {W_DUCK} AS ws FROM documents
+      WHERE text IS NOT NULL AND len({W_DUCK}) >= 2),
+    big AS (
+      SELECT doc_id, lang,
+             {hash60_duck("ws[i]")} AS a,
+             {hash60_duck("ws[i + 1]")} AS b
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+    refb AS (SELECT a, b FROM big WHERE doc_id % {REF_MOD} = 0),
+    cb AS (SELECT a, b, COUNT(*) AS cnt_ab FROM refb GROUP BY a, b),
+    cu AS (SELECT a, SUM(cnt_ab) AS cnt_a FROM cb GROUP BY a),
+    model AS (
+      SELECT cb.a, cb.b,
+             CAST(round(ln(CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)), 9)
+                  AS {_LOGP_DEC}) AS logp
+      FROM cb JOIN cu ON cu.a = cb.a),
+    scored AS (
+      SELECT big.doc_id, big.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN model.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_bigrams,
+             round(CAST(SUM(coalesce(model.logp,
+                                     CAST({OOV_LOGP} AS {_LOGP_DEC}))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_logprob
+      FROM big LEFT JOIN model ON model.a = big.a AND model.b = big.b
+      WHERE big.doc_id % {REF_MOD} <> 0
+      GROUP BY big.doc_id, big.lang)
+    SELECT doc_id, lang, n_bigrams, oov_bigrams, avg_logprob,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id) AS INTEGER)
+             AS bucket
+    FROM scored ORDER BY doc_id
+    """,
+    doc=f"The CCNet reference-perplexity recipe: a bigram MLE model fit on "
+    f"the REFERENCE split (doc_id %% {REF_MOD} == 0), every other doc "
+    f"scored by its average log P(w|prev) under that model (reference-"
+    f"unseen transitions floored at {OOV_LOGP} — the crawl-gibberish "
+    f"signal), then per-language head/middle/tail terciles (bucket 1 = "
+    f"best). The oracle buckets with NTILE; the Spark plan reproduces the "
+    f"identical ranks from a (lang, score)-HISTOGRAM window + tie-local "
+    f"row_numbers + closed-form ntile arithmetic — no corpus-sized window "
+    f"anywhere (every window is histogram- or tie-bounded).",
+)
+def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bigram = (
+        f"transform(sequence(1, size(ws) - 1), i -> struct("
+        f"{hash60_spark('element_at(ws, i)')} AS a, "
+        f"{hash60_spark('element_at(ws, i + 1)')} AS b))"
+    )
+    big = (
+        _spread_docs(d)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr("size(ws) >= 2"))
+        .select("doc_id", "lang", F.explode(F.expr(bigram)).alias("g"))
+        .select("doc_id", "lang", "g.a", "g.b")
+    )
+    refb = big.filter(F.col("doc_id") % REF_MOD == 0).select("a", "b")
+    cb = refb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    cu = cb.groupBy("a").agg(F.sum("cnt_ab").alias("cnt_a"))
+    model = cb.join(cu, "a").select(
+        "a",
+        "b",
+        F.expr(
+            f"CAST(round(ln(CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)), 9)"
+            f" AS {_LOGP_DEC})"
+        ).alias("logp"),
+    )
+    scored = (
+        big.filter(F.col("doc_id") % REF_MOD != 0)
+        .join(model, ["a", "b"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_bigrams"),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.col("logp"), F.expr(f"CAST({OOV_LOGP} AS {_LOGP_DEC})")
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    # Exact per-language terciles WITHOUT a corpus-sized window:
+    #   rank(doc) = (#rows with strictly better (score, doc_id)) + row_number
+    #               among equal-score peers,
+    # where "better" counts come from a cumulative window over the SMALL
+    # (lang, score) histogram and the peer row_number partitions by
+    # (lang, score) — tie-bounded. NTILE(3)'s bucket for rank r over n rows
+    # (q = n DIV 3, rem = n % 3) in closed form:
+    #   r <= q + min(rem, 1)      -> 1
+    #   r <= 2q + min(rem, 2)     -> 2
+    #   else                      -> 3
+    hist = scored.groupBy("lang", "avg_logprob").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("avg_logprob").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "lang",
+        "avg_logprob",
+        F.coalesce(F.sum("_c").over(hw), F.lit(0)).alias("_before"),
+        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
+    )
+    peers = Window.partitionBy("lang", "avg_logprob").orderBy("doc_id")
+    ranked = (
+        scored.join(hist, ["lang", "avg_logprob"])
+        .withColumn("_r", F.col("_before") + F.row_number().over(peers))
+    )
+    bucket = F.when(
+        F.col("_r") <= F.expr("_n DIV 3 + least(_n % 3, 1)"), 1
+    ).when(F.col("_r") <= F.expr("2 * (_n DIV 3) + least(_n % 3, 2)"), 2).otherwise(3)
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "oov_bigrams",
+            "avg_logprob",
+            bucket.cast("int").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
