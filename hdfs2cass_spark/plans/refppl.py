@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
 from .crossdedup import REF_MOD
@@ -99,18 +100,36 @@ OOV_LOGP = -30.0
 )
 def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bigram = (
-        f"transform(sequence(1, size(ws) - 1), i -> struct("
-        f"{hash60_spark('element_at(ws, i)')} AS a, "
-        f"{hash60_spark('element_at(ws, i + 1)')} AS b))"
-    )
     big = (
         _spread_docs(d)
         .filter(F.col("text").isNotNull())
         .select("doc_id", "lang", F.expr(W_SPARK).alias("ws"))
         .filter(F.expr("size(ws) >= 2"))
-        .select("doc_id", "lang", F.explode(F.expr(bigram)).alias("g"))
+        # hash each word ONCE into an array, then pair adjacent hashes:
+        # the inlined per-pair form md5-hashes every word twice (as pair
+        # i's second element and pair i+1's first) — measured 2.5s -> 1.7s
+        # on the position table at the 1M-doc stress; values identical
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"transform(ws, w -> {hash60_spark('w')})").alias("hs"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(hs) - 1), i -> "
+                    "struct(element_at(hs, i) AS a, element_at(hs, i + 1) AS b))"
+                )
+            ).alias("g"),
+        )
         .select("doc_id", "lang", "g.a", "g.b")
+        # the position table feeds TWO branches (reference model fit +
+        # new-split scoring) and its explode lambda never passes
+        # ReuseExchange — materialize once (the lm.py rationale verbatim;
+        # measured 18.2s -> see ROUND8.md at the 1M-doc stress)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     refb = big.filter(F.col("doc_id") % REF_MOD == 0).select("a", "b")
     cb = refb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
@@ -123,7 +142,7 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS {_LOGP_DEC})"
         ).alias("logp"),
     )
-    scored = (
+    scored_plan = (
         big.filter(F.col("doc_id") % REF_MOD != 0)
         .join(model, ["a", "b"], "left")
         .groupBy("doc_id", "lang")
@@ -142,6 +161,15 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
+    )
+    # the DOC-GRAIN score table feeds two consumers (the rank histogram and
+    # the final join) whose exchanges differ — materialize it once so the
+    # expensive fit+score subtree never runs twice (the table is #new-docs
+    # rows, 6 narrow columns; at the 1M-doc stress the win is modest — the
+    # md5 word hashing dominates — but at 100 TB the avoided recompute is
+    # the full fit+score, not a hash-bound scan)
+    scored = scored_plan.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     # Exact per-language terciles WITHOUT a corpus-sized window:
     #   rank(doc) = (#rows with strictly better (score, doc_id)) + row_number
