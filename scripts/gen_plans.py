@@ -251,6 +251,43 @@ SECTIONS = [
         "count per day is the standard two-phase expand aggregate. 1.85M events/s at the "
         "5M-event probe.",
     ),
+    (
+        "quality_classifier_score (learned scorer — round 8)",
+        "quality_classifier_score",
+        "The CCNet/fastText-style learned quality scorer with the committed fixture weights: "
+        "the 68-dim features are the hashed-BoW embed aggregate (one map-side-combined "
+        "HashAggregate over exploded words) joined on doc_id to per-doc array-lambda stats, "
+        "and the margin is dot(features, literal weights) + bias — a pure column expression, "
+        "NO broadcast variable, no Python, zero additional shuffle. The measured shape "
+        "decision (fusing the stats into the embed aggregate LOSES 10-15%: per-word stat "
+        "columns widen every exploded row) is recorded in the featurizer docstring. The "
+        "call-time-fit twin adds O(iters) scans each collecting dims+2 int64-quantized "
+        "gradient scalars — the model, never data rows.",
+    ),
+    (
+        "rag_mmr_rerank_md5 (diversity rerank — round 8)",
+        "rag_mmr_rerank_md5",
+        "MMR over the retrieval's top-10: everything heavy is upstream (map-only chunking, "
+        "ONE chunk-grain embed aggregate, broadcast query side, WindowGroupLimit top-C); the "
+        "greedy selection itself is one `FlatMapGroupsInPandas` over per-query groups of <= "
+        "10 rows — the sanctioned applyInPandas shape for an inherently sequential per-query "
+        "loop, a few KB per Arrow batch, parallel across queries. All comparisons run on "
+        "floor(cos*1e6+0.5) int64-quantized similarities with sequential double dots, so the "
+        "DuckDB recursive-CTE twin reproduces the greedy trajectory exactly.",
+    ),
+    (
+        "ref_perplexity_buckets (reference-LM terciles — round 8)",
+        "ref_perplexity_buckets",
+        "The CCNet recipe: bigram MLE fit on the reference split (two cascaded map-side-"
+        "combined aggregations over the hash-once position table), new docs scored through "
+        "one AQE-splittable left equi-join + per-doc aggregate (reference-unseen transitions "
+        "floored), then per-language terciles WITHOUT a corpus-sized window: the rank comes "
+        "from a cumulative window over the small (lang, rounded-score) HISTOGRAM plus "
+        "tie-local row_numbers, and closed-form ntile arithmetic assigns the bucket — every "
+        "Window in the plan is histogram- or tie-bounded (the oracle uses plain NTILE; the "
+        "ranks are provably identical). Position and score tables each materialize once "
+        "(two consumers each).",
+    ),
 ]
 
 
