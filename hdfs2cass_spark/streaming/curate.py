@@ -50,15 +50,35 @@ from .decontam import score_batch
 from .neardup import _candidates, _candidates_pruned, bands_of, signatures
 
 
-def _quality(d: DataFrame) -> DataFrame:
+def _quality(
+    d: DataFrame, classifier: tuple[list[float], float] | None = None
+) -> DataFrame:
     ws = d.select("doc_id", "text", F.expr(W_SPARK).alias("ws"))
-    return ws.filter(
+    base = ws.filter(
         (F.size("ws") >= MIN_WORDS)
         & (
             F.expr("size(array_distinct(ws))").cast("double") / F.size("ws")
             >= MIN_UNIQ_RATIO
         )
     ).select("doc_id", "text")
+    if classifier is None:
+        return base
+    # optional LEARNED gate (round 8): the CCNet-style scorer
+    # (plans/quality_clf.py) with caller-supplied (weights, bias) — the
+    # production xxhash64 features over THIS batch only (one bounded
+    # map-side-combined aggregate per trigger), margin > 0 keeps. Shared
+    # verbatim with the batch twin, so stream == batch holds with the
+    # gate on exactly as it does with it off.
+    from ..operators.classifier import margin_expr
+    from ..plans.quality_clf import _features_spark
+
+    w, b = classifier
+    keep = (
+        _features_spark(d, "xxhash64")
+        .filter(margin_expr("features", list(w), float(b)) > 0)
+        .select("doc_id")
+    )
+    return base.join(keep, "doc_id", "left_semi")
 
 
 def _hashes(d: DataFrame) -> DataFrame:
@@ -185,13 +205,18 @@ def pack_kept_batch(d: DataFrame, bench_shingles: DataFrame) -> DataFrame:
 
 
 def curate_decisions_batch(
-    d: DataFrame, bench_shingles: DataFrame
+    d: DataFrame,
+    bench_shingles: DataFrame,
+    classifier: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """The greedy arrival-order twin: per doc —
     (doc_id, quality_pass, exact_dup, near_dup, contaminated, kept).
     Stage columns are null once an earlier stage rejected the doc (the
-    stream never evaluates later stages for rejects)."""
-    q = _quality(d)
+    stream never evaluates later stages for rejects). ``classifier``
+    optionally adds the learned margin > 0 gate to the quality stage
+    (see :func:`_quality`) — pass the same model to :func:`stream_curate`
+    and the twin equality holds with the gate on."""
+    q = _quality(d, classifier)
     h = _hashes(q)
     # min-keeper aggregate, mirroring _exact_losers: skew-safe keep-first
     keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
@@ -234,8 +259,17 @@ def stream_curate(
     compact_every: int | None = 16,
     packed_path: str | None = None,
     rows_per_bucket: int | None = None,
+    classifier: tuple[list[float], float] | None = None,
 ):
     """Start the streaming curation query; returns the StreamingQuery.
+
+    ``classifier`` (round 8) optionally adds the LEARNED quality gate —
+    the CCNet-style scorer's margin > 0 over caller-supplied (weights,
+    bias), e.g. the committed fixture model or a fit_logreg result —
+    alongside the rule gate. Per-trigger cost is one bounded featurize
+    aggregate over the ARRIVING batch only; pass the same model to
+    :func:`curate_decisions_batch` and stream == batch holds with the
+    gate on (tested).
 
     Per-doc decisions (same schema as :func:`curate_decisions_batch`) land
     under ``sink_path``; the exact-hash and near-dup-signature indexes
@@ -344,7 +378,7 @@ def stream_curate(
             # single core (measured 31s vs 12s per 200k-doc batch)
             n = spark.sparkContext.defaultParallelism
             d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
-            q = pin(_quality(d))
+            q = pin(_quality(d, classifier))
 
             # stage 2: exact keep-first vs the accumulated hash index — the
             # compacted keeper (1 row/hash, scan PRUNED to the arriving

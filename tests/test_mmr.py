@@ -67,6 +67,64 @@ def test_mmr_selection_invariants(spark):
     assert len(q1) == 1 and q1[0]["sel_rank"] == 1
 
 
+def test_mmr_matches_independent_reference_on_random_candidates(spark):
+    """Differential check against an independently written greedy MMR
+    (different data layout, same quantization contract) over seeded random
+    candidate sets — catches selection-loop bugs the planted cases miss."""
+    import random
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        rows = []
+        for q in range(3):
+            for j in range(8):
+                vec = [rng.uniform(-1, 1) for _ in range(8)]
+                n = math.sqrt(sum(v * v for v in vec))
+                emb = [float(v / n) for v in vec] + [0.0] * 56
+                rows.append((q, 100 + j, j % 3, round(rng.uniform(0, 1), 6), emb))
+        got = mmr_rerank(_cands(spark, rows), k=4).collect()
+
+        # reference: plain-python greedy on the same quantization contract
+        def ref(q_rows, k):
+            cs = []
+            for _, did, cid, rel, emb in q_rows:
+                cs.append((did, cid, math.floor(rel * 1e6 + 0.5), emb))
+            sel, out = [], []
+            while cs and len(sel) < k:
+                scored = []
+                for did, cid, rq, emb in cs:
+                    sims = []
+                    for _, _, _, semb in sel:
+                        na = nb = dot = 0.0
+                        for x in emb:
+                            na += x * x
+                        for x in semb:
+                            nb += x * x
+                        den = math.sqrt(na) * math.sqrt(nb)
+                        if den == 0:
+                            continue
+                        for x, y in zip(emb, semb):
+                            dot = dot + x * y
+                        sims.append(math.floor((dot / den) * 1e6 + 0.5))
+                    msq = max(sims) if sims else 0
+                    scored.append(((-(rq - msq), did, cid), (did, cid, rq, emb)))
+                scored.sort(key=lambda t: t[0])
+                pick = scored[0][1]
+                cs = [c for c in cs if (c[0], c[1]) != (pick[0], pick[1])]
+                sel.append(pick)
+                out.append((pick[0], pick[1], len(sel)))
+            return out
+
+        for q in range(3):
+            want = ref([r for r in rows if r[0] == q], 4)
+            have = [
+                (r["doc_id"], r["chunk_id"], r["sel_rank"])
+                for r in got
+                if r["q_id"] == q
+            ]
+            assert have == want, (seed, q)
+
+
 def test_mmr_twins_share_shape_and_diversify(spark, sf_dir):
     """Both declared twins return the same schema and their selections are
     no less diverse than the plain retrieval's top-k (the MMR guarantee on

@@ -297,6 +297,60 @@ def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
     assert tuple(dec[0]) == tuple(twin[0])  # the first copy stays kept
 
 
+def test_stream_curate_with_learned_gate_equals_batch_twin(spark, sf_dir, tmp_path):
+    """The optional LEARNED quality gate (the round-8 classifier's
+    margin > 0 with the committed fixture weights) must keep stream ==
+    batch decision equality, and must actually reject docs the rule gate
+    alone passes (the gate does real work on the fixture corpus)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.llm import _shingles
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.plans.quality_clf import _fixture_model
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import stream_documents
+    from hdfs2cass_spark.streaming.curate import (
+        curate_decisions_batch,
+        read_curated,
+        stream_curate,
+    )
+
+    model = _fixture_model()
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _shingles(docs.filter(F.expr(_BENCH_SPARK))).select("s").distinct()
+    train = docs.filter(~F.expr(_BENCH_SPARK)).select("doc_id", "text")
+
+    n = train.agg(F.max("doc_id")).first()[0] + 1
+    flat = tmp_path / "clfg_flat"
+    flat.mkdir()
+    for i in range(2):
+        part = tmp_path / f"clfg_p{i}"
+        train.filter(
+            (F.col("doc_id") >= i * n / 2) & (F.col("doc_id") < (i + 1) * n / 2)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("clfg_idx", "clfg_out", "clfg_ck"))
+    q = stream_curate(
+        stream_documents(spark, str(flat)), bench, idx, out, ck,
+        available_now=True, classifier=model,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in read_curated(spark, out).collect())
+    want_df = curate_decisions_batch(train, bench, classifier=model)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    # the learned gate rejects MORE than the rule gate alone
+    rule_only = curate_decisions_batch(train, bench)
+    n_gated = want_df.filter("quality_pass").count()
+    n_rule = rule_only.filter("quality_pass").count()
+    assert 0 < n_gated < n_rule
+
+
 def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
     """The full on-ingest curation chain (quality -> exact keep-first vs hash
     index -> near-dup vs signature index -> decontam) must produce exactly
