@@ -247,6 +247,8 @@ def main() -> int:
                 # round 7: the rest of the product-analytics family
                 "session_top_paths",
                 "engagement_dau_wau",
+                # round 8: user-grain rollup + histogram-rank quintiles
+                "rfm_user_segments",
             ):
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
@@ -171,46 +170,18 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_plan.localCheckpoint(
         eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
-    # Exact per-language terciles WITHOUT a corpus-sized window:
-    #   rank(doc) = (#rows with strictly better (score, doc_id)) + row_number
-    #               among equal-score peers,
-    # where "better" counts come from a cumulative window over the SMALL
-    # (lang, score) histogram and the peer row_number partitions by
-    # (lang, score) — tie-bounded. NTILE(3)'s bucket for rank r over n rows
-    # (q = n DIV 3, rem = n % 3) in closed form:
-    #   r <= q + min(rem, 1)      -> 1
-    #   r <= 2q + min(rem, 2)     -> 2
-    #   else                      -> 3
-    hist = scored.groupBy("lang", "avg_logprob").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    hw = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("avg_logprob").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hist = hist.select(
-        "lang",
-        "avg_logprob",
-        F.coalesce(F.sum("_c").over(hw), F.lit(0)).alias("_before"),
-        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
-    )
-    peers = Window.partitionBy("lang", "avg_logprob").orderBy("doc_id")
-    ranked = (
-        scored.join(hist, ["lang", "avg_logprob"])
-        .withColumn("_r", F.col("_before") + F.row_number().over(peers))
-    )
-    bucket = F.when(
-        F.col("_r") <= F.expr("_n DIV 3 + least(_n % 3, 1)"), 1
-    ).when(F.col("_r") <= F.expr("2 * (_n DIV 3) + least(_n % 3, 2)"), 2).otherwise(3)
+    # Exact per-language terciles WITHOUT a corpus-sized window — the
+    # histogram-rank NTILE (operators/ntile.py: cumulative window over the
+    # small (lang, rounded-score) histogram + tie-local row_numbers +
+    # closed-form ntile arithmetic; every window histogram- or tie-bounded)
+    from ..operators.ntile import exact_ntile
+
     return (
-        ranked.select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "oov_bigrams",
-            "avg_logprob",
-            bucket.cast("int").alias("bucket"),
+        exact_ntile(
+            scored, 3, "avg_logprob", "doc_id", part_cols=["lang"], desc=True
+        )
+        .select(
+            "doc_id", "lang", "n_bigrams", "oov_bigrams", "avg_logprob", "bucket"
         )
         .orderBy("doc_id")
     )

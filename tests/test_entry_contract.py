@@ -100,7 +100,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "session_top_paths", "engagement_dau_wau",
         # round 8
         "quality_classifier_score", "rag_mmr_rerank_md5",
-        "ref_perplexity_buckets",
+        "ref_perplexity_buckets", "rfm_user_segments",
     ]
     r = rotation(len(frozen)) % len(frozen)
     rotated = frozen[r:] + frozen[:r]
