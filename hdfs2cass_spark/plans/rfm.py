@@ -89,6 +89,15 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    return rfm_from_metrics(u)
+
+
+def rfm_from_metrics(u: DataFrame) -> DataFrame:
+    """The quintile/segment fold over a (user_id, recency_days, frequency,
+    monetary) user-grain table — the ONE RFM scoring computation, shared by
+    the batch query above and the streaming RFM state log
+    (streaming/funnel.py rfm_report_from_log), so the two surfaces cannot
+    drift."""
     q = exact_ntile(u, 5, "recency_days", "user_id", desc=False, out_col="r_q")
     q = exact_ntile(q, 5, "frequency", "user_id", desc=True, out_col="f_q")
     q = exact_ntile(q, 5, "monetary", "user_id", desc=True, out_col="m_q")

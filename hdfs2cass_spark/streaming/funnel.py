@@ -391,6 +391,123 @@ def stream_active_days(
 
 
 # ---------------------------------------------------------------------------
+# Streaming RFM (the batch rfm_user_segments twin)
+# ---------------------------------------------------------------------------
+
+_RFM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_day", IntegerType()),  # unix date
+        StructField("n_events", LongType()),
+        StructField("qsum", LongType()),  # 1e-6-quantized value sum
+    ]
+)
+_RFM_STATE = StructType(
+    [
+        StructField("last_day", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("qsum", LongType()),
+    ]
+)
+
+
+def stream_rfm(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = RETENTION_MS,
+) -> DataFrame:
+    """Incrementally maintained RFM metrics: per-user state is three
+    scalars — last active unix date, event count, 1e-6-quantized value sum
+    (the _qsum contract: floor(value * 1e6) int64 adds — order-independent,
+    so the accumulated sum is bit-identical to the batch aggregate on the
+    same rows). One (user_id, last_day, n_events, qsum) row per touched
+    user per micro-batch (update mode); n_events is strictly increasing,
+    so the latest state recovers as max by n_events. Report with
+    :func:`rfm_report_from_log`. A retention-evicted user restarts from
+    zero — the documented online/offline boundary (the stream_funnel
+    contract); within retention, stream == batch exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def advance(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_day, n, qs = state.get
+        else:
+            last_day, n, qs = -1, 0, 0
+        max_ts = 0
+        touched = False
+        for pdf in pdfs:
+            for ts, v in zip(pdf["ts_us"], pdf["value"]):
+                touched = True
+                ts = int(ts)
+                if ts > max_ts:
+                    max_ts = ts
+                d = ts // 86_400_000_000
+                if d > last_day:
+                    last_day = d
+                n += 1
+                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                    qs += int(math.floor(float(v) * 1_000_000))
+        if not touched:
+            return
+        state.update((int(last_day), int(n), int(qs)))
+        # batch-max anchor: see stream_funnel (watermark is 0 in batch 0)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), max_ts // 1000) + retention_ms
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_day": [int(last_day)],
+                "n_events": [int(n)],
+                "qsum": [int(qs)],
+            }
+        )
+
+    keyed = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value", F.unix_micros("ts").alias("ts_us"))
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        advance,
+        _RFM_OUT,
+        _RFM_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def rfm_report_from_log(emissions: DataFrame) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary, r_q, f_q, m_q, segment)
+    — the exact shape of the batch rfm_user_segments (oracle row 82) —
+    from the streamed per-user state log. n_events is strictly increasing
+    within a user, so max(struct(n_events, ...)) recovers the latest
+    state; the recency anchor is the max last_day over users (identical to
+    the batch corpus-max-day anchor on the same data); the quintile/
+    segment fold is SHARED (plans/rfm.py rfm_from_metrics)."""
+    from ..plans.rfm import rfm_from_metrics
+
+    latest = emissions.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "last_day", "qsum")).alias("s")
+    )
+    anchor = latest.agg(F.max("s.last_day").alias("_a"))
+    u = latest.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("_a") - F.col("s.last_day")).cast("int").alias("recency_days"),
+        F.col("s.n_events").cast("bigint").alias("frequency"),
+        (F.col("s.qsum").cast("double") / 1_000_000).alias("monetary"),
+    )
+    return rfm_from_metrics(u)
+
+
+# ---------------------------------------------------------------------------
 # Streaming event-transition matrix (the batch event_transition_matrix twin)
 # ---------------------------------------------------------------------------
 

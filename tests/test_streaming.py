@@ -1289,6 +1289,25 @@ def test_stream_session_paths_greedy_cross_batch_boundary(spark, tmp_path):
     assert rep["view"]["rnk"] == 1
 
 
+def test_stream_rfm_equals_batch(spark, sf_dir, events_dir):
+    """The streamed per-user RFM state log folds through the SHARED
+    quintile/segment computation into rows identical to the batch
+    rfm_user_segments (oracle row 82) — the quantized int64 value sums
+    make the monetary metric bit-identical across surfaces."""
+    from hdfs2cass_spark.plans.registry import CATALOG
+    from hdfs2cass_spark.streaming import stream_events
+    from hdfs2cass_spark.streaming.funnel import rfm_report_from_log, stream_rfm
+
+    got = _run_stream_update(
+        spark, stream_rfm(stream_events(spark, events_dir)), "rfm_eq_test"
+    )
+    rep = sorted(tuple(r) for r in rfm_report_from_log(got).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["rfm_user_segments"].fn(spark, sf_dir).collect()
+    )
+    assert len(rep) > 0 and rep == want
+
+
 def test_stream_transitions_equals_batch(spark, sf_dir, events_dir):
     """The streamed per-batch transition counts sum into rows identical to
     the batch event_transition_matrix (oracle row 72) on in-order arrival —
