@@ -25,6 +25,7 @@ from . import sessions as _sessions  # noqa: E402,F401
 from . import quality_clf as _quality_clf  # noqa: E402,F401
 from . import mmr as _mmr  # noqa: E402,F401
 from . import refppl as _refppl  # noqa: E402,F401
-from . import rfm as _rfm  # noqa: E402,F401  # keep LAST: appends oracle rows
+from . import rfm as _rfm  # noqa: E402,F401
+from . import bpe as _bpe  # noqa: E402,F401  # keep LAST: appends oracle rows
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]
