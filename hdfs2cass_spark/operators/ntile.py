@@ -50,7 +50,14 @@ def exact_ntile(
     """Adds ``out_col`` = NTILE(``n``) over (PARTITION BY ``part_cols``
     ORDER BY ``order_col`` [DESC], ``tiebreak_col``). ``tiebreak_col``
     must make the ordering unique within each partition (ranks — and with
-    them buckets — are then deterministic and engine-exact)."""
+    them buckets — are then deterministic and engine-exact).
+
+    ``order_col`` must be NON-NULL: the histogram join-back is an
+    equi-join, and NULL never equi-joins — a NULL-valued row would vanish
+    from the output where NTILE would rank it. Both shipped consumers
+    guarantee this by construction (refppl scores every grouped doc; RFM
+    metrics coalesce), so the operator asserts the contract in its
+    docstring rather than paying a corpus-wide null scan."""
     part = list(part_cols or [])
     key = F.col(order_col).desc() if desc else F.col(order_col).asc()
     hist = df.groupBy(*part, order_col).agg(F.count(F.lit(1)).alias("_c"))

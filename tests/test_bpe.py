@@ -136,6 +136,52 @@ def test_encode_lossless_and_matches_reference(spark, planted_sf):
         assert enc[i] == want
 
 
+def test_fit_and_encode_fuzz_vs_reference(spark, tmp_path):
+    """Seeded random corpora (random small-alphabet words, random
+    frequencies) — the trainer's merge sequence and the encoder's output
+    must match the independent reference on every one. Catches argmax /
+    rewrite / greedy-order bugs the planted corpus can't reach."""
+    import random
+
+    for seed in (5, 19, 73):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(30)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+            for _ in range(20)
+        ]
+        d = tmp_path / f"bpe_fuzz_{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts), pa.string()),
+                    "source": pa.array(["t"] * len(texts), pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        from hdfs2cass_spark.sources.readers import load_table
+
+        docs = load_table(spark, str(d), "documents")
+        merges = fit_bpe(docs, num_merges=10)
+        wc: dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        assert merges == _ref_fit(wc, 10), seed
+        enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+        for i, t in enumerate(texts):
+            want = [tok for w in t.split() for tok in _ref_encode(w, merges)]
+            assert enc[i] == want, (seed, i)
+
+
 def test_declared_query_invariants(spark, sf_dir):
     rows = CATALOG["bpe_tokenize_docs"].fn(spark, sf_dir).collect()
     assert len(rows) > 0
