@@ -162,7 +162,16 @@ def bpe_encode(
     )
 
     def encode(iterator):
+        import re
+
         import pandas as pd
+
+        # THE shared whitespace definition (functions/tokenize.py): Java's
+        # \s set [ \t\n\x0B\f\r] after an ASCII-space-only trim — a bare
+        # Python str.split() would ALSO split on Unicode whitespace
+        # (U+00A0, U+3000, ...), segmenting the corpus differently than
+        # the trainer and breaking per-word losslessness (review finding)
+        ws = re.compile("[ \\t\\n\\x0B\\f\\r]+")
 
         def enc_word(w: str) -> list[str]:
             syms = list(w)
@@ -199,7 +208,7 @@ def bpe_encode(
                 if text is None:
                     continue
                 out: list[str] = []
-                for w in str(text).split():
+                for w in ws.split(str(text).strip(" ")):
                     if w:
                         out.extend(enc_word(w))
                 ids.append(int(did))

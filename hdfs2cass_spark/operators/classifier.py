@@ -44,9 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# gradient quantization: contributions are in [-1, 1] (residual in (-1, 1),
-# normalized features in [-1, 1]), so floor(g * Q) fits int64 up to ~9.2e9
-# rows per aggregate at Q = 1e9 — and the sum is order-independent
+# gradient quantization: per-row contributions are bounded by the feature
+# range — normalized BoW dims in [-1, 1], stat features hard-capped to
+# [0, 2] (plans/quality_clf.py caps each one; the residual is in (-1, 1))
+# — so |floor(g * Q)| <= 2Q and the int64 sum holds ~4.6e9 rows per
+# aggregate at Q = 1e9 (fit on a hash-sample past that; sample_fraction
+# below) — and the sum is order-independent
 Q = 1_000_000_000
 
 

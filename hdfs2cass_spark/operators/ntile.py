@@ -52,12 +52,14 @@ def exact_ntile(
     must make the ordering unique within each partition (ranks — and with
     them buckets — are then deterministic and engine-exact).
 
-    ``order_col`` must be NON-NULL: the histogram join-back is an
-    equi-join, and NULL never equi-joins — a NULL-valued row would vanish
-    from the output where NTILE would rank it. Both shipped consumers
-    guarantee this by construction (refppl scores every grouped doc; RFM
-    metrics coalesce), so the operator asserts the contract in its
-    docstring rather than paying a corpus-wide null scan."""
+    ``order_col`` must be NON-NULL: NULL ordering semantics (NULLS
+    FIRST/LAST defaults) differ across engines, so a NULL score has no
+    engine-exact rank. Both shipped consumers guarantee this by
+    construction (refppl scores every grouped doc; RFM metrics coalesce).
+    NULL PARTITION values are handled: the histogram join-back is
+    null-SAFE (`<=>`), so a NULL-partition group buckets on its own —
+    exactly NTILE's PARTITION BY semantics — instead of vanishing through
+    a never-matching equi-join (review finding)."""
     part = list(part_cols or [])
     key = F.col(order_col).desc() if desc else F.col(order_col).asc()
     hist = df.groupBy(*part, order_col).agg(F.count(F.lit(1)).alias("_c"))
@@ -67,14 +69,20 @@ def exact_ntile(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hist = hist.select(
-        *part,
-        order_col,
+        *[F.col(c).alias(f"_h_{c}") for c in part],
+        F.col(order_col).alias(f"_h_{order_col}"),
         F.coalesce(F.sum("_c").over(hw), F.lit(0)).alias("_before"),
         F.sum("_c").over(Window.partitionBy(*part)).alias("_n"),
     )
+    cond = None
+    for c in part + [order_col]:
+        piece = df[c].eqNullSafe(hist[f"_h_{c}"])
+        cond = piece if cond is None else (cond & piece)
     peers = Window.partitionBy(*part, order_col).orderBy(tiebreak_col)
-    ranked = df.join(hist, part + [order_col]).withColumn(
-        "_r", F.col("_before") + F.row_number().over(peers)
+    ranked = (
+        df.join(hist, cond)
+        .drop(*[f"_h_{c}" for c in part + [order_col]])
+        .withColumn("_r", F.col("_before") + F.row_number().over(peers))
     )
     # greatest(q, 1) keeps the (lazily unevaluated, but ANSI-mode-eager-
     # checked) else-branch division total when q = 0 — unreachable there

@@ -89,12 +89,18 @@ _SIM_Q = (
                       list_transform(sel, s -> {_SIM_Q}),
                       x -> x IS NOT NULL)), 0)),
              did := cnd.did, cid := cnd.cid, c := cnd))))[1] AS b
-        FROM sel WHERE step < {_RAG_K}) t
+        -- stop when the pool runs dry: stepping on an empty rest would
+        -- pad sel with NULL-field picks where the Spark loop stops early
+        FROM sel WHERE step < {_RAG_K} AND len(rest) > 0) t
     ),
-    final AS (SELECT q_id, sel FROM sel WHERE step = {_RAG_K}),
+    final AS (
+      SELECT q_id, sel FROM (
+        SELECT q_id, sel,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY step DESC) AS rn
+        FROM sel) t WHERE rn = 1),
     out AS (
       SELECT q_id, ord, sel[ord] AS e
-      FROM final, (SELECT unnest(generate_series(1, {_RAG_K})) AS ord) o)
+      FROM final, LATERAL (SELECT unnest(generate_series(1, len(sel))) AS ord) o)
     SELECT q_id, e.did AS doc_id, e.cid AS chunk_id,
            CAST(e.rq AS DOUBLE) / 1000000.0 AS cosine,
            CAST(e.sq AS DOUBLE) / 2000000.0 AS mmr_score,

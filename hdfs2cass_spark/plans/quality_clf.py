@@ -64,12 +64,17 @@ _ITERS = 16
 _LR = 2.0
 
 # the 4 stat features, Spark-side (identical arithmetic in the DuckDB CTE):
-# every one is bounded to ~[0, 1] so gradient descent needs no per-feature
-# scaling, and every division is a single correctly-rounded double op
+# every one is HARD-BOUNDED to [0, 2] — the mean-word-length cap at 20
+# matters (review finding): an uncapped URL/base64/CJK-compound corpus
+# would push feature 65 to 10+, blowing the int64 gradient-quantization
+# headroom classifier.py documents. The cap is a no-op on any natural-
+# language corpus (fixture max mwl: 5.3) so the committed fixture and the
+# oracle values are unchanged; every division is a single correctly-
+# rounded double op
 _STATS_SPARK = (
     "array("
     "CAST(least(_nw, 200) AS DOUBLE) / 200, "
-    "(CAST(_swl AS DOUBLE) / _nw) / 10, "
+    "least(CAST(_swl AS DOUBLE) / _nw, CAST(20 AS DOUBLE)) / 10, "
     "CAST(_na AS DOUBLE) / _nw, "
     "CAST(least(_ns, 10) AS DOUBLE) / 10)"
 )
@@ -130,7 +135,7 @@ def _features_duck_ctes() -> str:
       SELECT e.vec_id AS doc_id,
              list_transform(e.embedding, x -> x::DOUBLE) ||
              [CAST(LEAST(_nw, 200) AS DOUBLE) / 200,
-              (CAST(_swl AS DOUBLE) / _nw) / 10,
+              LEAST(CAST(_swl AS DOUBLE) / _nw, CAST(20 AS DOUBLE)) / 10,
               CAST(_na AS DOUBLE) / _nw,
               CAST(LEAST(_ns, 10) AS DOUBLE) / 10] AS features
       FROM emb e JOIN st ON st.doc_id = e.vec_id)"""

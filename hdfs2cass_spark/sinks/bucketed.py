@@ -65,7 +65,8 @@ def detect_hot_keys(
     num_buckets: int,
     skew_ratio: float = SKEW_RATIO,
     top: int = 10,
-) -> list[tuple]:
+    return_null_count: bool = False,
+):
     """Write-time key-frequency sketch: [(key, n_rows), ...] for the (at
     most ``top``) keys whose row count exceeds ``skew_ratio`` x the average
     bucket size (total_rows / num_buckets) — each such key GUARANTEES an
@@ -81,29 +82,35 @@ def detect_hot_keys(
     straggler in production. (write_bucketed's default check avoids even
     that: it scans the WRITTEN table's key column, not the upstream.)
 
-    NULL keys are excluded: NULL never equi-joins, so a mostly-NULL bucket
-    column would otherwise trip a misleading (None, n) hot-key warning
-    pointing at the salted writer when the right fix is filtering the NULLs
-    before the write (a NULL-heavy bucket is dead weight in the scan, not a
-    join-match straggler)."""
+    NULL keys are excluded from the hot-key LIST: NULL never equi-joins,
+    so a mostly-NULL bucket column must not trip a misleading (None, n)
+    warning pointing at the salted writer. But all NULLs still hash into
+    ONE bucket file — an oversized unsplittable SCAN-side straggler even
+    though it matches nothing — so ``return_null_count=True`` additionally
+    returns the NULL-key row count (review finding: the caller's remedy
+    differs — filter the NULLs before the write, don't salt)."""
     counts = (
-        df.filter(F.col(bucket_col).isNotNull())
-        .groupBy(bucket_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .persist()
+        df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n")).persist()
     )
     try:
         total = counts.agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_t")).first()["_t"]
         if total == 0:
-            return []
+            return ([], 0) if return_null_count else []
         cutoff = skew_ratio * total / num_buckets
-        return [
+        hot = [
             (r[bucket_col], r["_n"])
-            for r in counts.filter(F.col("_n") > cutoff)
+            for r in counts.filter(
+                F.col(bucket_col).isNotNull() & (F.col("_n") > cutoff)
+            )
             .orderBy(F.col("_n").desc())
             .limit(top)
             .collect()
         ]
+        if not return_null_count:
+            return hot
+        null_rows = counts.filter(F.col(bucket_col).isNull()).collect()
+        null_n = null_rows[0]["_n"] if null_rows else 0
+        return hot, (null_n if null_n > cutoff else 0)
     finally:
         counts.unpersist()
 
@@ -164,16 +171,26 @@ def write_bucketed(
         raise ValueError(f"on_skew must be 'warn', 'raise', or 'ignore', got {on_skew!r}")
     checking = check_skew and on_skew != "ignore"
     if checking and on_skew == "raise":
-        hot = detect_hot_keys(df, bucket_col, num_buckets, skew_ratio)
+        hot, null_n = detect_hot_keys(
+            df, bucket_col, num_buckets, skew_ratio, return_null_count=True
+        )
         if hot:
             raise ValueError(_skew_msg(table, bucket_col, hot, skew_ratio))
+        if null_n:
+            raise ValueError(_null_msg(table, bucket_col, null_n, skew_ratio))
     _write(df, table, path, [bucket_col], num_buckets, sort)
     if checking and on_skew == "warn":
         written = df.sparkSession.table(table).select(bucket_col)
-        hot = detect_hot_keys(written, bucket_col, num_buckets, skew_ratio)
+        hot, null_n = detect_hot_keys(
+            written, bucket_col, num_buckets, skew_ratio, return_null_count=True
+        )
         if hot:
             warnings.warn(
                 _skew_msg(table, bucket_col, hot, skew_ratio), stacklevel=2
+            )
+        if null_n:
+            warnings.warn(
+                _null_msg(table, bucket_col, null_n, skew_ratio), stacklevel=2
             )
 
 
@@ -184,6 +201,16 @@ def _skew_msg(table: str, bucket_col: str, hot: list[tuple], skew_ratio: float) 
         f"a bucketed scan): {hot!r} each > {skew_ratio}x the average "
         f"bucket; use write_bucketed_salted/write_bucketed_replicated "
         f"+ join_salted instead"
+    )
+
+
+def _null_msg(table: str, bucket_col: str, null_n: int, skew_ratio: float) -> str:
+    return (
+        f"write_bucketed({table!r}): {null_n} NULL {bucket_col!r} rows all "
+        f"hash into ONE bucket (> {skew_ratio}x the average) — an "
+        f"unsplittable oversized bucket file on the scan side even though "
+        f"NULL never equi-joins; filter the NULL keys before the write "
+        f"(salting does not apply — they match nothing)"
     )
 
 

@@ -65,16 +65,19 @@ def _quality(
         return base
     # optional LEARNED gate (round 8): the CCNet-style scorer
     # (plans/quality_clf.py) with caller-supplied (weights, bias) — the
-    # production xxhash64 features over THIS batch only (one bounded
-    # map-side-combined aggregate per trigger), margin > 0 keeps. Shared
-    # verbatim with the batch twin, so stream == batch holds with the
-    # gate on exactly as it does with it off.
+    # production xxhash64 features, margin > 0 keeps. Featurized over the
+    # RULE SURVIVORS only, not the whole batch (review finding: the gate
+    # is ANDed with the rule gate, so featurizing already-rejected docs is
+    # pure waste — byte-identical decisions, strictly less work per
+    # trigger). One bounded map-side-combined aggregate per trigger;
+    # shared verbatim with the batch twin, so stream == batch holds with
+    # the gate on exactly as it does with it off.
     from ..operators.classifier import margin_expr
     from ..plans.quality_clf import _features_spark
 
     w, b = classifier
     keep = (
-        _features_spark(d, "xxhash64")
+        _features_spark(base, "xxhash64")
         .filter(margin_expr("features", list(w), float(b)) > 0)
         .select("doc_id")
     )

@@ -182,6 +182,38 @@ def test_fit_and_encode_fuzz_vs_reference(spark, tmp_path):
             assert enc[i] == want, (seed, i)
 
 
+def test_encoder_tokenizer_matches_trainer_on_unicode_whitespace(spark, tmp_path):
+    """The trainer segments with the shared Java-\\s tokenizer; the encoder
+    must segment IDENTICALLY — a doc with Unicode whitespace (U+00A0,
+    U+3000: word characters to Java \\s, whitespace to Python str.split)
+    is the divergence probe (review finding)."""
+    text = "foo bar baz　qux foo bar"
+    d = tmp_path / "bpe_uni"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([text], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["t"], pa.string()),
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    from hdfs2cass_spark.sources.readers import load_table
+
+    docs = load_table(spark, str(d), "documents")
+    merges = fit_bpe(docs, num_merges=6)
+    # the shared tokenizer splits on the ASCII space only: two distinct words
+    words = ["foo bar", "baz　qux", "foo bar"]
+    assert merges == _ref_fit({"foo bar": 2, "baz　qux": 1}, 6)
+    enc = bpe_encode(docs, merges).collect()[0]["tokens"]
+    assert "".join(enc) == "".join(words)  # lossless incl. the U+00A0/U+3000
+    assert enc == [t for w in words for t in _ref_encode(w, merges)]
+
+
 def test_declared_query_invariants(spark, sf_dir):
     rows = CATALOG["bpe_tokenize_docs"].fn(spark, sf_dir).collect()
     assert len(rows) > 0

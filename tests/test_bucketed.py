@@ -236,24 +236,36 @@ def test_detect_hot_keys_empty_frame(spark):
     assert detect_hot_keys(empty, "k", 8) == []
 
 
-def test_detect_hot_keys_excludes_nulls(spark, tmp_path):
+def test_null_heavy_key_warns_with_the_filter_remedy(spark, tmp_path):
     """NULL never equi-joins, so a mostly-NULL bucket column must not trip
-    a misleading (None, n) hot-key warning pointing at the salted writer
-    (round-7 advice): the right fix for NULL weight is filtering before the
-    write, and the sketch stays silent about it."""
-    import warnings as _w
-
+    the SALTED-WRITER warning (round-7 advice) — but all NULLs still hash
+    into one oversized unsplittable bucket FILE, a scan-side straggler
+    (round-8 review): the check reports it separately, naming the actual
+    remedy (filter the NULLs before the write)."""
     from hdfs2cass_spark.sinks.bucketed import detect_hot_keys, write_bucketed
 
     mostly_null = spark.range(0, 2000).select(
         F.when(F.col("id") < 1500, F.lit(None)).otherwise(F.col("id")).alias("k"),
         F.col("id").alias("v"),
     )
+    # the hot-key LIST contract: non-null keys only
     assert detect_hot_keys(mostly_null, "k", 8) == []
-    with _w.catch_warnings():
-        _w.simplefilter("error")
+    hot, null_n = detect_hot_keys(mostly_null, "k", 8, return_null_count=True)
+    assert hot == [] and null_n == 1500
+    with pytest.warns(UserWarning, match="NULL 'k'.*filter the NULL keys"):
         write_bucketed(mostly_null, "bt_nulls", str(tmp_path / "nn"), "k", 8)
     spark.sql("DROP TABLE IF EXISTS bt_nulls")
+    # a FEW nulls (under the cutoff) stay silent
+    import warnings as _w
+
+    few_null = spark.range(0, 2000).select(
+        F.when(F.col("id") < 10, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        write_bucketed(few_null, "bt_fewnulls", str(tmp_path / "fn"), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS bt_fewnulls")
 
 
 def test_warn_mode_checks_written_table_not_upstream(spark, tmp_path):

@@ -125,6 +125,49 @@ def test_mmr_matches_independent_reference_on_random_candidates(spark):
             assert have == want, (seed, q)
 
 
+def test_mmr_oracle_matches_when_pool_smaller_than_k(spark, tmp_path):
+    """A query with FEWER candidates than k: the Spark loop stops early and
+    the recursive-CTE oracle must stop with it instead of padding NULL
+    picks (review finding). 2 short non-query docs -> 2 candidates per
+    query < k=5; both engines must emit exactly 2 rows per query."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs2cass_spark.plans.registry import CATALOG
+
+    texts = [
+        "alpha beta gamma delta", "beta gamma delta epsilon",
+        "gamma delta epsilon zeta",  # doc_ids 0-2: the query docs
+        "alpha beta gamma epsilon zeta", "delta epsilon zeta alpha beta",
+    ]
+    d = tmp_path / "mmr_small"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = CATALOG["rag_mmr_rerank_md5"].fn(spark, str(d)).toPandas()
+    # each query sees the 4 OTHER docs' single chunks: 4 candidates < k=5
+    assert sorted(got.groupby("q_id").size().tolist()) == [4, 4, 4]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = con.execute(CATALOG["rag_mmr_rerank_md5"].oracle).fetchdf()
+    assert len(want) == len(got)
+    for col in got.columns:
+        for g, w in zip(got[col].tolist(), want[col].tolist()):
+            assert (g == w) or (abs(g - w) < 1e-12), (col, g, w)
+
+
 def test_mmr_twins_share_shape_and_diversify(spark, sf_dir):
     """Both declared twins return the same schema and their selections are
     no less diverse than the plain retrieval's top-k (the MMR guarantee on

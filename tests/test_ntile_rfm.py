@@ -43,6 +43,26 @@ def test_exact_ntile_equals_native_ntile(spark, seed, n, parts, buckets, desc):
     assert got == want
 
 
+def test_exact_ntile_null_partition_buckets_like_native(spark):
+    """A NULL partition value must form its own bucket group (NTILE's
+    PARTITION BY semantics) instead of vanishing through a never-matching
+    equi-join — the null-safe histogram join (review finding)."""
+    rows = [(i, None if i < 6 else "p", float(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, p string, v double")
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, 3, "v", "id", part_cols=["p"]).collect()
+    }
+    want = {
+        r["id"]: r["w"]
+        for r in df.withColumn(
+            "w",
+            F.ntile(3).over(Window.partitionBy("p").orderBy(F.col("v").desc(), "id")),
+        ).collect()
+    }
+    assert len(got) == 12 and got == want
+
+
 def test_exact_ntile_windows_are_bounded(spark):
     """The whole point: no window partitioned by the ntile partition alone
     may order over row grain — every Window must be histogram-grain
