@@ -48,21 +48,46 @@ def declare(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver's correctness gate hash-compares a bounded PREFIX of queries()
 # (50 entries since round 2). Rounds 2-7 therefore always checked declaration
-# rows 1-50; oracle-backed rows declared after them (51+) only ever had
-# builder-side + judge-rehearsal green. Round 8 rotates the oracle-backed
-# ordering LEFT so the driver's 50-row window covers the LAST 50 declared
-# oracle rows — i.e. every row that has never had (or has the fewest) driver
-# verdicts, including anything appended this round; rows 1-(n-50) drop out of
-# the window this round but carry seven consecutive driver verdicts (r1-r7)
-# and stay oracle-checked at sf0.001 by tests/test_catalog_oracle.py on every
-# pytest run. The rotation is a pure function of the catalog (not
-# round-dependent state), so the ordering stays deterministic and
-# tests/test_entry_contract.py asserts it literally (see OPERATORS.md
-# "Driver-prefix rotation" for the schedule rationale).
+# rows 1-50; round 8 rotated LEFT so the window covered the LAST 50 declared
+# oracle rows (the ones that had never had a driver verdict). Round 9 onward
+# (r8 verdict item 1): the window ALTERNATES per round — odd rounds expose
+# declaration rows 1-50, even rounds the last 50 — so every oracle row gets a
+# fresh sf0.01 driver verdict at least every other round instead of rows
+# 1-(n-50) parking outside the window forever. The round number is derived
+# from the committed CORRECTNESS_r{N}.json files at the repo root (the
+# driver writes one per completed round, so max(N)+1 IS the running round) —
+# deterministic at import time, no mutable state. Rows outside this round's
+# window stay oracle-checked at sf0.001 by tests/test_catalog_oracle.py on
+# every pytest run; tests/test_entry_contract.py asserts the exact rotated
+# order AND that the two windows jointly cover the whole catalog (see
+# OPERATORS.md "Driver-prefix rotation").
 DRIVER_PREFIX = 50
 
 
-def rotation(n_oracle: int) -> int:
+def current_round() -> int:
+    """Running round number: 1 + the highest committed CORRECTNESS_r{N}.json
+    (the driver records one per completed round). Falls back to 1 when none
+    exist (fresh checkout before any round completes)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    best = 0
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json", p.name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def rotation(n_oracle: int, round_no: int | None = None) -> int:
+    """Left-rotation of the oracle-backed ordering for this round's driver
+    window: 0 on odd rounds (rows 1-50 checked), n-50 on even rounds (last
+    50 checked). With n_oracle <= 2*DRIVER_PREFIX the two windows jointly
+    cover every row each round-pair (asserted in test_entry_contract.py)."""
+    rnd = current_round() if round_no is None else round_no
+    if rnd % 2 == 1:
+        return 0
     return max(0, n_oracle - DRIVER_PREFIX)
 
 

@@ -57,8 +57,8 @@ def test_driver_checked_prefix_order_is_frozen():
     the then-documented rows 59-60 to 61/63). `frozen` below is the
     DECLARATION order (extend it every time a query is appended); the
     exposed order is that list rotated left by registry.rotation(n) so the
-    driver's 50-row checked window covers the LAST 50 declared oracle rows
-    — every row that had never had a driver verdict through round 7 — see
+    driver's 50-row checked window ALTERNATES per round (round 9 onward):
+    odd rounds expose declaration rows 1-50, even rounds the last 50 — see
     OPERATORS.md "Driver-prefix rotation". This test asserts the exact
     rotated order."""
     import __spark_entry__ as entry
@@ -106,6 +106,37 @@ def test_driver_checked_prefix_order_is_frozen():
     rotated = frozen[r:] + frozen[:r]
     names = list(entry.queries())
     assert names[: len(frozen)] == rotated
-    # the rotation's whole point: every declaration row past 50 (never
-    # driver-checked through r7) must sit inside the driver's 50-row window
-    assert set(frozen[50:]) <= set(names[:50])
+
+
+def test_rotation_alternates_and_windows_cover_catalog():
+    """The r8-verdict alternation guard: odd rounds check declaration rows
+    1-50, even rounds the last 50, and the two windows together must cover
+    EVERY oracle row (requires n_oracle <= 2*DRIVER_PREFIX — if the catalog
+    outgrows 100 oracle rows this fails loudly: add a third window)."""
+    import __spark_entry__ as entry
+
+    from hdfs2cass_spark.plans.registry import (
+        DRIVER_PREFIX,
+        current_round,
+        rotation,
+    )
+
+    m = _load_entry()
+    n = len(m.oracle_sql())
+    assert n <= 2 * DRIVER_PREFIX, (
+        "catalog outgrew the two-window alternation; add a third window"
+    )
+    assert rotation(n, round_no=9) == 0
+    assert rotation(n, round_no=10) == max(0, n - DRIVER_PREFIX)
+    odd = set(range(0, DRIVER_PREFIX))
+    even = set(
+        (rotation(n, round_no=10) + i) % n for i in range(min(DRIVER_PREFIX, n))
+    )
+    assert odd | even >= set(range(n))
+    # the live ordering uses the real running round (from CORRECTNESS_r*.json)
+    names = list(entry.queries())
+    osql = m.oracle_sql()
+    r = rotation(n, round_no=current_round())
+    assert all(name in osql for name in names[:DRIVER_PREFIX])
+    if current_round() % 2 == 1:
+        assert r == 0
