@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import words_spark
+from .ckpt import release_checkpoint
 
 
 def word_counts(d: DataFrame, text_col: str = "text") -> DataFrame:
@@ -95,7 +96,13 @@ def fit_bpe(
             break
         left, right = top[0]["l"], top[0]["r"]
         merges.append((left, right))
+        prev = vocab
         vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        # release the superseded round's checkpoint blocks — without this,
+        # num_merges copies of the vocab table accumulate in executor block
+        # storage (r8 advice; significant at large distinct-word counts)
+        release_checkpoint(prev)
+    release_checkpoint(vocab)
     return merges
 
 

@@ -825,7 +825,11 @@ def _cosine_duck(a: str, b: str) -> str:
     "WindowGroupLimit with a PARTIAL pass BEFORE the exchange (per-partition "
     "top-k map-side, plan-asserted). No stage funnels the whole corpus's "
     "similarities into one task and no Python hop is needed: the round-1 "
-    "global-window concern is solved by the optimizer's group-limit pushdown.",
+    "global-window concern is solved by the optimizer's group-limit pushdown. "
+    "BASELINE ONLY — cost is O(queries x corpus); at scale reach for the "
+    "cell-pruned twins embedding_ivf_topk / embedding_ivf_learned_topk "
+    "(fitted or fixture centroids, >60% of the corpus pruned, recall bound "
+    "asserted in tests/test_kmeans.py).",
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1287,14 +1291,18 @@ def connected_components(
     # truncates the lineage, so round N's plan never replays rounds 1..N-1
     # (with plain persist the DAG still deepens and the convergence count
     # replays the whole chain — measured minutes on a 30-round graph).
-    # Checkpointed blocks are dropped by the ContextCleaner once the previous
-    # round's DataFrame goes out of scope; nothing stays in the SQL cache.
-    comps = (
+    # Superseded rounds are released EXPLICITLY (r9: relying on the
+    # ContextCleaner meant up to max_iter label-table copies could sit in
+    # executor block storage until a GC happened to run).
+    from ..operators.ckpt import release_checkpoint
+
+    ckpt = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    comps = ckpt
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -1312,10 +1320,15 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
+        # release the CHECKPOINTED handle, not the derived projection — the
+        # unpersist accessor needs the LogicalRDD at the plan root
+        release_checkpoint(ckpt)  # superseded: `updated` is materialized
+        ckpt = updated
         comps = updated.drop("_changed")
         if changed == 0:
             converged = True
             break
+    release_checkpoint(sym)  # the loop is done with the edge table
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "

@@ -70,21 +70,31 @@ from .registry import declare
     "— no corpus- or user-grain sort window; the oracle uses plain NTILE).",
 )
 def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day = floor(epoch_micros / day_micros), NOT to_date(ts): to_date on a
+    # TIMESTAMP (LTZ) column follows spark.sql.session.timeZone, while the
+    # streaming twin (streaming/funnel.py stream_rfm) folds ts_us // 86400e6
+    # — UTC days. Deriving both surfaces from epoch micros makes
+    # stream == batch timezone-independent BY CONSTRUCTION (r8 advice); for
+    # the NTZ testdata the two forms are identical anyway, so the DuckDB
+    # oracle (CAST(ts AS DATE) on naive timestamps) is unchanged.
+    from ..functions.ts import epoch_micros
+
+    day = F.floor(epoch_micros("ts") / F.lit(86_400_000_000)).cast("int")
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    anchor = e.agg(F.max(F.to_date("ts")).alias("_a"))
+    anchor = e.agg(F.max(day).alias("_a"))
     u = (
         e.groupBy("user_id")
         .agg(
-            F.max(F.to_date("ts")).alias("_last"),
+            F.max(day).alias("_last"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             F.coalesce(_qsum("value"), F.lit(0.0)).alias("monetary"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
-            F.datediff(F.col("_a"), F.col("_last")).cast("int").alias("recency_days"),
+            (F.col("_a") - F.col("_last")).cast("int").alias("recency_days"),
             "frequency",
             "monetary",
         )

@@ -175,9 +175,9 @@ def write_bucketed(
             df, bucket_col, num_buckets, skew_ratio, return_null_count=True
         )
         if hot:
-            raise ValueError(_skew_msg(table, bucket_col, hot, skew_ratio))
+            raise ValueError(_skew_msg(table, bucket_col, hot, skew_ratio, "pre"))
         if null_n:
-            raise ValueError(_null_msg(table, bucket_col, null_n, skew_ratio))
+            raise ValueError(_null_msg(table, bucket_col, null_n, skew_ratio, "pre"))
     _write(df, table, path, [bucket_col], num_buckets, sort)
     if checking and on_skew == "warn":
         written = df.sparkSession.table(table).select(bucket_col)
@@ -186,30 +186,48 @@ def write_bucketed(
         )
         if hot:
             warnings.warn(
-                _skew_msg(table, bucket_col, hot, skew_ratio), stacklevel=2
+                _skew_msg(table, bucket_col, hot, skew_ratio, "post"), stacklevel=2
             )
         if null_n:
             warnings.warn(
-                _null_msg(table, bucket_col, null_n, skew_ratio), stacklevel=2
+                _null_msg(table, bucket_col, null_n, skew_ratio, "post"), stacklevel=2
             )
 
 
-def _skew_msg(table: str, bucket_col: str, hot: list[tuple], skew_ratio: float) -> str:
+def _skew_msg(
+    table: str, bucket_col: str, hot: list[tuple], skew_ratio: float, phase: str = "pre"
+) -> str:
+    # on_skew='warn' checks POST-write (r8 advice: say so — the operator
+    # must know the table on disk already contains the oversized bucket);
+    # on_skew='raise' checks pre-write and refuses it
+    where = (
+        "detected POST-WRITE (the table on disk already contains the "
+        "oversized bucket); rewrite with"
+        if phase == "post"
+        else "would make unsplittable oversized buckets; use"
+    )
     return (
         f"write_bucketed({table!r}): hot join key(s) on {bucket_col!r} "
-        f"would make unsplittable oversized buckets (AQE cannot split "
-        f"a bucketed scan): {hot!r} each > {skew_ratio}x the average "
-        f"bucket; use write_bucketed_salted/write_bucketed_replicated "
-        f"+ join_salted instead"
+        f"{where} write_bucketed_salted/write_bucketed_replicated + "
+        f"join_salted — {hot!r} each > {skew_ratio}x the average bucket, "
+        f"unsplittable at scan time (AQE cannot split a bucketed scan)"
     )
 
 
-def _null_msg(table: str, bucket_col: str, null_n: int, skew_ratio: float) -> str:
+def _null_msg(
+    table: str, bucket_col: str, null_n: int, skew_ratio: float, phase: str = "pre"
+) -> str:
+    where = (
+        "detected POST-WRITE (the table on disk already contains it); "
+        "filter the NULL keys and rewrite"
+        if phase == "post"
+        else "an unsplittable oversized bucket file on the scan side; "
+        "filter the NULL keys before the write"
+    )
     return (
         f"write_bucketed({table!r}): {null_n} NULL {bucket_col!r} rows all "
-        f"hash into ONE bucket (> {skew_ratio}x the average) — an "
-        f"unsplittable oversized bucket file on the scan side even though "
-        f"NULL never equi-joins; filter the NULL keys before the write "
+        f"hash into ONE bucket (> {skew_ratio}x the average) — {where} "
+        f"even though NULL never equi-joins "
         f"(salting does not apply — they match nothing)"
     )
 
