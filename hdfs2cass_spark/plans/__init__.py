@@ -26,6 +26,7 @@ from . import quality_clf as _quality_clf  # noqa: E402,F401
 from . import mmr as _mmr  # noqa: E402,F401
 from . import refppl as _refppl  # noqa: E402,F401
 from . import rfm as _rfm  # noqa: E402,F401
-from . import bpe as _bpe  # noqa: E402,F401  # keep LAST: appends oracle rows
+from . import spans as _spans  # noqa: E402,F401  # round 9: appends oracle row 83
+from . import bpe as _bpe  # noqa: E402,F401  # rows-only; spans stays the oracle tail
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

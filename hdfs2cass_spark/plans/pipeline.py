@@ -227,6 +227,53 @@ def corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_K = 8  # words per duplicated-substring detection window
 
 
+def substring_gram_positions(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) — one row per SUBSTR_K-word window position, the
+    shared gram table of the exact-substring family (exact_substring_spans
+    here, exact_substring_word_spans in plans/spans.py — ONE definition so
+    the two queries can never disagree on window hashing).
+
+    Lazy DISK_ONLY localCheckpoint: the gram table feeds TWO branches (the
+    dup-set aggregate and the join-back probe) and its explode carries a
+    lambda subtree that never passes ReuseExchange — without materialization
+    the heaviest map stage would run twice. RDD-level storage (Scan
+    ExistingRDD), not SQL cache, so nothing outlives the query. DISK_ONLY:
+    the gram table is ~10-20x the corpus row count — at the default
+    MEMORY_AND_DISK the stored blocks pin the unified pool (execution can
+    only evict storage to 50%) and the downstream 32-way hash aggregate dies
+    with AGGREGATE_OUT_OF_MEMORY (observed at the 6.7M-doc skew probe); a
+    disk-resident gram table streams into both branches with zero pool
+    contention."""
+    grams_sql = (
+        f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
+        + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
+        + ")"
+    )
+    return (
+        _spread_docs(d)
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
+        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+
+
+def substring_dup_flags(pos: DataFrame) -> DataFrame:
+    """(h, isdup) — duplicated-gram marking, SKEW-SAFE (round 6): groupBy(h)
+    min/max has map-side partial combine, so a hot gram (df in the millions:
+    boilerplate present in a third of the corpus) collapses to one row per
+    mapper BEFORE the exchange; the join back on h is AQE-skew-splittable.
+    The round-5 Window.partitionBy(h) form used one exchange and no join,
+    but a window partition cannot be split — every position of the hot gram
+    streamed through ONE task (disk-bounded via the spillable row buffer,
+    yet a linear straggler that at 100 TB is an hours-long tail). No
+    broadcast anywhere: the dup-flag table scales with the corpus and rides
+    a shuffle."""
+    return pos.groupBy("h").agg((F.min("doc_id") != F.max("doc_id")).alias("isdup"))
+
+
+
 @declare(
     "exact_substring_spans",
     oracle=f"""
@@ -288,42 +335,8 @@ SUBSTR_K = 8  # words per duplicated-substring detection window
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams_sql = (
-        f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
-        + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
-        + ")"
-    )
-    pos = (  # (doc_id, pos, h) — one row per SUBSTR_K-word window position
-        _spread_docs(d)
-        .select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
-        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-        # lazy localCheckpoint: the gram table feeds TWO branches (the dup-set
-        # aggregate and the join-back probe) and its explode carries a lambda
-        # subtree that never passes ReuseExchange — without materialization
-        # the heaviest map stage would run twice. RDD-level storage (Scan
-        # ExistingRDD), not SQL cache, so nothing outlives the query.
-        # DISK_ONLY: the gram table is ~10-20x the corpus row count — at the
-        # default MEMORY_AND_DISK the stored blocks pin the unified pool
-        # (execution can only evict storage to 50%) and the downstream 32-way
-        # hash aggregate dies with AGGREGATE_OUT_OF_MEMORY (observed at the
-        # 6.7M-doc skew probe); a disk-resident gram table streams into both
-        # branches with zero pool contention.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    # duplicated-position marking, SKEW-SAFE (round 6): groupBy(h) min/max has
-    # map-side partial combine, so a hot gram (df in the millions: boilerplate
-    # present in a third of the corpus) collapses to one row per mapper BEFORE
-    # the exchange; the join back on h is AQE-skew-splittable. The round-5
-    # Window.partitionBy(h) form used one exchange and no join, but a window
-    # partition cannot be split — every position of the hot gram streamed
-    # through ONE task (disk-bounded via the spillable row buffer, yet a
-    # linear straggler that at 100 TB is an hours-long tail). No broadcast
-    # anywhere: the dup-flag table scales with the corpus and rides a shuffle.
-    dupflag = pos.groupBy("h").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("isdup")
-    )
+    pos = substring_gram_positions(d)
+    dupflag = substring_dup_flags(pos)
     marked = pos.join(dupflag, "h").select("doc_id", "pos", "isdup")
     # gaps-and-islands over BOTH dup and non-dup rows in one window: the
     # island id is constant within each consecutive same-flag run, so run

@@ -101,6 +101,8 @@ def test_driver_checked_prefix_order_is_frozen():
         # round 8
         "quality_classifier_score", "rag_mmr_rerank_md5",
         "ref_perplexity_buckets", "rfm_user_segments",
+        # round 9
+        "exact_substring_word_spans",
     ]
     r = rotation(len(frozen)) % len(frozen)
     rotated = frozen[r:] + frozen[:r]
