@@ -149,16 +149,14 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_retrieve_df(load_table(spark, sf_dir, "documents"), hash_mode="xxhash64")
 
 
-def rag_retrieve_df(
-    d: DataFrame,
-    k: int = _RAG_K,
-    n_queries: int = _N_QUERIES,
-    hash_mode: str = "xxhash64",
-    keep_vectors: bool = False,
+def chunk_embeddings(
+    d: DataFrame, dims: int = _DIMS, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """Composable form over any (doc_id, text, ...) DataFrame.
-    ``keep_vectors`` carries each hit's chunk embedding through the top-k
-    (the MMR reranker consumes candidate-candidate similarities)."""
+    """(doc_id, chunk_id, cembedding) — the chunk-grid + feature-hash-embed
+    front of the retrieval chain, factored out so the streaming RAG index
+    (streaming/rag.py) ingests EXACTLY the batch arithmetic: same
+    chunk_documents grid, same embed aggregate, so the accumulated index is
+    row-identical to a batch re-embed of the same corpus."""
     from ..operators.embed import embed_texts
 
     ws = (
@@ -185,9 +183,9 @@ def rag_retrieve_df(
     # one STRUCT embed key per chunk (embed_texts groups on a single column;
     # a packed-bigint key would wrap silently past 2^k chunks per doc)
     ckey = F.struct(F.col("doc_id"), F.col("chunk_id")).alias("ck")
-    cemb = embed_texts(
+    return embed_texts(
         chunks.select(ckey, "ctext"),
-        dims=_DIMS,
+        dims=dims,
         id_col="ck",
         text_col="ctext",
         out_col="cembedding",
@@ -196,19 +194,47 @@ def rag_retrieve_df(
         F.col("ck.doc_id").alias("doc_id"),
         F.col("ck.chunk_id").alias("chunk_id"),
         "cembedding",
-        F.expr(_norm_sql("cembedding")).alias("_cn"),
     )
-    qemb = embed_texts(
-        d.filter(F.col("doc_id") < n_queries), dims=_DIMS, hash_mode=hash_mode
+
+
+def query_embeddings(
+    d: DataFrame,
+    n_queries: int = _N_QUERIES,
+    dims: int = _DIMS,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(q_id, qe) — the whole-document query-side embeddings (docs with
+    doc_id < n_queries), shared by the batch retrieval and the streaming
+    index's query table."""
+    from ..operators.embed import embed_texts
+
+    return embed_texts(
+        d.filter(F.col("doc_id") < n_queries), dims=dims, hash_mode=hash_mode
     ).select(
         F.col("doc_id").alias("q_id"),
         F.col("embedding").alias("qe"),
-        F.expr(_norm_sql("embedding")).alias("_qn"),
     )
+
+
+def retrieve_topk(
+    cemb: DataFrame, qemb: DataFrame, k: int = _RAG_K, keep_vectors: bool = False
+) -> DataFrame:
+    """The retrieval tail over pre-embedded sides: ``cemb`` (doc_id,
+    chunk_id, cembedding), ``qemb`` (q_id, qe) -> exact-cosine top-k per
+    query, self-doc excluded. Norms are derived from the vectors here (sqrt
+    and multiply are correctly rounded, so the values are bit-identical
+    whether the norm was computed at embed time or at read time — the
+    streaming index stores vectors only). Shared by rag_retrieve_df and
+    streaming/rag.py rag_report_from_index."""
+    c = cemb.select(
+        "doc_id", "chunk_id", "cembedding",
+        F.expr(_norm_sql("cembedding")).alias("_cn"),
+    )
+    q = qemb.select("q_id", "qe", F.expr(_norm_sql("qe")).alias("_qn"))
     vec_cols = ["cembedding"] if keep_vectors else []
     sims = (
-        F.broadcast(qemb)
-        .crossJoin(cemb)
+        F.broadcast(q)
+        .crossJoin(c)
         .filter(F.col("doc_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -236,4 +262,22 @@ def rag_retrieve_df(
             F.col("rnk").cast("int").alias("rnk"), *vec_cols,
         )
         .orderBy("q_id", "rnk")
+    )
+
+
+def rag_retrieve_df(
+    d: DataFrame,
+    k: int = _RAG_K,
+    n_queries: int = _N_QUERIES,
+    hash_mode: str = "xxhash64",
+    keep_vectors: bool = False,
+) -> DataFrame:
+    """Composable form over any (doc_id, text, ...) DataFrame.
+    ``keep_vectors`` carries each hit's chunk embedding through the top-k
+    (the MMR reranker consumes candidate-candidate similarities)."""
+    return retrieve_topk(
+        chunk_embeddings(d, hash_mode=hash_mode),
+        query_embeddings(d, n_queries=n_queries, hash_mode=hash_mode),
+        k=k,
+        keep_vectors=keep_vectors,
     )

@@ -9,6 +9,7 @@ from .stateful import streaming_dedup_first
 from .decontam import read_scored, stream_documents, stream_decontamination
 from .neardup import near_dup_decisions_batch, read_decisions, stream_near_dup
 from .curate import curate_decisions_batch, read_curated, stream_curate
+from .rag import rag_report_from_index, stream_rag_index
 
 __all__ = [
     "stream_events",
@@ -26,4 +27,6 @@ __all__ = [
     "stream_curate",
     "curate_decisions_batch",
     "read_curated",
+    "stream_rag_index",
+    "rag_report_from_index",
 ]

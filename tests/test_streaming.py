@@ -1640,3 +1640,60 @@ def test_stateful_keys_seen_only_in_batch_zero_survive(spark, tmp_path):
     )
     nine = dd.filter("user_id = 9 AND event_type = 'click'").collect()
     assert len(nine) == 1 and nine[0]["event_id"] == 2  # duplicate dropped
+
+
+def test_stream_rag_index_equals_batch_any_order(spark, sf_dir, tmp_path):
+    """The streaming RAG index (chunk -> embed on ingest, retrieval and MMR
+    as read-time reports) must equal the batch twin EXACTLY — and because
+    retrieval is a pure function of the accumulated document SET, the
+    equality must hold for OUT-OF-ORDER arrival (stronger than the
+    in-order contract of the funnel/neardup twins): batches arrive middle,
+    tail, then head (the query docs arrive LAST), across a bucketed
+    compaction."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.operators.rerank import mmr_rerank
+    from hdfs2cass_spark.plans.rag import rag_retrieve_df
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        rag_report_from_index,
+        stream_documents,
+        stream_rag_index,
+    )
+    from hdfs2cass_spark.streaming.index import n_subdirs
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    flat = tmp_path / "rag_flat"
+    flat.mkdir()
+    ranges = [(n // 3, 2 * n // 3), (2 * n // 3, n + 1), (0, n // 3)]
+    for i, (lo, hi) in enumerate(ranges):
+        part = tmp_path / f"rag_p{i}"
+        base.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(part))
+        shutil.copy(
+            sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet"
+        )
+
+    idx, ck = (str(tmp_path / p) for p in ("rag_idx", "rag_ck"))
+    q = stream_rag_index(
+        stream_documents(spark, str(flat)), idx, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = [tuple(r) for r in rag_report_from_index(spark, idx).collect()]
+    want = [tuple(r) for r in rag_retrieve_df(base).collect()]
+    assert got == want and len(got) > 0
+    got_m = [tuple(r) for r in rag_report_from_index(spark, idx, mmr=True).collect()]
+    want_m = [
+        tuple(r)
+        for r in mmr_rerank(rag_retrieve_df(base, k=10, keep_vectors=True), k=5).collect()
+    ]
+    assert got_m == want_m and len(got_m) > 0
+    # compaction bounded the index dirs (fold at batch 2 + batch 2's append)
+    assert n_subdirs(spark, f"{idx}/chunks") == 2
