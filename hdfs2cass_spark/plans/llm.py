@@ -18,6 +18,8 @@ Scale design (the point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1263,7 +1265,11 @@ def text_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list -> (node, component)
     where component = min node id in the component.
@@ -1274,6 +1280,18 @@ def connected_components(
     but the data never leaves the cluster — the driver only checks a scalar
     convergence count per round. Near-dup clusters have tiny diameters, so
     this is 2-4 rounds in practice.
+
+    THE FLIP TRIGGER (r9 scale probe, scripts/cc_scale_probe.py +
+    ARCHITECTURE.md): rounds scale with graph DIAMETER, so a long-chain
+    component needs diameter rounds — if a workload's graphs converge in
+    > ~15 rounds (or hit the max_iter guard), switch to
+    operators/cc.py:connected_components_star — the large-star/small-star
+    algorithm (O(log d) rounds), equality-tested against this function.
+    Near-dup/LSH cluster graphs stay diameter-2-to-4, which is why this
+    simpler one-shuffle-per-round form is the default.
+
+    ``round_log``, when a list, receives one (round_idx, changed_labels,
+    seconds) tuple per round — the probe's instrument; None costs nothing.
 
     Raises RuntimeError if the labels have not converged after `max_iter`
     rounds — silently returning unconverged labels would hand the caller
@@ -1304,7 +1322,8 @@ def connected_components(
     )
     comps = ckpt
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        _t0 = time.perf_counter() if round_log is not None else 0.0
         neighbor_min = (
             sym.join(comps, sym.b == comps.node)
             .groupBy(F.col("a").alias("node"))
@@ -1320,6 +1339,8 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
+        if round_log is not None:
+            round_log.append((_round, changed, time.perf_counter() - _t0))
         # release the CHECKPOINTED handle, not the derived projection — the
         # unpersist accessor needs the LogicalRDD at the plan root
         release_checkpoint(ckpt)  # superseded: `updated` is materialized
