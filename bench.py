@@ -2,12 +2,23 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": dir}.
+
+Measurement isolation (round 9): the synthetic stress sections run in a
+FRESH subprocess JVM. Adjudicating the r8 "regressions" showed they were
+largely same-JVM position effects, not code: bpe_token_counts measured
+84k docs/s at the tail of the full suite but 114k docs/s in a fresh JVM
+— within 2% of its r7 rate — and the suite GROWS every round, pushing
+the stress section ever later into an ever-older JVM. A subprocess pins
+the stress JVM's age at zero forever, so stress lines are comparable
+across rounds regardless of catalog growth. (Stress lines from rounds
+<= 8 carried that position drift; r9 is the new baseline.)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -84,8 +95,178 @@ STRESS_ONLY = [
     "bpe_tokenize_docs",
 ]
 
+# the events-family stress set (window-heavy product analytics)
+EVENTS_STRESS = [
+    "sessionize_events_batch",
+    "asof_join_events",
+    "tumbling_window_events",
+    "event_funnel_conversion",
+    # round 7: the rest of the product-analytics family
+    "session_top_paths",
+    "engagement_dau_wau",
+    # round 8: user-grain rollup + histogram-rank quintiles
+    "rfm_user_segments",
+]
+
+
+def _make_recorder(stats: dict):
+    def record(name: str, samples: list[float]) -> float:
+        s = sorted(samples)
+        n = len(s)
+        med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        stats[name] = {
+            "min": round(s[0], 4),
+            "median": round(med, 4),
+            "rel_spread": round((s[-1] - s[0]) / med, 3) if med > 0 else 0.0,
+            "passes": n,
+        }
+        return round(s[0], 4)
+
+    return record
+
+
+def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
+    """The synthetic 1M-doc and 5M-event stress measurements (docs/s and
+    events/s per operator). Runs in the fresh stress JVM (stress_main);
+    kept as a function so the protocol is one definition."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans import CATALOG
+
+    record = _make_recorder(stats)
+
+    # 1M-doc synthetic stress for the pipeline stages (once per invocation,
+    # not per pass): docs/s at the stress shape is the number that predicts
+    # 100 TB behavior — the sf0.1 documents table is far too small to expose
+    # shard-offset-table / explode-amplification costs.
+    stress_docs = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000"))
+    if stress_docs > 0:
+        tmp = tempfile.mkdtemp(prefix="bench_stress_")
+        try:
+            words = F.expr(
+                "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
+            )
+            docs = spark.range(stress_docs).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", words).alias("text"),
+                # skewed lang + uniform source + n_chars: the columns the
+                # quality/curation operators read (zipf-ish lang so the
+                # temperature sampler has skew to flatten)
+                F.expr(
+                    "element_at(array('en','en','en','en','es','fr','de','zh'), "
+                    "CAST(pmod(hash(id * 19), 8) + 1 AS INT))"
+                ).alias("lang"),
+                F.expr("concat('src', pmod(hash(id * 23), 20))").alias("source"),
+            ).withColumn("n_chars", F.length("text").cast("int"))
+            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            for name in PIPELINE + STRESS_ONLY:
+                df = CATALOG[name].fn(spark, tmp)
+                df.write.mode("overwrite").format("noop").save()  # warm plan
+                # min-of-3: one loaded pass shouldn't set the recorded
+                # throughput, and 3 samples give the stats block a median
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    samples.append(time.perf_counter() - t0)
+                dt = record(f"stress_{name}", samples)
+                stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
+                print(
+                    f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s, "
+                    f"spread {stats[f'stress_{name}']['rel_spread']:.0%})",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # events-family stress: the window-heavy analytics (sessionize, as-of
+    # join, tumbling+sliding) at a synthetic scale the sf0.1 events fixture
+    # can't reach — us-jittered timestamps, ~1000 events/user
+    ev_n = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000"))
+    if ev_n > 0:
+        tmp = tempfile.mkdtemp(prefix="bench_events_")
+        try:
+            ev = spark.range(ev_n).select(
+                F.col("id").alias("event_id"),
+                # max(1, ...): 0 < ev_n < 1000 would otherwise divide by zero
+                (F.col("id") % max(1, ev_n // 1000)).alias("user_id"),
+                F.expr(
+                    "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
+                    "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"
+                ).alias("ts"),
+                F.expr(
+                    "element_at(array('click','view','scroll','purchase','hover', "
+                    "'focus','blur','load','unload','error'), "
+                    "CAST(pmod(hash(id * 13), 10) + 1 AS INT))"
+                ).alias("event_type"),
+                (F.pmod(F.hash(F.col("id") * 31), 10000) / 100.0).alias("value"),
+                F.lit('{"k":1}').alias("props"),
+            )
+            ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+            for name in EVENTS_STRESS:
+                df = CATALOG[name].fn(spark, tmp)
+                df.write.mode("overwrite").format("noop").save()  # warm
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    samples.append(time.perf_counter() - t0)
+                dt = record(f"stress_{name}_events", samples)
+                stress[name + "_events_per_sec"] = round(ev_n / dt, 1)
+                print(
+                    f"# events stress {name}: {dt:.2f}s ({ev_n / dt:,.0f} events/s, "
+                    f"spread {stats[f'stress_{name}_events']['rel_spread']:.0%})",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stress_docs, ev_n
+
+
+def stress_main() -> int:
+    """Child entry (SPARK_GRAFT_BENCH_ROLE=stress): ONLY the stress sections
+    in a fresh JVM, one JSON line to stdout (module docstring: why)."""
+    from hdfs2cass_spark.session import get_session
+
+    spark = get_session("hdfs2cass_spark-bench-stress")
+    stats: dict = {}
+    stress: dict = {}
+    stress_docs, ev_n = _stress_sections(spark, stats, stress)
+    print(
+        json.dumps(
+            {"stress": stress, "stats": stats,
+             "stress_docs": stress_docs, "stress_events": ev_n}
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _run_stress_subprocess() -> dict:
+    """Spawn the fresh stress JVM and return its parsed JSON. A broken
+    stress child must FAIL the bench (a silently missing stress block would
+    read as a perf cliff next round)."""
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ROLE="stress")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,  # child progress lines stream through live
+        text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_TIMEOUT", "3000")),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"stress subprocess failed rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
 
 def main() -> int:
+    if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "stress":
+        return stress_main()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.session import get_session
@@ -115,18 +296,7 @@ def main() -> int:
     # adjudicated as noise (wide spread / high load) vs a real regression.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
     stats: dict[str, dict[str, float]] = {}
-
-    def record(name: str, samples: list[float]) -> float:
-        s = sorted(samples)
-        n = len(s)
-        med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-        stats[name] = {
-            "min": round(s[0], 4),
-            "median": round(med, 4),
-            "rel_spread": round((s[-1] - s[0]) / med, 3) if med > 0 else 0.0,
-            "passes": n,
-        }
-        return round(s[0], 4)
+    record = _make_recorder(stats)
 
     def time_query(name: str) -> float:
         q = CATALOG[name]
@@ -195,112 +365,21 @@ def main() -> int:
     except Exception:  # noqa: BLE001 — metadata read is best-effort decoration
         bulk_rows_per_sec = None
 
-    # 1M-doc synthetic stress for the pipeline stages (once per invocation,
-    # not per pass): docs/s at the stress shape is the number that predicts
-    # 100 TB behavior — the sf0.1 documents table is far too small to expose
-    # shard-offset-table / explode-amplification costs.
-    stress_docs = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000"))
-    stress: dict[str, float] = {}
-    if stress_docs > 0:
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        tmp = tempfile.mkdtemp(prefix="bench_stress_")
-        try:
-            words = F.expr(
-                "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
-            )
-            docs = spark.range(stress_docs).select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(" ", words).alias("text"),
-                # skewed lang + uniform source + n_chars: the columns the
-                # quality/curation operators read (zipf-ish lang so the
-                # temperature sampler has skew to flatten)
-                F.expr(
-                    "element_at(array('en','en','en','en','es','fr','de','zh'), "
-                    "CAST(pmod(hash(id * 19), 8) + 1 AS INT))"
-                ).alias("lang"),
-                F.expr("concat('src', pmod(hash(id * 23), 20))").alias("source"),
-            ).withColumn("n_chars", F.length("text").cast("int"))
-            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-            for name in PIPELINE + STRESS_ONLY:
-                df = CATALOG[name].fn(spark, tmp)
-                df.write.mode("overwrite").format("noop").save()  # warm plan
-                # min-of-3: one loaded pass shouldn't set the recorded
-                # throughput, and 3 samples give the stats block a median
-                samples = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    df.write.mode("overwrite").format("noop").save()
-                    samples.append(time.perf_counter() - t0)
-                dt = record(f"stress_{name}", samples)
-                stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
-                print(
-                    f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s, "
-                    f"spread {stats[f'stress_{name}']['rel_spread']:.0%})",
-                    file=sys.stderr,
-                )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-
-    # events-family stress: the window-heavy analytics (sessionize, as-of
-    # join, tumbling+sliding) at a synthetic scale the sf0.1 events fixture
-    # can't reach — us-jittered timestamps, ~1000 events/user
-    ev_n = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000"))
-    if ev_n > 0:
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        tmp = tempfile.mkdtemp(prefix="bench_events_")
-        try:
-            ev = spark.range(ev_n).select(
-                F.col("id").alias("event_id"),
-                # max(1, ...): 0 < ev_n < 1000 would otherwise divide by zero
-                (F.col("id") % max(1, ev_n // 1000)).alias("user_id"),
-                F.expr(
-                    "timestamp_micros(CAST(812505600000000 + (id DIV 1000) * 3000000000 "
-                    "+ pmod(hash(id), 997) * 1000000 + pmod(hash(id * 7), 1000) AS BIGINT))"
-                ).alias("ts"),
-                F.expr(
-                    "element_at(array('click','view','scroll','purchase','hover', "
-                    "'focus','blur','load','unload','error'), "
-                    "CAST(pmod(hash(id * 13), 10) + 1 AS INT))"
-                ).alias("event_type"),
-                (F.pmod(F.hash(F.col("id") * 31), 10000) / 100.0).alias("value"),
-                F.lit('{"k":1}').alias("props"),
-            )
-            ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
-            for name in (
-                "sessionize_events_batch",
-                "asof_join_events",
-                "tumbling_window_events",
-                "event_funnel_conversion",
-                # round 7: the rest of the product-analytics family
-                "session_top_paths",
-                "engagement_dau_wau",
-                # round 8: user-grain rollup + histogram-rank quintiles
-                "rfm_user_segments",
-            ):
-                df = CATALOG[name].fn(spark, tmp)
-                df.write.mode("overwrite").format("noop").save()  # warm
-                samples = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    df.write.mode("overwrite").format("noop").save()
-                    samples.append(time.perf_counter() - t0)
-                dt = record(f"stress_{name}_events", samples)
-                stress[name + "_events_per_sec"] = round(ev_n / dt, 1)
-                print(
-                    f"# events stress {name}: {dt:.2f}s ({ev_n / dt:,.0f} events/s, "
-                    f"spread {stats[f'stress_{name}_events']['rel_spread']:.0%})",
-                    file=sys.stderr,
-                )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+    # stress sections in a FRESH subprocess JVM (module docstring: the r9
+    # adjudication showed same-JVM position effects of 20-30% at the tail
+    # of the growing suite; a zero-age JVM pins the measurement position).
+    # The parent session stays up but idle — the child owns the CPUs.
+    want_stress = (
+        int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000")) > 0
+        or int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000")) > 0
+    )
+    if want_stress:
+        child = _run_stress_subprocess()
+        stress = child["stress"]
+        stats.update(child["stats"])
+        stress_docs, ev_n = child["stress_docs"], child["stress_events"]
+    else:
+        stress, stress_docs, ev_n = {}, 0, 0
 
     result = {
         "metric": "headline-queries-total-sec",
@@ -318,6 +397,7 @@ def main() -> int:
         # above stay min-based (comparable to rounds 1-7); this block is the
         # noise-vs-regression evidence (verdict r7 item 3)
         "stats": stats,
+        "stress_isolated_jvm": want_stress,  # round 9+: fresh-JVM stress
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "load_gate": gate_info,
