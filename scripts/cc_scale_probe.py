@@ -9,8 +9,10 @@ implementations on three planted shapes, printing one JSON line:
   chain    — one 1000-node path (diameter 999): the adversarial shape;
              only the star variant runs (the default would need 999
              rounds — its max_iter guard exists precisely for this).
-  mixed    — 10M clique edges + a 100-node chain stitched in: volume AND
-             a moderate diameter; both run (default max_iter raised).
+  mixed    — 10M clique edges + a ~100-block chain stitched through the
+             block centers: volume AND a moderate diameter; star only
+             (the stitched diameter would trip the default's guard —
+             which is the point of the flip trigger).
 
 Results are recorded in ARCHITECTURE.md "Connected components at scale"
 with the flip trigger. Run: python scripts/cc_scale_probe.py [edge_count]

@@ -57,13 +57,18 @@ def test_driver_checked_prefix_order_is_frozen():
     the then-documented rows 59-60 to 61/63). `frozen` below is the
     DECLARATION order (extend it every time a query is appended); the
     exposed order is that list rotated left by registry.rotation(n) so the
-    driver's 50-row checked window ALTERNATES per round (round 9 onward):
-    odd rounds expose declaration rows 1-50, even rounds the last 50 — see
-    OPERATORS.md "Driver-prefix rotation". This test asserts the exact
-    rotated order."""
+    exposed order (round 9 onward) is: never-driver-checked oracle rows
+    first (first hard verdict in the round they ship), then the
+    already-checked rows rotated by round parity (odd = earliest re-checked,
+    even = latest re-checked) — see OPERATORS.md "Driver-prefix rotation".
+    This test asserts the exact exposed order."""
     import __spark_entry__ as entry
 
-    from hdfs2cass_spark.plans.registry import rotation
+    from hdfs2cass_spark.plans.registry import (
+        DRIVER_PREFIX,
+        ever_driver_checked,
+        rotation,
+    )
 
     frozen = [
         "cql_reshape_customer", "thrift_melt_nation", "token_route_customer",
@@ -104,41 +109,54 @@ def test_driver_checked_prefix_order_is_frozen():
         # round 9
         "exact_substring_word_spans",
     ]
-    r = rotation(len(frozen)) % len(frozen)
-    rotated = frozen[r:] + frozen[:r]
+    checked = ever_driver_checked()
+    never = [n for n in frozen if n not in checked]
+    rest = [n for n in frozen if n in checked]
+    w = max(0, DRIVER_PREFIX - len(never))
+    r = rotation(len(rest), window=w) % max(1, len(rest))
+    expect = never + rest[r:] + rest[:r]
     names = list(entry.queries())
-    assert names[: len(frozen)] == rotated
+    assert names[: len(frozen)] == expect
+    # a row declared this round has no committed driver verdict yet — it
+    # must sit INSIDE the checked window in its own round (r9 review)
+    assert set(never) <= set(names[:DRIVER_PREFIX])
 
 
 def test_rotation_alternates_and_windows_cover_catalog():
-    """The r8-verdict alternation guard: odd rounds check declaration rows
-    1-50, even rounds the last 50, and the two windows together must cover
-    EVERY oracle row (requires n_oracle <= 2*DRIVER_PREFIX — if the catalog
-    outgrows 100 oracle rows this fails loudly: add a third window)."""
+    """The r8-verdict alternation guard, r9-review form: never-checked rows
+    are always in the window; the two parity windows over the checked rows
+    must TOGETHER cover every oracle row (fails loudly when the catalog
+    outgrows what two windows can cover — add a third window then)."""
     import __spark_entry__ as entry
 
     from hdfs2cass_spark.plans.registry import (
         DRIVER_PREFIX,
         current_round,
+        ever_driver_checked,
         rotation,
     )
 
     m = _load_entry()
-    n = len(m.oracle_sql())
-    assert n <= 2 * DRIVER_PREFIX, (
-        "catalog outgrew the two-window alternation; add a third window"
-    )
-    assert rotation(n, round_no=9) == 0
-    assert rotation(n, round_no=10) == max(0, n - DRIVER_PREFIX)
-    odd = set(range(0, DRIVER_PREFIX))
-    even = set(
-        (rotation(n, round_no=10) + i) % n for i in range(min(DRIVER_PREFIX, n))
-    )
-    assert odd | even >= set(range(n))
-    # the live ordering uses the real running round (from CORRECTNESS_r*.json)
-    names = list(entry.queries())
     osql = m.oracle_sql()
-    r = rotation(n, round_no=current_round())
+    oracle_names = [n for n in m.queries() if n in osql]  # exposed order
+    n = len(oracle_names)
+    checked = ever_driver_checked()
+    never = [q for q in oracle_names if q not in checked]
+    rest = [q for q in oracle_names if q in checked]
+    w = max(0, DRIVER_PREFIX - len(never))
+    windows = []
+    for rnd in (current_round(), current_round() + 1):
+        r = rotation(len(rest), round_no=rnd, window=w) % max(1, len(rest))
+        exposed = never + rest[r:] + rest[:r]
+        windows.append(set(exposed[:DRIVER_PREFIX]))
+    assert windows[0] | windows[1] >= set(oracle_names), (
+        "two parity windows no longer cover the catalog; add a third window"
+    )
+    # parity semantics pinned
+    assert rotation(len(rest), round_no=9, window=w) == 0
+    assert rotation(len(rest), round_no=10, window=w) == max(0, len(rest) - w)
+    # the driver's actual prefix this round is all-oracle and contains
+    # every never-checked row
+    names = list(entry.queries())
     assert all(name in osql for name in names[:DRIVER_PREFIX])
-    if current_round() % 2 == 1:
-        assert r == 0
+    assert set(never) <= set(names[:DRIVER_PREFIX])
