@@ -1353,7 +1353,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "
-            "(graph diameter exceeds max_iter); raise max_iter"
+            "(graph diameter exceeds max_iter): this is the documented flip "
+            "trigger — use operators/cc.py connected_components_star "
+            "(O(log d) rounds) for high-diameter graphs, or raise max_iter"
         )
     return comps.select("node", "comp")
 
