@@ -79,10 +79,12 @@ PIPELINE = [
     # pipeline_total_sec is not comparable to rounds <= 7, earlier keys are
     "quality_classifier_score",
     "ref_perplexity_buckets",
-    # added round 9 (word-granular maximal duplicated spans; shares the
-    # gram table shape with exact_substring_spans): pipeline_total_sec is
-    # not comparable to rounds <= 8, earlier keys are
+    # added round 9 (word-granular maximal duplicated spans + the
+    # keep-first-occurrence scrub action; both share the gram table shape
+    # with exact_substring_spans): pipeline_total_sec is not comparable to
+    # rounds <= 8, earlier keys are
     "exact_substring_word_spans",
+    "exact_substring_scrub",
 ]
 
 # Timed ONLY in the 1M-doc stress section, where fn() runs once OUTSIDE the

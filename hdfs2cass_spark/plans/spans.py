@@ -61,6 +61,26 @@ _POS_DUCK = f"""
     )"""
 
 
+def merge_window_spans(dup: DataFrame) -> DataFrame:
+    """(doc_id, s, e) maximal covered word intervals from (doc_id, pos)
+    duplicated window positions — the LAG gaps-and-islands merge (module
+    docstring), shared by the span REPORT above and the scrub ACTION
+    below so the two can never disagree on boundaries."""
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "newisl",
+        F.coalesce(
+            (F.col("pos") > F.lag("pos").over(wnd) + SUBSTR_K).cast("int"),
+            F.lit(1),
+        ),
+    ).withColumn("isl", F.sum("newisl").over(wnd))
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(SUBSTR_K - 1)).alias("e"),
+    )
+
+
+
 @declare(
     "exact_substring_word_spans",
     oracle=f"""
@@ -106,18 +126,7 @@ def exact_substring_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("isdup"))
         .select("doc_id", "pos")
     )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dup.withColumn(
-        "newisl",
-        F.coalesce(
-            (F.col("pos") > F.lag("pos").over(wnd) + SUBSTR_K).cast("int"),
-            F.lit(1),
-        ),
-    ).withColumn("isl", F.sum("newisl").over(wnd))
-    sp = isl.groupBy("doc_id", "isl").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + F.lit(SUBSTR_K - 1)).alias("e"),
-    )
+    sp = merge_window_spans(dup)
     w = (
         d.filter(F.col("text").isNotNull())
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
@@ -133,4 +142,110 @@ def exact_substring_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_fp"),
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+# the DuckDB twin of merge_window_spans over a `dup(doc_id, pos)` CTE:
+# LAG islands -> running sum -> per-island min/max (identical arithmetic)
+_SPANS_DUCK = f"""
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                      -{SUBSTR_K}) + {SUBSTR_K}
+                  THEN 1 ELSE 0 END AS newisl
+      FROM dup),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM isl),
+    sp AS (
+      SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + {SUBSTR_K - 1} AS e
+      FROM grp GROUP BY doc_id, isl)"""
+
+
+@declare(
+    "exact_substring_scrub",
+    oracle=f"""
+    WITH {_POS_DUCK},
+    first AS (SELECT h, MIN(doc_id) AS first_doc FROM pos GROUP BY h),
+    dup AS (
+      SELECT p.doc_id, p.pos FROM pos p JOIN first f USING (h)
+      WHERE p.doc_id > f.first_doc),
+    {_SPANS_DUCK},
+    spl AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM sp GROUP BY doc_id),
+    wall AS (
+      SELECT doc_id, {W_DUCK} AS ws FROM documents
+      WHERE text IS NOT NULL AND len({W_DUCK}) >= 1),
+    scrubbed AS (
+      SELECT w.doc_id, len(ws) AS n_words,
+             CASE WHEN spans IS NULL THEN ws ELSE
+               list_filter(
+                 list_transform(generate_series(1, len(ws)), i ->
+                   CASE WHEN len(list_filter(spans,
+                          sp -> i >= sp.s AND i <= sp.e)) > 0
+                        THEN NULL ELSE ws[i] END),
+                 x -> x IS NOT NULL)
+             END AS kept
+      FROM wall w LEFT JOIN spl USING (doc_id))
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - len(kept) AS BIGINT) AS n_scrubbed,
+           {hash60_duck("coalesce(array_to_string(kept, ' '), '')")} AS scrubbed_fp
+    FROM scrubbed ORDER BY doc_id
+    """,
+    doc=f"Keep-first-occurrence exact-substring DEDUP — the scrub ACTION the "
+    f"span report feeds (Lee et al. 2022 semantics at window granularity): "
+    f"a {SUBSTR_K}-word window is scrubbed from a doc iff the same gram "
+    f"occurs in an EARLIER doc (min doc_id keeps its copy intact — the "
+    f"engine's keeper-is-min convention; intra-doc repeats are NOT "
+    f"scrubbed). Covered windows merge into maximal spans (the shared LAG "
+    f"islands), then each doc's kept text is rebuilt by an index-aware "
+    f"array filter — (doc_id, n_words, n_scrubbed, md5 digest of the "
+    f"scrubbed text), so the oracle verifies the exact post-scrub CONTENT "
+    f"cross-engine. Scale shape: shared skew-safe gram table, one "
+    f"map-side-combined min-per-gram aggregate, doc-bounded islands "
+    f"window, per-doc span-list aggregate, one doc_id join, then a "
+    f"MAP-ONLY higher-order-function rewrite — no word-grain explode, no "
+    f"shuffle carries text except the final doc_id join.",
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pos = substring_gram_positions(d)
+    first = pos.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    dup = (
+        pos.join(first, "h")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "pos")
+    )
+    spl = merge_window_spans(dup).groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    w = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.size("ws") >= 1)
+    )
+    # index-aware rewrite: Spark's filter lambda index is 0-based, the span
+    # bounds are 1-based word positions
+    kept = (
+        "CASE WHEN spans IS NULL THEN ws ELSE "
+        "filter(ws, (x, i) -> NOT exists(spans, "
+        "sp -> i + 1 >= sp.s AND i + 1 <= sp.e)) END"
+    )
+    return (
+        w.join(spl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.expr(kept).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.size("_kept")).cast("long").alias("n_scrubbed"),
+            F.expr(hash60_spark("concat_ws(' ', _kept)")).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
     )

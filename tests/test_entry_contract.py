@@ -107,7 +107,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "quality_classifier_score", "rag_mmr_rerank_md5",
         "ref_perplexity_buckets", "rfm_user_segments",
         # round 9
-        "exact_substring_word_spans",
+        "exact_substring_word_spans", "exact_substring_scrub",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]

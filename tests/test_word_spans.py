@@ -93,3 +93,73 @@ def test_overlapping_windows_merge_into_one_span(spark, tmp_path):
     # doc 2, covering words 6..13); 6 <= 1 + 8 -> merged, span [1, 13]
     assert (0, 1, 13) in got
     assert sum(1 for g in got if g[0] == 0) == 1
+
+
+def test_scrub_keeps_first_occurrence(spark, planted_sf):
+    """exact_substring_scrub: the MIN-doc_id holder of a gram keeps its
+    copy intact; later docs lose exactly the covered words; docs with no
+    earlier-doc dup are untouched (n_scrubbed 0, fp = hash of full text)."""
+    rows = {
+        r["doc_id"]: r
+        for r in CATALOG["exact_substring_scrub"].fn(spark, planted_sf).collect()
+    }
+    # doc 0 is the FIRST holder of both shared phrases -> nothing scrubbed
+    assert rows[0]["n_scrubbed"] == 0
+    # doc 1: loses the 12 words of SHARED12 (first held by doc 0)
+    assert rows[1]["n_scrubbed"] == 12
+    # doc 2: loses the 8 words of SHARED8
+    assert rows[2]["n_scrubbed"] == 8
+    # doc 3: clean -> untouched
+    assert rows[3]["n_scrubbed"] == 0
+    # exact post-scrub content: rebuild expectations word-by-word and hash
+    # through the engine's own hash60 on a literal (same md5 arithmetic)
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.pipeline import hash60_spark
+
+    def h(text):
+        return spark.range(1).select(
+            F.expr(hash60_spark(f"'{text}'")).alias("v")
+        ).first()["v"]
+
+    assert rows[1]["scrubbed_fp"] == h("zz1 zz2 zz3")
+    assert rows[2]["scrubbed_fp"] == h("yy1")
+    assert rows[3]["scrubbed_fp"] == h(DOCS[3])
+    assert rows[0]["scrubbed_fp"] == h(DOCS[0])
+
+
+def test_scrub_fully_scrubbed_doc_hashes_empty(spark, tmp_path):
+    """A doc that is entirely one earlier-seen phrase scrubs to ZERO words
+    — both engines must agree on hashing the empty remainder (the
+    DuckDB array_to_string([]) IS NULL pitfall)."""
+    a = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = [a + " tail1 tail2", a]  # doc 1 is exactly the shared 8-gram
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "scrub_all"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["t"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CATALOG["exact_substring_scrub"].fn(spark, str(d)).collect()
+    }
+    assert rows[0]["n_scrubbed"] == 0
+    assert rows[1]["n_scrubbed"] == 8 and rows[1]["n_words"] == 8
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.pipeline import hash60_spark
+
+    empty = spark.range(1).select(F.expr(hash60_spark("''")).alias("v")).first()["v"]
+    assert rows[1]["scrubbed_fp"] == empty
