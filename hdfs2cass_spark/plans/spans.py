@@ -214,6 +214,17 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pos = substring_gram_positions(d)
     first = pos.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return scrub_against_first(d, pos, first).orderBy("doc_id")
+
+
+def scrub_against_first(d: DataFrame, pos: DataFrame, first: DataFrame) -> DataFrame:
+    """The scrub tail over a document frame ``d``, its gram-position table
+    ``pos`` (substring_gram_positions), and a (h, first_doc) first-holder
+    table: scrub every window whose gram is held by an earlier doc, merge
+    spans, rebuild kept text. ONE definition shared by the batch query
+    above and the streaming twin (streaming/scrub.py, where ``first``
+    comes from the accumulating gram index) — the two surfaces cannot
+    drift."""
     dup = (
         pos.join(first, "h")
         .filter(F.col("doc_id") > F.col("first_doc"))
@@ -247,5 +258,4 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_words") - F.size("_kept")).cast("long").alias("n_scrubbed"),
             F.expr(hash60_spark("concat_ws(' ', _kept)")).alias("scrubbed_fp"),
         )
-        .orderBy("doc_id")
     )

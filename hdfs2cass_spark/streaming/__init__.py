@@ -10,6 +10,7 @@ from .decontam import read_scored, stream_documents, stream_decontamination
 from .neardup import near_dup_decisions_batch, read_decisions, stream_near_dup
 from .curate import curate_decisions_batch, read_curated, stream_curate
 from .rag import rag_report_from_index, stream_rag_index
+from .scrub import read_scrubbed, stream_scrub
 
 __all__ = [
     "stream_events",
@@ -29,4 +30,6 @@ __all__ = [
     "read_curated",
     "stream_rag_index",
     "rag_report_from_index",
+    "stream_scrub",
+    "read_scrubbed",
 ]

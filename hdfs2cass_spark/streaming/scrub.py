@@ -1,0 +1,110 @@
+"""Streaming exact-substring scrub: keep-first-occurrence dedup on ingest
+— the on-arrival twin of plans/spans.py ``exact_substring_scrub``.
+
+Per arriving micro-batch of documents: hash every SUBSTR_K-word window
+(the shared gram table, plans/pipeline.py substring_gram_positions),
+enroll each batch's per-gram MIN doc_id into an ACCUMULATING gram index,
+and scrub each arriving doc against the index's first-holders — a window
+is cut iff its gram was first held by a STRICTLY EARLIER doc_id. The
+scrub tail (span merge + map-only index-aware rewrite) is the SHARED
+plans/spans.py ``scrub_against_first``, so the two surfaces cannot
+drift; with files arriving in doc_id order the streamed rows are
+row-identical to the batch query (asserted in tests/test_streaming.py,
+across compactions and including in-batch dups — the append-first
+read-back makes same-batch earlier docs count).
+
+Index layout (streaming/index.py machinery): ``grams`` (h, first_doc),
+compacted with fold = min(first_doc) per h and hash-bucketed on h;
+every per-batch read is PRUNED to the arriving batch's gram buckets, so
+per-trigger index bytes stay O(arriving grams x rows_per_bucket)
+regardless of stream age. Honest cost note: like the batch family (and
+Lee et al.'s suffix array), the gram index is linear in corpus WINDOW
+count — it is the big index of the streaming family; the fold keeps it
+one row per distinct gram.
+
+Replay safety: the enrollment append is a batch-id-keyed overwrite
+(at-least-once replays are no-ops) and min-folds are idempotent; the
+per-batch scrub output overwrites its own batch directory in the sink.
+
+Reference framing: no streaming or dedup surface exists in the reference
+(SURVEY.md §1.4) — extension surface composing the oracle-checked batch
+fragments (gram table: exact_substring_spans family; scrub tail:
+exact_substring_scrub, oracle row 84).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import substring_gram_positions
+from ..plans.spans import scrub_against_first
+
+
+def stream_scrub(
+    stream: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    compact_every: int | None = 16,
+    rows_per_bucket: int | None = None,
+):
+    """Start the streaming scrub query; returns the StreamingQuery.
+    Scrubbed rows (doc_id, n_words, n_scrubbed, scrubbed_fp — the batch
+    query's exact shape) land batch-id-keyed under ``sink_path``; read
+    back with :func:`read_scrubbed`."""
+    from .index import ROWS_PER_BUCKET, append, batch_dir, compact, read_index
+
+    rpb = ROWS_PER_BUCKET if rows_per_bucket is None else rows_per_bucket
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grams_p = f"{index_path}/grams"
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact(
+                spark,
+                grams_p,
+                batch_id,
+                fold=lambda df: df.groupBy("h").agg(
+                    F.min("first_doc").alias("first_doc")
+                ),
+                bucket_cols=["h"],
+                rows_per_bucket=rpb,
+            )
+            compact(spark, sink_path, batch_id)
+        n = spark.sparkContext.defaultParallelism
+        d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
+        pos = substring_gram_positions(d)
+        # append FIRST, then read the arriving grams BACK from the appended
+        # files (the embdup pattern): in-batch earlier docs count as first
+        # holders through the same read path, and a replay is a no-op
+        append(
+            pos.groupBy("h").agg(F.min("doc_id").alias("first_doc")),
+            grams_p,
+            batch_id,
+        )
+        agrams = spark.read.parquet(batch_dir(grams_p, batch_id))
+        first = (
+            read_index(spark, grams_p, prune=(agrams, ["h"]))
+            .groupBy("h")
+            .agg(F.min("first_doc").alias("first_doc"))
+        )
+        scrub_against_first(d, pos, first).write.mode("overwrite").parquet(
+            f"{sink_path}/batch-{batch_id:09d}"
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_scrubbed(spark: SparkSession, sink_path: str) -> DataFrame:
+    """All scrubbed rows emitted so far (one per arrived doc with >= 1
+    word), ordered by doc_id — the batch exact_substring_scrub shape."""
+    from .index import read_index
+
+    return read_index(spark, sink_path).orderBy("doc_id")

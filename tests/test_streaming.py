@@ -1697,3 +1697,63 @@ def test_stream_rag_index_equals_batch_any_order(spark, sf_dir, tmp_path):
     assert got_m == want_m and len(got_m) > 0
     # compaction bounded the index dirs (fold at batch 2 + batch 2's append)
     assert n_subdirs(spark, f"{idx}/chunks") == 2
+
+
+def test_stream_scrub_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming keep-first-occurrence substring scrub against the
+    accumulating min-doc gram index must equal the batch
+    exact_substring_scrub exactly when files arrive in doc_id order —
+    across a bucketed min-folded compaction, with planted cross-batch
+    copies provably losing their text."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans import CATALOG
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        read_scrubbed,
+        stream_documents,
+        stream_scrub,
+    )
+    from hdfs2cass_spark.streaming.index import n_subdirs
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    extra = (
+        base.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(6)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    train = base.unionByName(extra)
+    n = train.agg(F.max("doc_id")).first()[0] + 1
+
+    flat = tmp_path / "sc_flat"
+    flat.mkdir()
+    for i in range(3):  # doc_id RANGES: batch order == doc_id order
+        part = tmp_path / f"sc_p{i}"
+        train.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("sc_idx", "sc_out", "sc_ck"))
+    q = stream_scrub(
+        stream_documents(spark, str(flat)), idx, out, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = [tuple(r) for r in read_scrubbed(spark, out).collect()]
+    bt = str(tmp_path / "sc_bt")
+    train.write.mode("overwrite").parquet(f"{bt}/documents.parquet")
+    want = [tuple(r) for r in CATALOG["exact_substring_scrub"].fn(spark, bt).collect()]
+    assert got == want and len(got) > 0
+    # every planted late copy lost words (its text was first held earlier)
+    by_id = {g[0]: g for g in got}
+    late_copies = [r["doc_id"] for r in extra.collect()]
+    assert all(by_id[i][2] > 0 for i in late_copies)
+    # compaction bounded the gram index dirs (fold at batch 2 + its append)
+    assert n_subdirs(spark, f"{idx}/grams") == 2
