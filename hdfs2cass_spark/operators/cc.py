@@ -77,9 +77,13 @@ def _star_round(e: DataFrame, small: bool) -> DataFrame:
 
 
 def _checksum(e: DataFrame) -> tuple[int, int]:
-    """(count, order-independent xxhash64 sum) — exact edge-set identity
-    for the convergence test (sum is over distinct rows; the working set
-    is kept distinct)."""
+    """(count, order-independent xxhash64 sum) — a collision-improbable
+    fingerprint of the edge set for the convergence test, NOT an exact
+    identity: two different edge sets with equal count could in principle
+    collide on the hash sum (~2^-64 per comparison). Acceptable here because
+    star rounds are monotone (labels only decrease), so a spurious "equal"
+    would stop one round early on an already-near-converged set; exact
+    comparison (exceptAll().isEmpty()) would cost an extra join per round."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal accumulator: summing raw int64 hashes overflows ANSI mode

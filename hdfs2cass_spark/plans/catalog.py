@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from hdfs2cass_spark.functions.ts import epoch_micros, epoch_millis
 from pyspark.sql.functions import broadcast
 
+from ..operators.joins import size_guarded_broadcast
 from ..operators.legacy import format_legacy_lines, parse_legacy_lines
 from ..operators.partitioning import with_bucket, with_token
 from ..operators.reshape import melt_to_mutations, reshape_cql
@@ -221,8 +222,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3 shape: selective dimension filter broadcast into two fact "
-    "joins, agg, global top-k (sorted limit, no full sort at scale).",
+    doc="TPC-H Q3 shape: size-guarded broadcast of the segment-filtered "
+    "customer dimension into orders; the orders(x)customer side joins lineitem "
+    "UNHINTED — the o_orderdate filter keeps ~95% of orders, so that side is "
+    "fact-scale and AQE must pick SMJ vs broadcast from runtime size (an "
+    "explicit hint there bypasses the size check and OOMs at 100x). Agg, then "
+    "global top-k (sorted limit, no full sort at scale).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -233,7 +238,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.expr("TIMESTAMP '1998-06-01 00:00:00'")
     )
     return (
-        l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o.join(size_guarded_broadcast(c), o.o_custkey == c.c_custkey), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
         .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -256,8 +261,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name, n_name
     ORDER BY r_name, revenue DESC, n_name
     """,
-    doc="TPC-H Q5 shape: five-way join; all dimensions broadcast, single "
-    "shuffle chain on the fact keys.",
+    doc="TPC-H Q5 shape: five-way join, single shuffle chain on the fact "
+    "keys. nation/region broadcast unconditionally (25/5 rows at EVERY scale "
+    "factor); customer/supplier grow with SF (150k/10k rows x SF — GB-scale "
+    "at sf100), so their hints are size-guarded: plan-time estimate under the "
+    "autoBroadcastJoinThreshold keeps the hint, otherwise AQE decides from "
+    "runtime size.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -268,8 +277,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(size_guarded_broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -71,8 +71,14 @@ def _repo_root():
 
 
 def current_round() -> int:
-    """Running round number: 1 + the highest committed CORRECTNESS_r{N}.json
-    (the driver records one per completed round). Falls back to 1 when none
+    """Running round number: 1 + the highest CORRECTNESS_r{N}.json present
+    in the WORKING TREE (the driver records one per completed round).
+    Deliberately filesystem-based, not git-tracked-based: the moment the
+    driver writes CORRECTNESS_r{N}.json (even before committing it), round
+    N is over and the next gate run belongs to round N+1, so the exposed
+    ordering flips with the file's appearance. The ordering is therefore
+    stable WITHIN a round as long as no new CORRECTNESS file lands mid-round
+    — which only the driver writes, at round end. Falls back to 1 when none
     exist (fresh checkout before any round completes)."""
     import re
 
@@ -85,7 +91,8 @@ def current_round() -> int:
 
 
 def ever_driver_checked() -> frozenset[str]:
-    """Query names that appear in ANY committed CORRECTNESS_r{N}.json —
+    """Query names that appear in ANY CORRECTNESS_r{N}.json in the working
+    tree (committed or not — same rationale as :func:`current_round`) —
     i.e. rows that already carry at least one hard driver verdict. Rows
     NOT in this set are promoted to the front of the exposed ordering so
     a newly appended oracle row is driver-verified in the round it ships

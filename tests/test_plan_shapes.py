@@ -25,14 +25,46 @@ def test_q1_pushdown_and_pruning(spark, sf_dir):
 
 
 def test_q5_all_joins_broadcast(spark, sf_dir):
+    # At test scale every side fits the threshold, so all five joins broadcast
+    # (customer/supplier via the size guard, nation/region unconditionally).
     p = _explain(spark, CATALOG["q5_local_supplier_volume"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in p
 
 
+def test_q5_growing_dims_not_hinted_when_broadcast_disabled(spark, sf_dir):
+    """customer/supplier hints are size-guarded: with broadcasting disabled
+    (threshold -1) the guard must yield NO hint for them, so only shuffle
+    joins appear — a hardcoded broadcast() would ignore the threshold and
+    still produce BroadcastHashJoin (the r9 OOM-at-100x defect shape)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _explain(spark, CATALOG["q5_local_supplier_volume"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # nation/region keep their unconditional hints (fixed 25/5 rows at every
+    # SF); customer/supplier/orders must fall back to non-broadcast joins.
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
 def test_q3_topk_never_global_sorts(spark, sf_dir):
     p = _explain(spark, CATALOG["q3_shipping_priority"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_q3_fact_side_join_never_force_broadcast(spark, sf_dir):
+    """The orders(x)customer side keeps ~95% of orders (the o_orderdate filter
+    is barely selective) — it must never carry an explicit broadcast hint.
+    With the threshold disabled, no join in q3 may broadcast: the customer
+    hint is size-guarded off and the planner can't pick broadcast on its own."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _explain(spark, CATALOG["q3_shipping_priority"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "BroadcastHashJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-k shape survives the join change
 
 
 def test_bulk_load_single_shuffle_single_python_hop(spark, sf_dir):
