@@ -268,8 +268,14 @@ def read_split(
     spark: SparkSession,
     path: str,
     prune: tuple[DataFrame, list[str]] | None = None,
+    exclude_batch: int | None = None,
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """(keeper table or None, union of raw batch appends or None).
+
+    ``exclude_batch`` skips that one batch directory — for a write_batch
+    that must see "state as of BEFORE me": on an at-least-once replay the
+    crashed attempt's own (possibly torn) dir would otherwise be read back
+    as prior state, making the replay diverge from the first attempt.
 
     Callers that maintain FOLDED per-key state (the exact-dedup min-keeper)
     must use the split view: the keeper is already one row per key and is
@@ -298,6 +304,8 @@ def read_split(
     # keeper is the authoritative copy, so stale batches are simply skipped.
     if complete:
         batches = [b for b in batches if b >= complete[-1][0]]
+    if exclude_batch is not None:
+        batches = [b for b in batches if b != exclude_batch]
     k = _read_keeper(spark, complete[-1], prune) if complete else None
     b = (
         spark.read.parquet(*[batch_dir(path, i) for i in batches])
@@ -311,11 +319,12 @@ def read_index(
     spark: SparkSession,
     path: str,
     prune: tuple[DataFrame, list[str]] | None = None,
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """The whole index (keeper + recent appends) as one DataFrame — for
     consumers whose keeper fold is the identity (bands, signatures).
-    ``prune`` as in :func:`read_split`."""
-    k, b = read_split(spark, path, prune)
+    ``prune`` / ``exclude_batch`` as in :func:`read_split`."""
+    k, b = read_split(spark, path, prune, exclude_batch)
     if k is None and b is None:
         raise FileNotFoundError(f"no index data under {path}")
     if k is None:

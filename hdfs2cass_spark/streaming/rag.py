@@ -73,8 +73,19 @@ def stream_rag_index(
     Index layout under ``index_path``: ``chunks`` (doc_id, chunk_id,
     cembedding) — compacted hash-bucketed on doc_id; ``qemb`` (q_id, qe) —
     the tiny query-side table. Read back with
-    :func:`rag_report_from_index`."""
-    from .index import ROWS_PER_BUCKET, append, compact
+    :func:`rag_report_from_index`.
+
+    Enrollment is KEEP-FIRST per doc_id: a doc_id genuinely re-ingested in a
+    later batch (not a replay) is anti-joined away against the already-
+    enrolled doc_ids, so the index stays a pure function of the accumulated
+    doc_id SET and never holds duplicate (doc_id, chunk_id) vectors (which
+    would silently corrupt top-k). Consequence: re-ingesting a doc_id with
+    DIFFERENT text does NOT update the index — the first-arrived version
+    wins; updates need a delete+re-enroll flow this twin does not model.
+    The existence probe reads only the arriving docs' hash buckets and
+    excludes the current batch dir, so an at-least-once replay sees exactly
+    the state the first attempt saw."""
+    from .index import ROWS_PER_BUCKET, append, compact, read_index
 
     rpb = ROWS_PER_BUCKET if rows_per_bucket is None else rows_per_bucket
 
@@ -89,6 +100,27 @@ def stream_rag_index(
             compact(spark, q_p, batch_id)
         n = spark.sparkContext.defaultParallelism
         d = batch_df.select("doc_id", "text").repartition(n, "doc_id")
+        # same-trigger duplicate doc_ids collapse to one arbitrary version
+        # (no order exists WITHIN a micro-batch) — rides the repartition's
+        # hash partitioning, no extra exchange
+        d = d.dropDuplicates(["doc_id"])
+        # keep-first: drop arriving docs already enrolled by an EARLIER batch
+        # (exclude_batch=batch_id keeps replays identical to first attempts;
+        # any doc with >= 1 word has >= 1 chunk, so chunks is the seen-set)
+        try:
+            seen = (
+                read_index(
+                    spark,
+                    chunks_p,
+                    prune=(d.select("doc_id").distinct(), ["doc_id"]),
+                    exclude_batch=batch_id,
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            d = d.join(seen, "doc_id", "left_anti")
+        except FileNotFoundError:
+            pass  # empty index: every arriving doc is new
         append(
             chunk_embeddings(d, dims=dims, hash_mode=hash_mode),
             chunks_p,

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.ckpt import release_checkpoint
 from ..plans.pipeline import substring_gram_positions
 from ..plans.spans import scrub_against_first
 
@@ -93,6 +94,11 @@ def stream_scrub(
         scrub_against_first(d, pos, first).write.mode("overwrite").parquet(
             f"{sink_path}/batch-{batch_id:09d}"
         )
+        # pos carries a DISK_ONLY localCheckpoint (substring_gram_positions);
+        # in a long-running stream, waiting for GC-driven ContextCleaner lets
+        # one checkpoint's blocks accumulate per trigger — free it as soon as
+        # the scrub write (its last consumer) has materialized.
+        release_checkpoint(pos)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -1699,6 +1699,76 @@ def test_stream_rag_index_equals_batch_any_order(spark, sf_dir, tmp_path):
     assert n_subdirs(spark, f"{idx}/chunks") == 2
 
 
+def test_stream_rag_index_reingest_keeps_first(spark, sf_dir, tmp_path):
+    """A doc_id genuinely RE-INGESTED in a later batch (same id, modified
+    text — not a checkpoint replay) must not enroll twice: the chunk index
+    would become a multiset, duplicate (doc_id, chunk_id) vectors would
+    corrupt top-k, and the 'pure function of the accumulated document SET'
+    stream==batch contract would silently break (r9 advisory). Keep-first
+    enrollment drops the re-arrival, so the report equals the batch twin on
+    the FIRST-arrived versions and the index holds no duplicate keys."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.rag import rag_retrieve_df
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        rag_report_from_index,
+        stream_documents,
+        stream_rag_index,
+    )
+    from hdfs2cass_spark.streaming.index import read_index
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    base = base.cache()
+    n = base.count()
+    flat = tmp_path / "rr_flat"
+    flat.mkdir()
+    # batch 0: first half (includes the query docs, doc_id < 3)
+    base.filter(F.col("doc_id") < n // 2).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "rr_p0")
+    )
+    # batch 1: second half PLUS re-ingested first-half docs with DIFFERENT
+    # text (and one query doc) — all of these re-arrivals must be ignored
+    reingest = base.filter(F.col("doc_id") < n // 4).withColumn(
+        "text", F.concat(F.lit("REINGESTED CHANGED PAYLOAD "), F.col("text"))
+    )
+    base.filter(F.col("doc_id") >= n // 2).unionByName(reingest).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "rr_p1"))
+    import glob
+    import shutil
+    import time as _time
+
+    for i in (0, 1):
+        shutil.copy(
+            sorted(glob.glob(str(tmp_path / f"rr_p{i}" / "*.parquet")))[0],
+            flat / f"{i}.parquet",
+        )
+        # distinct mtimes: the file source orders micro-batches by mod time,
+        # and "first-arrived" is only defined if batch 0 truly precedes 1
+        _time.sleep(1.1)
+
+    idx, ck = (str(tmp_path / p) for p in ("rr_idx", "rr_ck"))
+    q = stream_rag_index(
+        stream_documents(spark, str(flat)), idx, ck, available_now=True
+    )
+    q.awaitTermination(300)
+
+    chunks = read_index(spark, f"{idx}/chunks")
+    dup_keys = (
+        chunks.groupBy("doc_id", "chunk_id").count().filter("count > 1").count()
+    )
+    assert dup_keys == 0  # no multiset: re-arrival enrolled nothing
+    qemb_dups = (
+        read_index(spark, f"{idx}/qemb").groupBy("q_id").count().filter("count > 1").count()
+    )
+    assert qemb_dups == 0
+    got = [tuple(r) for r in rag_report_from_index(spark, idx).collect()]
+    want = [tuple(r) for r in rag_retrieve_df(base).collect()]  # first versions
+    assert got == want and len(got) > 0
+    base.unpersist()
+
+
 def test_stream_scrub_equals_batch(spark, sf_dir, tmp_path):
     """Streaming keep-first-occurrence substring scrub against the
     accumulating min-doc gram index must equal the batch
