@@ -1270,6 +1270,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     round_log: list | None = None,
+    flip_after: int | None = 15,
 ) -> DataFrame:
     """Connected components over an undirected edge list -> (node, component)
     where component = min node id in the component.
@@ -1281,23 +1282,29 @@ def connected_components(
     convergence count per round. Near-dup clusters have tiny diameters, so
     this is 2-4 rounds in practice.
 
-    THE FLIP TRIGGER (r9 scale probe, scripts/cc_scale_probe.py +
-    ARCHITECTURE.md): rounds scale with graph DIAMETER, so a long-chain
-    component needs diameter rounds — if a workload's graphs converge in
-    > ~15 rounds (or hit the max_iter guard), switch to
-    operators/cc.py:connected_components_star — the large-star/small-star
-    algorithm (O(log d) rounds), equality-tested against this function.
-    Near-dup/LSH cluster graphs stay diameter-2-to-4, which is why this
-    simpler one-shuffle-per-round form is the default.
+    THE FLIP TRIGGER, now automated (r9 scale probe recorded ~15 rounds as
+    the crossover, scripts/cc_scale_probe.py + ARCHITECTURE.md): rounds
+    scale with graph DIAMETER, so a long-chain component needs diameter
+    rounds. When ``flip_after`` rounds pass without convergence the loop
+    hands the CURRENT labels to operators/cc.py:connected_components_star
+    (large-star/small-star, O(log d) rounds, equality-tested against this
+    function) — the partial labels ride along as shortcut edges
+    (node -> current min-reachable label, provably within-component), so
+    the work done so far is kept, not discarded. ``flip_after=None``
+    restores the old raise-at-max_iter behavior for callers that want a
+    diameter guard instead of a fallback. Near-dup/LSH cluster graphs stay
+    diameter-2-to-4 and never flip, which is why this simpler
+    one-shuffle-per-round form remains the default.
 
     ``round_log``, when a list, receives one (round_idx, changed_labels,
     seconds) tuple per round — the probe's instrument; None costs nothing.
+    A flip appends a ("flip_to_star", rounds_spent, 0.0) marker.
 
     Raises RuntimeError if the labels have not converged after `max_iter`
-    rounds — silently returning unconverged labels would hand the caller
-    WRONG clusters. The result is materialized (localCheckpoint) so every
-    intermediate cache can be released before returning; nothing stays
-    persisted across queries.
+    rounds and no flip target applies — silently returning unconverged
+    labels would hand the caller WRONG clusters. The result is materialized
+    (localCheckpoint) so every intermediate cache can be released before
+    returning; nothing stays persisted across queries.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1349,13 +1356,37 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+        if flip_after is not None and _round + 1 >= flip_after:
+            # High-diameter graph (the recorded ~15-round crossover): hand
+            # off to the O(log d) star algorithm, seeding it with the
+            # original edges PLUS the partial labels as shortcut edges —
+            # (node -> current comp) is within-component by construction
+            # (comp = min label reachable so far), so the rounds already
+            # spent become distance-halving shortcuts instead of waste.
+            if round_log is not None:
+                round_log.append(("flip_to_star", _round + 1, 0.0))
+            from ..operators.cc import connected_components_star
+
+            shortcuts = comps.filter(F.col("node") != F.col("comp")).select(
+                F.col("node").alias("a"), F.col("comp").alias("b")
+            )
+            seeded = sym.select("a", "b").unionByName(shortcuts)
+            out = connected_components_star(
+                seeded, "a", "b", max_iter=max_iter, round_log=round_log
+            )
+            # star eagerly checkpointed its own working tables at entry, so
+            # the label table and edge table feeding `seeded` are free now
+            release_checkpoint(ckpt)
+            release_checkpoint(sym)
+            return out
     release_checkpoint(sym)  # the loop is done with the edge table
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "
-            "(graph diameter exceeds max_iter): this is the documented flip "
-            "trigger — use operators/cc.py connected_components_star "
-            "(O(log d) rounds) for high-diameter graphs, or raise max_iter"
+            "(graph diameter exceeds max_iter). flip_after=None disabled the "
+            "automatic hand-off — pass flip_after to delegate to "
+            "operators/cc.py connected_components_star (O(log d) rounds) "
+            "for high-diameter graphs, or raise max_iter"
         )
     return comps.select("node", "comp")
 

@@ -37,16 +37,42 @@ def test_matches_default_cc_on_random_graphs(spark, seed):
 
 def test_chain_converges_in_log_rounds(spark):
     """A 200-node path has diameter 199: the default alternating-min CC
-    would need ~200 rounds (it trips its 50-round guard); the star variant
-    must finish in O(log d) — and still produce min-id labels."""
+    would need ~200 rounds (with the automatic flip DISABLED it trips its
+    guard); the star variant must finish in O(log d) — and still produce
+    min-id labels."""
     n = 200
     e = _edges_df(spark, [(i, i + 1) for i in range(n - 1)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, max_iter=20)
+        connected_components(e, max_iter=20, flip_after=None)
     log: list = []
     got = _norm(connected_components_star(e, round_log=log).collect())
     assert got == [(i, 0) for i in range(n)]
     assert len(log) <= 12, f"rounds {len(log)} — not O(log d)"
+
+
+def test_default_cc_auto_flips_to_star_on_long_chain(spark):
+    """The r9-verdict flip automation: a planted long chain converges
+    through the DEFAULT connected_components without manual intervention —
+    after flip_after alternating-min rounds it hands the partial labels to
+    the star algorithm as shortcut edges and finishes, instead of raising
+    at the max_iter guard."""
+    n = 200
+    e = _edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    log: list = []
+    got = _norm(connected_components(e, round_log=log, flip_after=5).collect())
+    assert got == [(i, 0) for i in range(n)]
+    flips = [t for t in log if t[0] == "flip_to_star"]
+    assert flips == [("flip_to_star", 5, 0.0)]
+    # total rounds: 5 alternating-min + O(log d) star rounds, nowhere near
+    # the ~200 the chain would cost without the flip
+    assert len(log) <= 20
+
+    # low-diameter graphs must NOT flip (the default path stays one
+    # shuffle per round): a star graph converges in a couple of rounds
+    log2: list = []
+    small = _edges_df(spark, [(50, i) for i in (1, 7, 9, 13)])
+    _norm(connected_components(small, round_log=log2).collect())
+    assert not [t for t in log2 if t[0] == "flip_to_star"]
 
 
 def test_star_and_two_components(spark):
