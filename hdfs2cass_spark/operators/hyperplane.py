@@ -107,8 +107,13 @@ def bucket_col(planes, vec_col: str = "embedding") -> Column:
 _CODEGEN_MAX_PLANES = 10
 
 
-def _with_code(emb: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
-    """(_id, code): sign-bit code per vector."""
+def _with_code(
+    emb: DataFrame, planes, id_col: str, vec_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(_id, *keep, code): sign-bit code per vector. ``keep`` names extra
+    columns carried through unchanged (the ANN retrieval path rides the
+    vector itself alongside its code so the chunk side is coded AND scored
+    in one scan, never re-joined)."""
     n_planes = len(planes)
     if n_planes <= _CODEGEN_MAX_PLANES:
         elem = f"element_at({vec_col}, {{i}})"
@@ -116,8 +121,8 @@ def _with_code(emb: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
             F.expr(_plane_bit_sql(p, b, elem)).alias(f"_bit{b}") for b, p in enumerate(planes)
         ]
         summed = "CAST(" + " + ".join(f"_bit{b}" for b in range(n_planes)) + " AS BIGINT)"
-        return emb.select(F.col(id_col).alias("_id"), *bits).select(
-            "_id", F.expr(summed).alias("code")
+        return emb.select(F.col(id_col).alias("_id"), *keep, *bits).select(
+            "_id", *keep, F.expr(summed).alias("code")
         )
 
     import pandas as pd
@@ -136,7 +141,26 @@ def _with_code(emb: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
 
     _code.__annotations__ = {"v": pd.Series, "return": pd.Series}
     code_udf = pandas_udf(_code, "bigint")
-    return emb.select(F.col(id_col).alias("_id"), code_udf(F.col(vec_col)).alias("code"))
+    return emb.select(
+        F.col(id_col).alias("_id"), *keep, code_udf(F.col(vec_col)).alias("code")
+    )
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks over ``n_planes`` bits with popcount <= radius (mask 0
+    first) — the Hamming ball a query code is expanded into for multiprobe
+    retrieval. len = sum_{r<=radius} C(p, r); parameter metadata (a few
+    hundred ints), generated driver-side like the planes themselves."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for comb in itertools.combinations(range(n_planes), r):
+            m = 0
+            for b in comb:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def derive_n_planes(n_rows: int, cap: int = DEFAULT_CAP, multiprobe: int = 0) -> int:

@@ -146,17 +146,26 @@ def rag_report_from_index(
     k: int = _RAG_K,
     mmr: bool = False,
     mmr_c: int = _MMR_C,
+    ann: bool = False,
 ) -> DataFrame:
     """Top-k retrieval (optionally MMR-reranked, lambda = 0.5) over the
     accumulated index — row-identical to the batch rag_retrieve_df /
     mmr_rerank chain on the same document set, regardless of arrival
     order. With ``mmr`` the top-``mmr_c`` candidates per query feed the
-    shared greedy reranker (operators/rerank.py)."""
+    shared greedy reranker (operators/rerank.py). With ``ann`` (mmr=False
+    path only) retrieval runs through the hyperplane-LSH candidate path
+    (plans/rag.py retrieve_topk_ann, recall >= 0.9 pinned vs exact) instead
+    of the exact full scan — the index read is identical, only the
+    retrieval tail changes."""
     from .index import read_index
 
     cemb = read_index(spark, f"{index_path}/chunks")
     qemb = read_index(spark, f"{index_path}/qemb")
     if not mmr:
+        if ann:
+            from ..plans.rag import retrieve_topk_ann
+
+            return retrieve_topk_ann(cemb, qemb, k=k, n_planes=8, radius=3)
         return retrieve_topk(cemb, qemb, k=k)
     from ..operators.rerank import mmr_rerank
 

@@ -1695,6 +1695,24 @@ def test_stream_rag_index_equals_batch_any_order(spark, sf_dir, tmp_path):
         for r in mmr_rerank(rag_retrieve_df(base, k=10, keep_vectors=True), k=5).collect()
     ]
     assert got_m == want_m and len(got_m) > 0
+    # the ANN retrieval tail over the SAME accumulated index equals the
+    # batch ANN twin (r9 verdict: the streaming report's non-MMR path must
+    # be routable through the production candidate path, not just the
+    # exact scan)
+    from hdfs2cass_spark.plans.rag import (
+        chunk_embeddings,
+        query_embeddings,
+        retrieve_topk_ann,
+    )
+
+    got_a = [tuple(r) for r in rag_report_from_index(spark, idx, ann=True).collect()]
+    want_a = [
+        tuple(r)
+        for r in retrieve_topk_ann(
+            chunk_embeddings(base), query_embeddings(base), n_planes=8, radius=3
+        ).collect()
+    ]
+    assert got_a == want_a and len(got_a) > 0
     # compaction bounded the index dirs (fold at batch 2 + batch 2's append)
     assert n_subdirs(spark, f"{idx}/chunks") == 2
 
