@@ -20,7 +20,10 @@ per-trigger index bytes stay O(arriving grams x rows_per_bucket)
 regardless of stream age. Honest cost note: like the batch family (and
 Lee et al.'s suffix array), the gram index is linear in corpus WINDOW
 count — it is the big index of the streaming family; the fold keeps it
-one row per distinct gram.
+one row per distinct gram, and the ``retain_docs`` horizon (see
+stream_scrub) bounds it further by aging out grams whose first-holder
+fell behind the ingestion high-water mark — without it a year-old
+stream's index grows with the whole corpus.
 
 Replay safety: the enrollment append is a batch-id-keyed overwrite
 (at-least-once replays are no-ops) and min-folds are idempotent; the
@@ -50,14 +53,41 @@ def stream_scrub(
     available_now: bool = False,
     compact_every: int | None = 16,
     rows_per_bucket: int | None = None,
+    retain_docs: int | None = None,
 ):
     """Start the streaming scrub query; returns the StreamingQuery.
     Scrubbed rows (doc_id, n_words, n_scrubbed, scrubbed_fp — the batch
     query's exact shape) land batch-id-keyed under ``sink_path``; read
-    back with :func:`read_scrubbed`."""
+    back with :func:`read_scrubbed`.
+
+    ``retain_docs`` bounds the gram index's otherwise-unbounded growth
+    (module docstring: the index is linear in corpus windows forever): a
+    gram whose retained first-holder is more than ``retain_docs`` doc_ids
+    older than the newest arriving doc AGES OUT — dropped at compaction
+    and filtered at every per-batch read, so the two surfaces agree
+    between compactions. Semantics on the retained set are unchanged: a
+    window is cut iff a STRICTLY EARLIER retained holder exists; when an
+    aged-out gram reappears, the re-arriving doc becomes its NEW first
+    holder (kept intact, later dups scrub against it). The horizon is in
+    doc_id units, so it assumes the ingestion key is monotone-ish (the
+    in-order contract the stream==batch test already relies on); retention
+    granularity is the batch — within one append a gram is represented by
+    its min holder, so holders above the min in the SAME batch do not
+    extend the gram's retained lifetime. None (default) = retain forever
+    (the exact batch-twin behavior)."""
     from .index import ROWS_PER_BUCKET, append, batch_dir, compact, read_index
 
     rpb = ROWS_PER_BUCKET if rows_per_bucket is None else rows_per_bucket
+
+    def fold_grams(df: DataFrame) -> DataFrame:
+        if retain_docs is not None:
+            # age-out at compaction: the newest enrolled first-holder is the
+            # index's own high-water mark (one scalar agg per compaction —
+            # every ~compact_every triggers, not per batch)
+            hi = df.agg(F.max("first_doc")).first()[0]
+            if hi is not None:
+                df = df.filter(F.col("first_doc") >= hi - retain_docs)
+        return df.groupBy("h").agg(F.min("first_doc").alias("first_doc"))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -67,9 +97,7 @@ def stream_scrub(
                 spark,
                 grams_p,
                 batch_id,
-                fold=lambda df: df.groupBy("h").agg(
-                    F.min("first_doc").alias("first_doc")
-                ),
+                fold=fold_grams,
                 bucket_cols=["h"],
                 rows_per_bucket=rpb,
             )
@@ -86,11 +114,16 @@ def stream_scrub(
             batch_id,
         )
         agrams = spark.read.parquet(batch_dir(grams_p, batch_id))
-        first = (
-            read_index(spark, grams_p, prune=(agrams, ["h"]))
-            .groupBy("h")
-            .agg(F.min("first_doc").alias("first_doc"))
-        )
+        holders = read_index(spark, grams_p, prune=(agrams, ["h"]))
+        if retain_docs is not None:
+            # read-time twin of the compaction age-out, anchored to the
+            # arriving batch's newest doc so uncompacted old appends age
+            # out on the same clock (replay-safe: the anchor is a pure
+            # function of the batch's own rows)
+            hi = batch_df.agg(F.max("doc_id")).first()[0]
+            if hi is not None:
+                holders = holders.filter(F.col("first_doc") >= hi - retain_docs)
+        first = holders.groupBy("h").agg(F.min("first_doc").alias("first_doc"))
         scrub_against_first(d, pos, first).write.mode("overwrite").parquet(
             f"{sink_path}/batch-{batch_id:09d}"
         )

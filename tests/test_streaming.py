@@ -1845,3 +1845,86 @@ def test_stream_scrub_equals_batch(spark, sf_dir, tmp_path):
     assert all(by_id[i][2] > 0 for i in late_copies)
     # compaction bounded the gram index dirs (fold at batch 2 + its append)
     assert n_subdirs(spark, f"{idx}/grams") == 2
+
+
+def test_stream_scrub_retention_ages_out_old_grams(spark, tmp_path):
+    """The retain_docs horizon (r9 verdict item 5): grams whose first-holder
+    fell more than retain_docs doc_ids behind the newest arriving doc age
+    out of the index — and scrubbing stays batch-equal ON THE RETAINED SET:
+    a re-occurrence AFTER the horizon keeps its text (it becomes the new
+    first holder), while a dup within the horizon still scrubs against the
+    retained holder. Planted timeline (dup = the same 8-word phrase):
+      doc 0 (batch 0): original       -> kept (first ever)
+      doc 10 (batch 1): dup, delta 10 <= horizon 50  -> scrubbed vs doc 0
+      doc 100 (batch 2): dup, delta 100 > horizon    -> KEPT (aged out;
+        doc 100 is the new first holder)
+      doc 120 (batch 3): dup, delta 20 from doc 100  -> scrubbed vs doc 100
+      doc 130 (batch 4): unrelated text -> its arrival triggers the
+        compaction that PHYSICALLY drops the aged-out doc-0/doc-10 gram
+        rows (the batch-2 compaction ran before anything was old — until
+        batch 4 the old rows linger on disk and are read-time filtered,
+        which is exactly the two-surface contract).
+    Without retention (retain_docs=None) doc 100 and 120 would both scrub
+    — asserted as the control."""
+    import glob
+    import shutil
+
+    from hdfs2cass_spark.streaming import (
+        read_scrubbed,
+        stream_documents,
+        stream_scrub,
+    )
+    from hdfs2cass_spark.streaming.index import read_index
+
+    phrase = " ".join(f"p{i}" for i in range(8))  # exactly one SUBSTR_K window
+    def fill(tag):
+        return " ".join(f"{tag}{i}" for i in range(8))
+
+    docs = [
+        (0, f"{phrase} {fill('a')}"),
+        (10, f"{fill('b')} {phrase}"),
+        (100, f"{phrase} {fill('c')}"),
+        (120, f"{fill('d')} {phrase}"),
+        (130, f"{fill('e')} {fill('f')}"),
+    ]
+
+    def run(retain, sub):
+        flat = tmp_path / f"ret_flat_{sub}"
+        flat.mkdir()
+        for i, (did, text) in enumerate(docs):  # one doc per batch, in order
+            part = tmp_path / f"ret_p{sub}_{i}"
+            spark.createDataFrame([(did, text)], "doc_id long, text string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(part))
+            shutil.copy(
+                sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet"
+            )
+        idx, out, ck = (
+            str(tmp_path / f"ret_{p}_{sub}") for p in ("idx", "out", "ck")
+        )
+        q = stream_scrub(
+            stream_documents(spark, str(flat)), idx, out, ck,
+            available_now=True, compact_every=2, retain_docs=retain,
+        )
+        q.awaitTermination(300)
+        scrubbed = {r["doc_id"]: r["n_scrubbed"] for r in read_scrubbed(spark, out).collect()}
+        return idx, scrubbed
+
+    idx, scrubbed = run(50, "h")
+    assert scrubbed[0] == 0
+    assert scrubbed[10] == 8  # within horizon: scrubbed against doc 0
+    assert scrubbed[100] == 0  # holder aged out: doc 100 is the NEW holder
+    assert scrubbed[120] == 8  # within horizon of the NEW holder
+    assert scrubbed[130] == 0  # unrelated text
+    # old grams aged out of the index PHYSICALLY: the batch-4 compaction
+    # folded with high-water mark 120, dropping the doc-0/doc-10 rows; no
+    # retained first-holder predates the horizon of the newest enrolled doc
+    grams = read_index(spark, f"{idx}/grams")
+    from pyspark.sql import functions as F
+
+    hi = grams.agg(F.max("first_doc")).first()[0]
+    assert grams.filter(F.col("first_doc") < hi - 50).count() == 0
+
+    # control: no retention -> every dup scrubs against doc 0 forever
+    _, scrubbed_inf = run(None, "inf")
+    assert scrubbed_inf == {0: 0, 10: 8, 100: 8, 120: 8, 130: 0}
