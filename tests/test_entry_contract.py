@@ -122,6 +122,30 @@ def test_driver_checked_prefix_order_is_frozen():
     assert set(never) <= set(names[:DRIVER_PREFIX])
 
 
+def test_rotation_literal_pin():
+    """r9 advice: the frozen-order test re-derives its expectation through
+    the same registry helpers it is testing, so an ordering bug would
+    reproduce identically in the expectation. This pins HAND-COMPUTED
+    literals for fixed inputs — rotation() scalars and one full exposed
+    ordering for a synthetic fixture — independent of the helpers' own
+    arithmetic and of the live CORRECTNESS files."""
+    from hdfs2cass_spark.plans.registry import rotation
+
+    # 6 checked rows, window 4: odd rounds expose the earliest (rotation
+    # 0), even rounds the last 4 (rotation 6 - 4 = 2). Literals, not math.
+    assert rotation(6, round_no=9, window=4) == 0
+    assert rotation(6, round_no=10, window=4) == 2
+    assert rotation(6, round_no=11, window=4) == 0
+    assert rotation(2, round_no=10, window=4) == 0  # window covers all
+    # composition rule: declaration order [a..f] all checked, plus g never
+    # checked, fixture DRIVER_PREFIX 5 -> checked window w = 5 - 1 = 4;
+    # even round must expose exactly [g, c, d, e, f] then wrap [a, b]
+    order = ["a", "b", "c", "d", "e", "f"]
+    r = rotation(len(order), round_no=10, window=4)
+    exposed = ["g"] + order[r:] + order[:r]
+    assert exposed == ["g", "c", "d", "e", "f", "a", "b"]
+
+
 def test_rotation_alternates_and_windows_cover_catalog():
     """The r8-verdict alternation guard, r9-review form: never-checked rows
     are always in the window; the two parity windows over the checked rows
