@@ -108,6 +108,8 @@ def test_driver_checked_prefix_order_is_frozen():
         "ref_perplexity_buckets", "rfm_user_segments",
         # round 9
         "exact_substring_word_spans", "exact_substring_scrub",
+        # round 10
+        "winnow_fingerprints", "winnow_candidate_pairs",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]

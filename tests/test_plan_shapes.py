@@ -311,3 +311,28 @@ def test_tfidf_never_broadcasts_vocabulary(spark, sf_dir):
     # the only broadcast is the single-row n_docs scalar
     assert p.count("BroadcastNestedLoopJoin") == 1
     assert p.count("BroadcastHashJoin") == 0
+
+
+def test_winnow_selection_is_map_only(spark, sf_dir):
+    """Winnowing fingerprint SELECTION must never shuffle: the grams are
+    selected in place from the per-doc hash array (HOFs), not exploded and
+    re-aggregated. The only exchanges in the declared query are the final
+    presentation orderBy's range partitioning + its AQE reads."""
+    from hdfs2cass_spark.plans.winnow import winnow_fingerprints_df
+    from hdfs2cass_spark.sources import load_table
+
+    p = _explain(spark, winnow_fingerprints_df(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in p  # map-only: scan -> project -> explode selected
+    assert "Generate explode" in p  # only the SELECTED fingerprints explode
+
+
+def test_winnow_pairs_capped_before_collect(spark, sf_dir):
+    """The pair stage rides the capped-bucket gate: the window COUNT must
+    precede the collect_list so a boilerplate fingerprint's bucket is
+    dropped before any aggregation buffer fills (the minhash/LSH family
+    invariant)."""
+    p = _explain(spark, CATALOG["winnow_candidate_pairs"].fn(spark, sf_dir))
+    # the plan string prints root-first, so the UPSTREAM window count
+    # appears AFTER the collect_list aggregate in the text
+    assert "windowspecdefinition(h#" in p  # the per-hash count gate exists
+    assert p.index("collect_list") < p.index("windowspecdefinition(h#")
