@@ -29,5 +29,6 @@ from . import rfm as _rfm  # noqa: E402,F401
 from . import spans as _spans  # noqa: E402,F401  # round 9: appends oracle row 83
 from . import bpe as _bpe  # noqa: E402,F401  # rows-only; spans stays the oracle tail
 from . import winnow as _winnow  # noqa: E402,F401  # round 10: oracle rows 85-86
+from . import bloom as _bloom  # noqa: E402,F401  # round 10: oracle row 87
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

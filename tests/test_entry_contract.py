@@ -110,6 +110,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "exact_substring_word_spans", "exact_substring_scrub",
         # round 10
         "winnow_fingerprints", "winnow_candidate_pairs",
+        "bloom_decontamination",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]
