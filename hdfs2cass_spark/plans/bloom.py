@@ -100,11 +100,14 @@ _BLOOM_ORACLE = f"""
     """
 
 
-def bloom_words(bench_hashes: DataFrame) -> list[int]:
-    """Build the filter: one map-side-combined bit_or aggregate over the
-    benchmark shingle hashes, then collect the <= N_WORDS words (bounded
-    model rows, never corpus data). Returns the dense word list."""
-    rows = (
+def bloom_word_rows(bench_hashes: DataFrame) -> DataFrame:
+    """(w, v) sparse filter words: one map-side-combined bit_or aggregate
+    over the benchmark shingle hashes. Shared by the batch build (collected
+    below) and the streaming enrollment (streaming/bloom.py, where per-batch
+    word rows accumulate in an index whose compaction fold is the same
+    bit_or — idempotent and order-independent, so replays and out-of-order
+    arrival cannot change the filter)."""
+    return (
         bench_hashes.select(
             F.explode(
                 F.array(*[F.expr(_pos(i)) for i in range(BLOOM_K)])
@@ -118,12 +121,21 @@ def bloom_words(bench_hashes: DataFrame) -> list[int]:
         )
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("v"))
-        .collect()
     )
+
+
+def dense_words(rows) -> list[int]:
+    """Sparse (w, v) rows -> the dense N_WORDS list the probe literal wants."""
     words = [0] * N_WORDS
     for r in rows:
         words[r["w"]] = r["v"]
     return words
+
+
+def bloom_words(bench_hashes: DataFrame) -> list[int]:
+    """Build the filter and collect the <= N_WORDS words (bounded model
+    rows, never corpus data). Returns the dense word list."""
+    return dense_words(bloom_word_rows(bench_hashes).collect())
 
 
 def bloom_probe_df(train: DataFrame, words: list[int]) -> DataFrame:

@@ -11,6 +11,7 @@ from .neardup import near_dup_decisions_batch, read_decisions, stream_near_dup
 from .curate import curate_decisions_batch, read_curated, stream_curate
 from .rag import rag_report_from_index, stream_rag_index
 from .scrub import read_scrubbed, stream_scrub
+from .bloom import bloom_report, read_bloom_words, stream_bloom_enroll
 
 __all__ = [
     "stream_events",
@@ -30,6 +31,9 @@ __all__ = [
     "read_curated",
     "stream_rag_index",
     "rag_report_from_index",
+    "bloom_report",
+    "read_bloom_words",
+    "stream_bloom_enroll",
     "stream_scrub",
     "read_scrubbed",
 ]

@@ -1928,3 +1928,70 @@ def test_stream_scrub_retention_ages_out_old_grams(spark, tmp_path):
     # control: no retention -> every dup scrubs against doc 0 forever
     _, scrubbed_inf = run(None, "inf")
     assert scrubbed_inf == {0: 0, 10: 8, 100: 8, 120: 8, 130: 0}
+
+
+def test_stream_bloom_enroll_equals_batch_any_order(spark, sf_dir, tmp_path):
+    """The streaming Bloom enrollment must produce the batch
+    bloom_decontamination filter for ANY benchmark arrival order: the
+    filter is a pure OR-fold of per-shingle bit sets (idempotent,
+    commutative — exactly the set union), so out-of-order batches across a
+    bit_or compaction probe identically to the batch build. Also asserts
+    the replay property structurally: re-running the last batch's append
+    leaves the accumulated words unchanged."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans import CATALOG
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        bloom_report,
+        read_bloom_words,
+        stream_bloom_enroll,
+        stream_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.expr(_BENCH_SPARK))
+    train = d.filter(~F.expr(_BENCH_SPARK))
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+
+    flat = tmp_path / "bl_flat"
+    flat.mkdir()
+    ranges = [(n // 3, 2 * n // 3), (2 * n // 3, n + 1), (0, n // 3)]  # out of order
+    for i, (lo, hi) in enumerate(ranges):
+        part = tmp_path / f"bl_p{i}"
+        bench.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(part))
+        shutil.copy(
+            sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet"
+        )
+
+    idx, ck = (str(tmp_path / p) for p in ("bl_idx", "bl_ck"))
+    q = stream_bloom_enroll(
+        stream_documents(spark, str(flat)), idx, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in bloom_report(spark, idx, train).collect())
+    want = sorted(
+        tuple(r) for r in CATALOG["bloom_decontamination"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay idempotence: re-appending the last batch's words (what an
+    # at-least-once retry does) cannot change the accumulated filter
+    from hdfs2cass_spark.plans.bloom import bloom_word_rows
+    from hdfs2cass_spark.plans.llm import _shingles_hashed
+    from hdfs2cass_spark.streaming.index import append
+
+    before = read_bloom_words(spark, idx)
+    last = bench.filter(
+        (F.col("doc_id") >= ranges[-1][0]) & (F.col("doc_id") < ranges[-1][1])
+    )
+    append(bloom_word_rows(_shingles_hashed(last).select("h")), idx, 2)
+    assert read_bloom_words(spark, idx) == before
