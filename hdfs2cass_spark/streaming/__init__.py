@@ -12,6 +12,7 @@ from .curate import curate_decisions_batch, read_curated, stream_curate
 from .rag import rag_report_from_index, stream_rag_index
 from .scrub import read_scrubbed, stream_scrub
 from .bloom import bloom_report, read_bloom_words, stream_bloom_enroll
+from .winnow import read_winnow_decisions, stream_winnow, winnow_decisions_batch
 
 __all__ = [
     "stream_events",
@@ -34,6 +35,9 @@ __all__ = [
     "bloom_report",
     "read_bloom_words",
     "stream_bloom_enroll",
+    "read_winnow_decisions",
+    "stream_winnow",
+    "winnow_decisions_batch",
     "stream_scrub",
     "read_scrubbed",
 ]

@@ -1995,3 +1995,61 @@ def test_stream_bloom_enroll_equals_batch_any_order(spark, sf_dir, tmp_path):
     )
     append(bloom_word_rows(_shingles_hashed(last).select("h")), idx, 2)
     assert read_bloom_words(spark, idx) == before
+
+
+def test_stream_winnow_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming winnow-fingerprint matching against the accumulating index
+    must equal the batch twin exactly when files arrive in doc_id order —
+    across a bucketed compaction, with planted cross-batch copies provably
+    flagged against their earlier originals."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.sources.readers import load_table
+    from hdfs2cass_spark.streaming import (
+        read_winnow_decisions,
+        stream_documents,
+        stream_winnow,
+        winnow_decisions_batch,
+    )
+    from hdfs2cass_spark.streaming.index import n_subdirs
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = base.agg(F.max("doc_id")).first()[0] + 1
+    extra = (  # late copies of the first 6 docs: must match their originals
+        base.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(6)
+        .select((F.col("doc_id") + hi).alias("doc_id"), "text")
+    )
+    train = base.unionByName(extra)
+    n = train.agg(F.max("doc_id")).first()[0] + 1
+
+    flat = tmp_path / "wn_flat"
+    flat.mkdir()
+    for i in range(3):  # doc_id RANGES: batch order == doc_id order
+        part = tmp_path / f"wn_p{i}"
+        train.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        shutil.copy(sorted(glob.glob(str(part / "*.parquet")))[0], flat / f"{i}.parquet")
+
+    idx, out, ck = (str(tmp_path / p) for p in ("wn_idx", "wn_out", "wn_ck"))
+    q = stream_winnow(
+        stream_documents(spark, str(flat)), idx, out, ck,
+        available_now=True, compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    got = [tuple(r) for r in read_winnow_decisions(spark, out).collect()]
+    want = [tuple(r) for r in winnow_decisions_batch(train).collect()]
+    assert got == want and len(got) > 0
+    # every planted late copy matched, first_match = its original
+    by_id = {g[0]: g for g in got}
+    for r in extra.collect():
+        dec = by_id[r["doc_id"]]
+        assert dec[1] is True and dec[2] == r["doc_id"] - hi
+    # compaction bounded the fingerprint index dirs
+    assert n_subdirs(spark, f"{idx}/fp") == 2
