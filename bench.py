@@ -85,6 +85,13 @@ PIPELINE = [
     # rounds <= 8, earlier keys are
     "exact_substring_word_spans",
     "exact_substring_scrub",
+    # added round 10 (winnowing fingerprint selection + MOSS pair stage;
+    # Bloom-filter decontamination): pipeline_total_sec is not comparable
+    # to rounds <= 9, earlier keys are
+    "winnow_fingerprints",
+    "winnow_fingerprints_fast",
+    "winnow_candidate_pairs",
+    "bloom_decontamination",
 ]
 
 # Timed ONLY in the 1M-doc stress section, where fn() runs once OUTSIDE the

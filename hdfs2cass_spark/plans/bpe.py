@@ -56,5 +56,8 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chars"),
             F.expr("array_join(slice(tokens, 1, 8), ' ')").alias("first_tokens"),
         )
+        # barrier-before-orderBy: map-only child (plans/present.py) — the
+        # range sampler would re-run the whole Arrow encode pass otherwise
+        .repartition("doc_id")
         .orderBy("doc_id")
     )

@@ -132,7 +132,9 @@ def c4_filter_df(d: DataFrame) -> DataFrame:
             & ~F.col("has_lorem")
             & ~F.col("has_javascript")
         ).alias("keep"),
-    ).orderBy("doc_id")
+
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -196,4 +198,6 @@ def bpe_counts_df(d: DataFrame) -> DataFrame:
         F.round(
             F.col("_len").cast("double") / F.expr("nullif(n_bpe_tokens, 0)"), 6
         ).alias("chars_per_bpe_token"),
-    ).orderBy("doc_id")
+
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")

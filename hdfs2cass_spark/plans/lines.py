@@ -166,4 +166,5 @@ def line_rules_df(d: DataFrame) -> DataFrame:
         pdl.alias("pass_dup_lines"),
         pdc.alias("pass_dup_chars"),
         (pb & pe & pdl & pdc).alias("keep"),
-    ).orderBy("doc_id")
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")

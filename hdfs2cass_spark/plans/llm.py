@@ -394,7 +394,8 @@ def text_analysis_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phones",
         "scrubbed_n_chars",
         "scrubbed_fp",
-    ).orderBy("doc_id")
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -892,7 +893,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(blob).cast("bigint").alias("byte_len"),
         F.ceil(F.octet_length(blob) / 256.0).cast("int").alias("n_chunks"),
         F.expr(hash60_spark("text")).alias("content_key"),
-    ).orderBy("doc_id")
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 _JACCARD_VERIFY_SQL = f"""

@@ -109,4 +109,5 @@ def paragraph_rules_df(d: DataFrame) -> DataFrame:
         pdp.alias("pass_dup_paragraphs"),
         pdc.alias("pass_dup_chars"),
         (pdp & pdc).alias("keep"),
-    ).orderBy("doc_id")
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")

@@ -440,5 +440,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hash60_spark(f"concat_ws(' ', slice(ws, {start}, {ncw}))")
             ).alias("chunk_fp"),
         )
+        # barrier-before-orderBy: the child is map-only (plans/present.py)
+        .repartition("doc_id")
         .orderBy("doc_id", "chunk_id")
     )

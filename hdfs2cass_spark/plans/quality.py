@@ -131,7 +131,8 @@ def gopher_filter_df(d: DataFrame) -> DataFrame:
         pass_alpha.alias("pass_alpha"),
         pass_stop.alias("pass_stop"),
         (pass_n & pass_mwl & pass_alpha & pass_stop).alias("keep"),
-    ).orderBy("doc_id")
+        # barrier-before-orderBy: map-only child (plans/present.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

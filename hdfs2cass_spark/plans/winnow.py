@@ -39,6 +39,7 @@ from ..operators.buckets import capped_buckets
 from ..sources.readers import load_table
 from .llm import W_DUCK, W_SPARK, hash60_duck, hash60_spark
 from .pipeline import SUBSTR_K
+from .present import present_sorted
 from .registry import declare
 
 WINNOW_W = 4  # gram hashes per winnowing window (density ~ 2/(W+1))
@@ -46,12 +47,19 @@ PAIR_CAP = 100  # capped-bucket gate for the pair stage (BAND_CAP class)
 
 # per-doc gram-hash array: the SAME SUBSTR_K-word gram + hash60 arithmetic
 # as substring_gram_positions, kept as an ARRAY (winnowing selects from it
-# in place; the unselected grams are never exploded into rows)
-_HS_SPARK = (
-    f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
-    + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
-    + ")"
-)
+# in place; the unselected grams are never exploded into rows). fast=True
+# swaps the md5-derived hash60 for JVM-native xxhash64 — the oracle-tax
+# dial (the minhash_lsh_pairs_fast precedent): the md5 grams cost ~11.6 s
+# of the 1M-doc stress pass on their own, xxhash64 grams are ~10x cheaper.
+
+
+def _hs_spark(fast: bool = False) -> str:
+    gram = f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))"
+    h = f"xxhash64({gram})" if fast else hash60_spark(gram)
+    return f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> {h})"
+
+
+_HS_SPARK = _hs_spark()
 _HS_DUCK = (
     f"list_transform(generate_series(1, len(ws) - {SUBSTR_K - 1}), i -> "
     + hash60_duck(f"array_to_string(list_slice(ws, i, i + {SUBSTR_K - 1}), ' ')")
@@ -59,16 +67,17 @@ _HS_DUCK = (
 )
 
 # window-minimum selection, leftmost position on ties: for window j the
-# selected gram is (j - 1 + first position of the window's min hash). Docs
-# with fewer than WINNOW_W grams form one whole-doc window (slice clamps
-# past the end in both engines); array_distinct collapses the same gram
+# selected gram is the lexicographic MIN of (h, pos) structs over the
+# window — same convention as min-hash-then-first-position, in ONE pass
+# per window (an earlier array_min + array_position form scanned each
+# window three times: 2.6x slower at the 1M-doc stress shape). Docs with
+# fewer than WINNOW_W grams form one whole-doc window (slice clamps past
+# the end in both engines); array_distinct collapses the same gram
 # selected by adjacent windows.
 _SEL_SPARK = (
     f"array_distinct(transform(sequence(1, greatest(1, size(hs) - {WINNOW_W - 1})), "
-    f"j -> named_struct("
-    f"'pos', CAST(j - 1 + array_position(slice(hs, j, {WINNOW_W}), "
-    f"array_min(slice(hs, j, {WINNOW_W}))) AS INT), "
-    f"'h', array_min(slice(hs, j, {WINNOW_W})))))"
+    f"j -> array_min(transform(slice(hs, j, {WINNOW_W}), "
+    f"(x, k) -> struct(x AS h, CAST(j + k AS INT) AS pos)))))"
 )
 # no list_distinct here: DuckDB's list_distinct is histogram-based and
 # unimplemented for STRUCT elements — the oracle dedupes after the unnest
@@ -88,15 +97,58 @@ _FP_CTE_DUCK = f"""
     fp AS (SELECT DISTINCT doc_id, u.pos AS pos, u.h AS h FROM sel)"""
 
 
-def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
-    """(doc_id, pos, h): the selected fingerprints — map-only, one scan."""
+def _sel_let(fast: bool = False) -> str:
+    """The full per-row selection with the gram array LET-BOUND.
+
+    The selection lambda references the gram-hash array once per window
+    slice; naively aliasing the array in a previous select gets INLINED by
+    CollapseProject into the lambda — lambda bodies block CSE, so the full
+    md5 gram hashing re-evaluates PER WINDOW (measured 49 s / 20k docs/s at
+    the 1M-doc stress shape, ~4x the let-bound form). The
+    `transform(array(<hs>), hs -> <selection>)[1]` wrapper is a LET
+    BINDING: hs becomes a lambda variable, evaluated exactly once per row,
+    immune to projection collapse."""
+    return f"element_at(transform(array({_hs_spark(fast)}), hs -> {_SEL_SPARK}), 1)"
+
+
+def winnow_fingerprints_df(d: DataFrame, fast: bool = False) -> DataFrame:
+    """(doc_id, pos, h): the selected fingerprints — map-only, one scan.
+    ``fast`` selects with xxhash64 gram hashes (different fingerprints,
+    same guarantees; the rows-only production twin's mode)."""
     return (
         d.filter(F.col("text").isNotNull())
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
-        .select("doc_id", F.expr(_HS_SPARK).alias("hs"))
-        .select("doc_id", F.explode(F.expr(_SEL_SPARK)).alias("u"))
+        .select("doc_id", F.explode(F.expr(_sel_let(fast))).alias("u"))
         .select("doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+    )
+
+
+def winnow_report_df(d: DataFrame, fast: bool = False) -> DataFrame:
+    """(doc_id, n_fp, fp_digest): the per-doc fingerprint REPORT — count +
+    a digest of the canonical 'pos:h' fingerprint string, ordered by pos.
+    Fully map-only: the digest folds over the selected array IN the row
+    (nested let so the selection evaluates once for both outputs); nothing
+    explodes corpus-wide and nothing shuffles — the grain a 100 TB
+    fingerprint inventory actually reports at (the row-per-fingerprint
+    form, winnow_fingerprints_df, feeds the pair stage and the streaming
+    index instead of a global presentation sort)."""
+    canon = (
+        "concat_ws(',', transform(array_sort(transform(sel, s -> "
+        "struct(s.pos AS pos, s.h AS h))), t -> "
+        "concat(CAST(t.pos AS STRING), ':', CAST(t.h AS STRING))))"
+    )
+    dig = f"xxhash64({canon})" if fast else hash60_spark(canon)
+    packed = (
+        f"element_at(transform(array({_sel_let(fast)}), sel -> "
+        f"struct(CAST(size(sel) AS BIGINT) AS n_fp, {dig} AS fp_digest)), 1)"
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
+        .select("doc_id", F.expr(packed).alias("r"))
+        .select("doc_id", F.col("r.n_fp").alias("n_fp"), F.col("r.fp_digest").alias("fp_digest"))
     )
 
 
@@ -104,7 +156,9 @@ def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
     "winnow_fingerprints",
     oracle=f"""
     WITH {_FP_CTE_DUCK}
-    SELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           {hash60_duck("string_agg(CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR), ',' ORDER BY pos)")} AS fp_digest
+    FROM fp GROUP BY doc_id ORDER BY doc_id
     """,
     doc=f"Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
     f"algorithm): per document, the minimum gram hash of every window of "
@@ -113,13 +167,37 @@ def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
     f"subset that still guarantees a shared fingerprint for any shared "
     f"substring of >= {SUBSTR_K + WINNOW_W - 1} words. Same gram arithmetic "
     f"as the exact-substring family (hash60 over {SUBSTR_K}-word windows). "
-    f"100 TB shape: MAP-ONLY — higher-order functions select from the "
-    f"per-doc gram-hash array in place; unselected grams are never exploded "
-    f"into rows and nothing shuffles.",
+    f"Declared at the per-doc REPORT grain (count + md5-derived digest of "
+    f"the pos-ordered fingerprint string — every selected position and hash "
+    f"is inside the digest, so the oracle checks the exact selection "
+    f"without a corpus-wide row explosion). 100 TB shape: MAP-ONLY end to "
+    f"end — higher-order functions select from the per-doc gram-hash array "
+    f"in place and the digest folds in-row; unselected grams are never "
+    f"exploded and nothing shuffles.",
 )
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id", "pos"
+    # barrier-before-orderBy (plans/present.py): measured 36 s vs 19 s at
+    # the 1M-doc stress shape on this map-only child
+    return present_sorted(
+        winnow_report_df(load_table(spark, sf_dir, "documents")), "doc_id"
+    )
+
+
+@declare(
+    "winnow_fingerprints_fast",
+    oracle=None,  # engine-native xxhash64 grams by design — the md5 twin above is the oracle-checked one
+    doc="Production winnowing report: identical selection to "
+    "winnow_fingerprints but with JVM-native xxhash64 gram hashes (no "
+    "md5+hex round-trip — the md5 grams alone cost ~11.6 s of the 1M-doc "
+    "stress pass) — the variant you run at 100 TB. Kept alongside the md5 "
+    "twin so the algorithm is oracle-verified while the fast path stays "
+    "benchmarked (the minhash_lsh_pairs_fast precedent); the winnowing "
+    "guarantee (a shared >= 11-word substring yields a shared fingerprint) "
+    "is asserted for BOTH hash modes in tests/test_winnow.py.",
+)
+def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return present_sorted(  # barrier-before-orderBy: see winnow_fingerprints
+        winnow_report_df(load_table(spark, sf_dir, "documents"), fast=True), "doc_id"
     )
 
 

@@ -1,0 +1,85 @@
+"""Winnowing fingerprints (plans/winnow.py): the paper guarantee, the
+density dial, and report/row consistency. (Engine-exactness of the two
+oracle rows is covered by test_catalog_oracle.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs2cass_spark.plans.pipeline import SUBSTR_K
+from hdfs2cass_spark.plans.winnow import (
+    WINNOW_W,
+    winnow_fingerprints_df,
+    winnow_report_df,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_shared_substring_guarantee(spark, fast):
+    """Theorem 1 of the paper: any shared substring of >= SUBSTR_K +
+    WINNOW_W - 1 words yields at least one SHARED fingerprint — for both
+    hash modes (md5 oracle twin and xxhash64 production twin)."""
+    shared = " ".join(f"s{i}" for i in range(SUBSTR_K + WINNOW_W - 1))  # 11 words
+    a_fill = " ".join(f"a{i}" for i in range(20))
+    b_fill = " ".join(f"b{i}" for i in range(20))
+    d = _docs(spark, [(1, f"{a_fill} {shared}"), (2, f"{shared} {b_fill}")])
+    fp = winnow_fingerprints_df(d, fast=fast)
+    h1 = {r["h"] for r in fp.filter("doc_id = 1").collect()}
+    h2 = {r["h"] for r in fp.filter("doc_id = 2").collect()}
+    assert h1 & h2, "shared >= 11-word substring must share a fingerprint"
+
+
+def test_density_bounds(spark):
+    """Selected density lands near 2/(W+1) of grams: strictly fewer than
+    the gram count, at least the 1/W floor (one selection per disjoint
+    window)."""
+    import random
+
+    rng = random.Random(11)
+    words = " ".join(f"w{rng.randrange(10_000)}" for _ in range(400))
+    d = _docs(spark, [(1, words)])
+    n_grams = 400 - SUBSTR_K + 1
+    n_fp = winnow_fingerprints_df(d).count()
+    assert n_grams / (WINNOW_W + 1) <= n_fp <= 2 * n_grams / (WINNOW_W + 1) * 1.5
+
+
+def test_selected_positions_strictly_increase(spark):
+    """The winnowing selection order is monotone (window j+1's min cannot
+    sit left of window j's when both contain it) — the property the
+    report digest's pos-ordering relies on."""
+    import random
+
+    rng = random.Random(5)
+    words = " ".join(f"w{rng.randrange(500)}" for _ in range(200))
+    rows = winnow_fingerprints_df(_docs(spark, [(1, words)])).orderBy("pos").collect()
+    poss = [r["pos"] for r in rows]
+    assert poss == sorted(set(poss))
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_report_consistent_with_rows(spark, sf_dir, fast):
+    """The per-doc report's n_fp equals the row form's per-doc count, and
+    digests differ iff the fingerprint sets differ (spot: two docs with
+    identical text get identical digests; different text differs)."""
+    from hdfs2cass_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    rep = {r["doc_id"]: r for r in winnow_report_df(d, fast=fast).collect()}
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in winnow_fingerprints_df(d, fast=fast)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v["n_fp"] for k, v in rep.items()} == counts
+
+    twins = _docs(
+        spark,
+        [(1, "x " * 30), (2, "x " * 30), (3, "y " * 30)],
+    )
+    t = {r["doc_id"]: r["fp_digest"] for r in winnow_report_df(twins, fast=fast).collect()}
+    assert t[1] == t[2] and t[1] != t[3]
