@@ -129,8 +129,9 @@ def test_bpe_cross_engine_on_planted_docs(spark):
 
 
 def test_c4_and_bpe_plans_are_map_side(spark):
-    """Both rows are single-scan map-side shapes: no hashpartitioning
-    anywhere in either plan (the only Exchange is the ORDER BY)."""
+    """Both rows are single-scan map-side shapes whose only exchanges are
+    the presentation pair (round 10, plans/present.py): ONE hash barrier
+    directly under the ORDER BY's rangepartitioning, map-only below it."""
     import os
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -142,4 +143,9 @@ def test_c4_and_bpe_plans_are_map_side(spark):
             .executedPlan()
             .toString()
         )
-        assert "hashpartitioning" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        below = plan.split("Exchange hashpartitioning", 1)[1]
+        assert "Exchange" not in below, name
+        assert plan.index("rangepartitioning") < plan.index(
+            "Exchange hashpartitioning"
+        ), name

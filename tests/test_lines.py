@@ -125,4 +125,12 @@ def test_line_rules_plan_is_map_side(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning" not in plan
+    # round 10 (plans/present.py): the presentation orderBy now sits on a
+    # hash-repartition BARRIER so the range sampler reuses shuffle files
+    # instead of re-running the map-only compute. Contract: exactly ONE
+    # hashpartitioning (the barrier, directly under the range sort), and
+    # the compute BELOW it stays shuffle-free.
+    assert plan.count("Exchange hashpartitioning") == 1
+    below_barrier = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "Exchange" not in below_barrier  # map-only under the barrier
+    assert plan.index("rangepartitioning") < plan.index("Exchange hashpartitioning")
