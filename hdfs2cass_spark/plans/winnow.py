@@ -48,15 +48,36 @@ PAIR_CAP = 100  # capped-bucket gate for the pair stage (BAND_CAP class)
 # per-doc gram-hash array: the SAME SUBSTR_K-word gram + hash60 arithmetic
 # as substring_gram_positions, kept as an ARRAY (winnowing selects from it
 # in place; the unselected grams are never exploded into rows). fast=True
-# swaps the md5-derived hash60 for JVM-native xxhash64 — the oracle-tax
-# dial (the minhash_lsh_pairs_fast precedent): the md5 grams cost ~11.6 s
-# of the 1M-doc stress pass on their own, xxhash64 grams are ~10x cheaper.
+# is the oracle-tax dial (the minhash_lsh_pairs_fast precedent): per-word
+# xxhash64 + an O(K) xor-rotate window fold instead of md5 over per-gram
+# strings — 2.1x at the 1M-doc stress shape.
 
 
 def _hs_spark(fast: bool = False) -> str:
+    if fast:
+        # hash each WORD once, then an O(K) overflow-free xor-rotate fold
+        # per gram — no per-gram string building (rebuilding the 8-word
+        # string and xxhash64-ing it per window measured 13.6 s vs 6.3 s
+        # for this form at the 1M-doc stress shape). The rotation makes
+        # the fold order-sensitive, so word order inside the gram counts;
+        # shiftrightunsigned (not shiftright) keeps the rotate's high bits
+        # from sign-extending.
+        mix = "(shiftleft(a, 5) ^ shiftrightunsigned(a, 59)) ^ x"
+        grams = (
+            f"transform(sequence(1, size(wh) - {SUBSTR_K - 1}), i -> "
+            f"aggregate(slice(wh, i, {SUBSTR_K}), CAST(0 AS BIGINT), "
+            f"(a, x) -> {mix}))"
+        )
+        return (
+            f"element_at(transform(array(transform(ws, w -> xxhash64(w))), "
+            f"wh -> {grams}), 1)"
+        )
     gram = f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))"
-    h = f"xxhash64({gram})" if fast else hash60_spark(gram)
-    return f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> {h})"
+    return (
+        f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
+        + hash60_spark(gram)
+        + ")"
+    )
 
 
 _HS_SPARK = _hs_spark()
@@ -187,13 +208,14 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnow_fingerprints_fast",
     oracle=None,  # engine-native xxhash64 grams by design — the md5 twin above is the oracle-checked one
     doc="Production winnowing report: identical selection to "
-    "winnow_fingerprints but with JVM-native xxhash64 gram hashes (no "
-    "md5+hex round-trip — the md5 grams alone cost ~11.6 s of the 1M-doc "
-    "stress pass) — the variant you run at 100 TB. Kept alongside the md5 "
-    "twin so the algorithm is oracle-verified while the fast path stays "
-    "benchmarked (the minhash_lsh_pairs_fast precedent); the winnowing "
-    "guarantee (a shared >= 11-word substring yields a shared fingerprint) "
-    "is asserted for BOTH hash modes in tests/test_winnow.py.",
+    "winnow_fingerprints but each WORD is xxhash64-hashed once and grams "
+    "fold with an O(K) order-sensitive xor-rotate — no per-gram string "
+    "building or md5+hex round-trip (2.1x the string-gram form at the "
+    "1M-doc stress shape) — the variant you run at 100 TB. Kept alongside "
+    "the md5 twin so the algorithm is oracle-verified while the fast path "
+    "stays benchmarked (the minhash_lsh_pairs_fast precedent); the "
+    "winnowing guarantee (a shared >= 11-word substring yields a shared "
+    "fingerprint) is asserted for BOTH hash modes in tests/test_winnow.py.",
 )
 def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return present_sorted(  # barrier-before-orderBy: see winnow_fingerprints
