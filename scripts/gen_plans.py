@@ -219,10 +219,12 @@ SECTIONS = [
     (
         "gopher_line_rules (map-side line heuristics — round 7)",
         "gopher_line_rules",
-        "Pure whole-stage-codegen column arithmetic over ONE scan: the only Exchange is the "
-        "output ORDER BY's rangepartitioning — no hashpartitioning anywhere (plan-asserted in "
-        "tests; the c4_quality_filter / bpe_token_counts / gopher_paragraph_rules siblings share "
-        "the shape). Line splitting, bullet/ellipsis classification and the duplicate-line "
+        "Pure whole-stage-codegen column arithmetic over ONE scan: the only exchanges are the "
+        "presentation pair — ONE hash barrier directly under the output ORDER BY's "
+        "rangepartitioning (round 10, plans/present.py: without it the range sampler re-ran the "
+        "whole map-only compute), map-only below it (plan-asserted in tests; the "
+        "c4_quality_filter / bpe_token_counts / gopher_paragraph_rules siblings share the "
+        "shape). Line splitting, bullet/ellipsis classification and the duplicate-line "
         "fractions are all array expressions inside the same codegen stage — no UDF, no shuffle, "
         "embarrassingly parallel at any corpus size (848k multi-line docs/s at the 1M-doc probe).",
     ),
@@ -326,7 +328,45 @@ def main() -> int:
         plan = _plan(df)
         # keep the evidence readable: clip pathological codegen lines
         lines = [ln if len(ln) <= 2000 else ln[:2000] + " …]" for ln in plan.splitlines()]
-        out += [f"## {title}", "", note, "", "```", *lines, "```", ""]
+        out += [f"## {title}", "", note, "", "```", *lines, "```", ""    (
+        "winnow_fingerprints (MOSS fingerprint report — round 10)",
+        "winnow_fingerprints",
+        "Winnowing selection entirely INSIDE row expressions: the gram-hash array is LET-BOUND "
+        "(`transform(array(<hs>), hs -> ...)` — CollapseProject would otherwise inline the alias "
+        "into the selection lambdas and re-evaluate the md5 gram hashing per window, measured "
+        "2-4x), each window takes a one-pass struct-min, and the per-doc digest folds over the "
+        "selected array in the same projection. No explode of unselected grams, no "
+        "corpus-grain rows at all; the only exchanges are the presentation pair "
+        "(plans/present.py barrier + ORDER BY).",
+    ),
+    (
+        "winnow_candidate_pairs (MOSS matching stage — round 10)",
+        "winnow_candidate_pairs",
+        "Selected fingerprints (map-only, as above) group by hash through the capped-bucket gate: "
+        "the streaming Window COUNT + Filter precede the `collect_list` (plan-asserted), so a "
+        "boilerplate passage's bucket drops before any aggregation buffer fills; pairs expand "
+        "only inside surviving 2..100-doc buckets and the per-pair shared count is one "
+        "partial/final HashAggregate pair.",
+    ),
+    (
+        "bloom_decontamination (fixed-size contamination probe — round 10)",
+        "bloom_decontamination",
+        "The probe side is a CONSTANT-FOLDED literal array (the 2^18-bit filter as 4228 int64 "
+        "words, built by one map-side-combined `bit_or` aggregate over the tiny benchmark side "
+        "and collected as bounded model rows): the corpus scan evaluates 7 shift/mod/mask "
+        "expressions per shingle in whole-stage codegen and feeds ONE partial/final per-doc "
+        "aggregate — nothing on any executor scales with the benchmark suite.",
+    ),
+    (
+        "rag_retrieval_ann (hyperplane-LSH RAG retrieval — round 10)",
+        "rag_retrieval_ann",
+        "The chunk side is coded AND scored in one scan (the vector rides the code projection "
+        "via `_with_code keep=`): `BroadcastHashJoin` on the code with the query probe table "
+        "(queries x Hamming-radius-3 masks) as BuildRight, exact cosine only on bucket-matched "
+        "candidates, partial `WindowGroupLimit` before the single tiny top-k exchange on q_id. "
+        "Zero chunk-side shuffles beyond the embed aggregate itself.",
+    ),
+]
         print(f"captured {title}", file=sys.stderr)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
