@@ -290,45 +290,34 @@ SECTIONS = [
         "ranks are provably identical). Position and score tables each materialize once "
         "(two consumers each).",
     ),
-]
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-
-
-def main() -> int:
-    from hdfs2cass_spark.session import get_session
-    from hdfs2cass_spark.plans import CATALOG
-
-    spark = get_session("gen-plans")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    out = [
-        "# PLANS — physical plan evidence",
-        "",
-        f"Captured `.explain` output at {SF} — REGENERATED by `python scripts/gen_plans.py`;",
-        "rerun it after any change that can move a plan. What to look for is annotated per",
-        "plan; ARCHITECTURE.md explains why these shapes hold at 100 TB.",
-        "",
-    ]
-    for title, key, note in SECTIONS:
-        if key == "__bulk_load__":
-            from hdfs2cass_spark.sinks.pipeline import bulk_load
-            from hdfs2cass_spark.sources import load_table
-
-            df = bulk_load(
-                load_table(spark, SF, "customer"),
-                "cql://h/ks/customer?reducers=8",
-                rowkey="c_custkey",
-                now_ms=42000,
-            )
-        else:
-            df = CATALOG[key].fn(spark, SF)
-        plan = _plan(df)
-        # keep the evidence readable: clip pathological codegen lines
-        lines = [ln if len(ln) <= 2000 else ln[:2000] + " …]" for ln in plan.splitlines()]
-        out += [f"## {title}", "", note, "", "```", *lines, "```", ""    (
+    (
+        "exact_substring_word_spans (maximal duplicated spans — round 9)",
+        "exact_substring_word_spans",
+        "Shares the gram table + skew-safe dup marking with exact_substring_spans (one "
+        "`Scan ExistingRDD` per branch, map-side-combined `groupBy(h)` min/max, AQE-splittable "
+        "join-back; dup-flag side broadcasts at fixture scale, shuffles at corpus scale). The "
+        "interval merge is ONE `hashpartitioning(doc_id)` exchange carrying BOTH windows (the "
+        "LAG and the running island SUM share partitioning+ordering, so the second Window rides "
+        "the first's sort) and the per-(doc, island) min/max aggregate rides the SAME "
+        "partitioning — no extra exchange between islanding and span extraction. The "
+        "content-digest join re-scans documents once (map-only, filters pushed); at fixture "
+        "scale the docs side broadcasts, at corpus scale it degrades to a doc_id sort-merge "
+        "join of spans (small) vs (doc_id, ws) — never a corpus-wide window, never a quadratic "
+        "stage.",
+    ),
+    (
+        "exact_substring_scrub (keep-first-occurrence dedup — round 9)",
+        "exact_substring_scrub",
+        "The scrub ACTION the span report feeds (Lee et al. keep-first semantics at window "
+        "granularity): shared gram table, ONE map-side-combined min-per-gram aggregate "
+        "(broadcast at fixture scale, shuffled+AQE-splittable at corpus scale), the shared "
+        "LAG-islands merge riding ONE doc_id exchange with the per-(doc, island) min/max AND "
+        "the per-doc span-list collect riding the SAME partitioning (three aggregates, zero "
+        "extra exchanges), then one doc_id join against the re-scanned documents and a "
+        "MAP-ONLY index-aware higher-order-function rewrite — the kept text never rides a "
+        "word-grain explode and no shuffle carries text.",
+    ),
+    (
         "winnow_fingerprints (MOSS fingerprint report — round 10)",
         "winnow_fingerprints",
         "Winnowing selection entirely INSIDE row expressions: the gram-hash array is LET-BOUND "
@@ -367,6 +356,44 @@ def main() -> int:
         "Zero chunk-side shuffles beyond the embed aggregate itself.",
     ),
 ]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def main() -> int:
+    from hdfs2cass_spark.session import get_session
+    from hdfs2cass_spark.plans import CATALOG
+
+    spark = get_session("gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# PLANS — physical plan evidence",
+        "",
+        f"Captured `.explain` output at {SF} — REGENERATED by `python scripts/gen_plans.py`;",
+        "rerun it after any change that can move a plan. What to look for is annotated per",
+        "plan; ARCHITECTURE.md explains why these shapes hold at 100 TB.",
+        "",
+    ]
+    for title, key, note in SECTIONS:
+        if key == "__bulk_load__":
+            from hdfs2cass_spark.sinks.pipeline import bulk_load
+            from hdfs2cass_spark.sources import load_table
+
+            df = bulk_load(
+                load_table(spark, SF, "customer"),
+                "cql://h/ks/customer?reducers=8",
+                rowkey="c_custkey",
+                now_ms=42000,
+            )
+        else:
+            df = CATALOG[key].fn(spark, SF)
+        plan = _plan(df)
+        # keep the evidence readable: clip pathological codegen lines
+        lines = [ln if len(ln) <= 2000 else ln[:2000] + " …]" for ln in plan.splitlines()]
+        out += [f"## {title}", "", note, "", "```", *lines, "```", ""]
         print(f"captured {title}", file=sys.stderr)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
