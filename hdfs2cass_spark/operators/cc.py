@@ -26,7 +26,8 @@ The two operations, over a working edge set kept oriented child > parent:
 
 Both emit (big, small) pairs only, dropping self-pairs; iteration stops
 when the edge set is UNCHANGED (count + order-independent xxhash64
-checksum — exact, no sampling). At the fixpoint the edge set is a star
+checksum — collision-improbable, not an exact identity; see
+_checksum). At the fixpoint the edge set is a star
 forest: (node, root) plus the roots themselves.
 
 Scale shape: every round is two map-side-exploded groupBy(node)

@@ -27,7 +27,7 @@ hashing frees M and K from the hash width.
 
 100 TB shape: the filter builds with ONE map-side-combined bit_or
 aggregate over the (tiny) benchmark side; the N_WORDS words are collected
-driver-side (bounded model rows — the k-means-centroid class, <= 4228
+driver-side (bounded model rows — the k-means-centroid class, <= 4229
 scalars, a plan-time constant)
 and probed as a FOLDED LITERAL ARRAY in pure codegen column expressions:
 the corpus is scanned once, map-only, never shuffled, and nothing on any
@@ -52,7 +52,7 @@ from .registry import declare
 M_BITS = 1 << 18  # filter bits; ~1.6e-6 per-shingle FP at the fixture's ~6k
 BLOOM_K = 7  # bit positions per shingle (double-hashed)
 _BPW = 62  # bits per int64 word — bit 62/63 never used, no sign-bit traps
-N_WORDS = (M_BITS + _BPW - 1) // _BPW  # 4228 (~33 KB — the probe constant)
+N_WORDS = (M_BITS + _BPW - 1) // _BPW  # 4229 (~33 KB — the probe constant)
 
 
 def _pos(i: int, h: str = "h") -> str:

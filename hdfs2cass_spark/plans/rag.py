@@ -318,6 +318,13 @@ def retrieve_topk_ann(
     )
 
     if n_planes is None:
+        # Deriving p needs a plan-time count, which would EXECUTE the chunk
+        # computation once for the count and again for the join below.
+        # Materialize it first (localCheckpoint -> executor-local blocks)
+        # so both consumers read the same files; callers with a known
+        # corpus scale should pass n_planes explicitly and skip this pass
+        # entirely (the declared query passes n_planes=8).
+        cemb = cemb.localCheckpoint(eager=True)
         n_planes = derive_n_planes(cemb.count())
     planes = lsh_planes(n_planes, _DIMS, DEFAULT_SEED if seed is None else seed)
 

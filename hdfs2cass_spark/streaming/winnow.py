@@ -62,13 +62,20 @@ def _decisions(arriving_ids: DataFrame, matched: DataFrame) -> DataFrame:
     )
 
 
-def _matched_pairs(index_fp: DataFrame, arriving_fp: DataFrame) -> DataFrame:
+def _matched_pairs(
+    index_fp: DataFrame, arriving_fp: DataFrame, broadcast_arriving: bool = True
+) -> DataFrame:
     """(doc_a, doc_b, n_shared >= MIN_SHARED): earlier docs sharing enough
-    fingerprints with an arriving doc. The arriving side broadcasts (AQE is
-    off inside foreachBatch; the index side is unbounded — the hint is the
-    only shape that never moves the index)."""
+    fingerprints with an arriving doc. On the streaming path the arriving
+    side is one micro-batch — it broadcasts (AQE is off inside foreachBatch;
+    the index side is unbounded — the hint is the only shape that never
+    moves the index). The batch twin passes ``broadcast_arriving=False``
+    because there the "arriving" side IS the full corpus: hinting it would
+    broadcast an unbounded table, so the optimizer decides instead."""
     a = index_fp.select(F.col("doc_id").alias("doc_a"), "h")
-    b = F.broadcast(arriving_fp.select(F.col("doc_id").alias("doc_b"), "h"))
+    b = arriving_fp.select(F.col("doc_id").alias("doc_b"), "h")
+    if broadcast_arriving:
+        b = F.broadcast(b)
     return (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -87,9 +94,11 @@ def _fingerprint_set(d: DataFrame) -> DataFrame:
 def winnow_decisions_batch(d: DataFrame) -> DataFrame:
     """The batch twin: for every doc, does it share >= MIN_SHARED winnow
     fingerprints with any EARLIER doc (lower doc_id = earlier arrival).
-    Same selection, same counting as the stream."""
+    Same selection, same counting as the stream. Both join sides here are
+    the FULL corpus fingerprint set, so no broadcast hint — the optimizer
+    picks the join strategy (shuffle hash at scale)."""
     fp = _fingerprint_set(d)
-    matched = _matched_pairs(fp, fp)
+    matched = _matched_pairs(fp, fp, broadcast_arriving=False)
     return _decisions(d.select("doc_id"), matched).orderBy("doc_id")
 
 

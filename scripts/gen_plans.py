@@ -340,7 +340,7 @@ SECTIONS = [
     (
         "bloom_decontamination (fixed-size contamination probe — round 10)",
         "bloom_decontamination",
-        "The probe side is a CONSTANT-FOLDED literal array (the 2^18-bit filter as 4228 int64 "
+        "The probe side is a CONSTANT-FOLDED literal array (the 2^18-bit filter as 4229 int64 "
         "words, built by one map-side-combined `bit_or` aggregate over the tiny benchmark side "
         "and collected as bounded model rows): the corpus scan evaluates 7 shift/mod/mask "
         "expressions per shingle in whole-stage codegen and feeds ONE partial/final per-doc "
