@@ -53,25 +53,56 @@ PAIR_CAP = 100  # capped-bucket gate for the pair stage (BAND_CAP class)
 # strings — 2.1x at the 1M-doc stress shape.
 
 
+def _let(val: str, var: str, body: str) -> str:
+    """LET binding in Spark SQL: evaluate ``val`` once, name it ``var``
+    inside ``body`` (lambda variables are immune to CollapseProject
+    inlining — the _sel_let trick, factored for the expression ladders)."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _rot(e: str, b: int) -> str:
+    """64-bit left rotation by ``b`` — shiftrightunsigned (not shiftright)
+    keeps the wrapped high bits from sign-extending; xor/shift only, so
+    ANSI mode never sees an overflow."""
+    return f"(shiftleft({e}, {b}) ^ shiftrightunsigned({e}, {64 - b}))"
+
+
 def _hs_spark(fast: bool = False) -> str:
     if fast:
-        # hash each WORD once, then an O(K) overflow-free xor-rotate fold
-        # per gram — no per-gram string building (rebuilding the 8-word
+        # hash each WORD once (xxhash64), then fold the K words of each
+        # gram with an order-sensitive xor-rotate: gram(i) = XOR over
+        # j of rot5^(K-1-j)(wh[i+j]) — word order inside the gram counts,
+        # and no per-gram string is ever built (rebuilding the 8-word
         # string and xxhash64-ing it per window measured 13.6 s vs 6.3 s
-        # for this form at the 1M-doc stress shape). The rotation makes
-        # the fold order-sensitive, so word order inside the gram counts;
-        # shiftrightunsigned (not shiftright) keeps the rotate's high bits
-        # from sign-extending.
-        mix = "(shiftleft(a, 5) ^ shiftrightunsigned(a, 59)) ^ x"
-        grams = (
-            f"transform(sequence(1, size(wh) - {SUBSTR_K - 1}), i -> "
-            f"aggregate(slice(wh, i, {SUBSTR_K}), CAST(0 AS BIGINT), "
-            f"(a, x) -> {mix}))"
-        )
-        return (
-            f"element_at(transform(array(transform(ws, w -> xxhash64(w))), "
-            f"wh -> {grams}), 1)"
-        )
+        # at the 1M-doc stress shape).
+        #
+        # O(K log K) doubling form (round 11): the fold is LINEAR over
+        # XOR (rotation distributes), so it decomposes exactly like the
+        # selection ladder instead of an O(K)-step aggregate per gram:
+        #   g2[i] = rot5(wh[i])  ^ wh[i+1]     (= 2-word gram at i)
+        #   g4[i] = rot10(g2[i]) ^ g2[i+2]     (= 4-word gram at i)
+        #   g8[i] = rot20(g4[i]) ^ g4[i+4]     (= 8-word gram at i)
+        # — log2(K) whole-array zip_with passes, BIT-IDENTICAL to the
+        # sequential fold (pinned in tests/test_winnow.py). Tail entries
+        # past the valid range go null (xor propagates null, unlike the
+        # selection's least) and the final slice drops exactly those.
+        assert SUBSTR_K & (SUBSTR_K - 1) == 0, "doubling ladder needs 2^n"
+        p, var = 1, "wh"
+        body = f"slice(g{SUBSTR_K}, 1, size(wh) - {SUBSTR_K - 1})"
+        wraps = []
+        while p * 2 <= SUBSTR_K:
+            nxt = f"g{p * 2}"
+            wraps.append(
+                (
+                    nxt,
+                    f"zip_with({var}, slice({var}, {p + 1}, size({var})), "
+                    f"(x, y) -> {_rot('x', 5 * p)} ^ y)",
+                )
+            )
+            var, p = nxt, p * 2
+        for nxt, val in reversed(wraps):
+            body = _let(val, nxt, body)
+        return _let("transform(ws, w -> xxhash64(w))", "wh", body)
     gram = f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))"
     return (
         f"transform(sequence(1, size(ws) - {SUBSTR_K - 1}), i -> "
@@ -89,17 +120,57 @@ _HS_DUCK = (
 
 # window-minimum selection, leftmost position on ties: for window j the
 # selected gram is the lexicographic MIN of (h, pos) structs over the
-# window — same convention as min-hash-then-first-position, in ONE pass
-# per window (an earlier array_min + array_position form scanned each
-# window three times: 2.6x slower at the 1M-doc stress shape). Docs with
-# fewer than WINNOW_W grams form one whole-doc window (slice clamps past
-# the end in both engines); array_distinct collapses the same gram
-# selected by adjacent windows.
-_SEL_SPARK = (
-    f"array_distinct(transform(sequence(1, greatest(1, size(hs) - {WINNOW_W - 1})), "
-    f"j -> array_min(transform(slice(hs, j, {WINNOW_W}), "
-    f"(x, k) -> struct(x AS h, CAST(j + k AS INT) AS pos)))))"
-)
+# window — same convention as min-hash-then-first-position.
+#
+# O(K log W) sparse-table form (round 11): the earlier per-window
+# `array_min(transform(slice(hs, j, W), ...))` built and scanned a fresh
+# W-struct array PER WINDOW — O(K*W) struct builds, and it dominated the
+# stress line (not the hashing). The doubling ladder below computes the
+# same minima in log2(W) whole-array zip_with passes:
+#   wp[i]  = struct(h=hs[i], pos=i)            (one transform)
+#   m2[i]  = least(wp[i], wp[i+1])             = min over i..i+1
+#   m4[i]  = least(m2[i], m2[i+2])             = min over i..i+3
+# `least` is null-skipping, so the zip_with null padding past the end
+# clamps exactly like slice did: m4[i] near the tail is the min over
+# i..K, which is also what makes the K < W whole-doc window come out of
+# m4[1] for free. Struct ordering is lexicographic (h, pos) = min hash,
+# leftmost tie. Every intermediate is LET-BOUND (see _sel_let — lambda
+# bodies block CSE, so a plain alias would re-evaluate per reference).
+# Equality with the per-window form is pinned in tests/test_winnow.py.
+
+
+def _sel_spark_expr() -> str:
+    """The window-min selection over a lambda-bound gram array ``hs`` —
+    the O(K log W) doubling ladder described above, generated for any
+    WINNOW_W (non-power-of-two widths get one extra shifted zip_with)."""
+    least2 = "(x, y) -> least(x, y)"
+    p, names = 1, ["wp"]
+    while p * 2 <= WINNOW_W:
+        p *= 2
+        names.append(f"m{p}")
+    top = names[-1]
+    if p == WINNOW_W:
+        fin = top
+    else:  # min over width W = min(m_p[i], m_p[i + W - p])
+        fin = f"zip_with({top}, slice({top}, {WINNOW_W - p + 1}, size({top})), {least2})"
+    body = f"array_distinct(slice({fin}, 1, greatest(1, size({top}) - {WINNOW_W - 1})))"
+    shift = p // 2
+    for i in range(len(names) - 1, 0, -1):
+        prev = names[i - 1]
+        body = _let(
+            f"zip_with({prev}, slice({prev}, {shift + 1}, size({prev})), {least2})",
+            names[i],
+            body,
+        )
+        shift //= 2
+    return _let(
+        "transform(hs, (x, k) -> struct(x AS h, CAST(k + 1 AS INT) AS pos))",
+        "wp",
+        body,
+    )
+
+
+_SEL_SPARK = _sel_spark_expr()
 # no list_distinct here: DuckDB's list_distinct is histogram-based and
 # unimplemented for STRUCT elements — the oracle dedupes after the unnest
 # (SELECT DISTINCT), same result; Spark keeps the in-array array_distinct

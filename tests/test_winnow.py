@@ -83,3 +83,56 @@ def test_report_consistent_with_rows(spark, sf_dir, fast):
     )
     t = {r["doc_id"]: r["fp_digest"] for r in winnow_report_df(twins, fast=fast).collect()}
     assert t[1] == t[2] and t[1] != t[3]
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_doubling_ladders_equal_sequential_forms(spark, fast):
+    """Round 11 pins: the O(K log W) zip_with ladders (gram-hash fold and
+    window-min selection) produce EXACTLY what the sequential per-window
+    forms did — bit-identical hashes (the xor-rotate fold is linear over
+    XOR) and the identical selected (h, pos) set (least on struct(h, pos)
+    = min hash, leftmost tie). Random docs incl. heavy ties (tiny vocab)
+    and short docs (< W grams, single whole-doc window)."""
+    import random
+
+    from hdfs2cass_spark.plans.winnow import _hs_spark, _sel_let
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        n = rng.choice([SUBSTR_K, SUBSTR_K + 1, SUBSTR_K + 2, 30, 60])
+        vocab = rng.choice([3, 500])  # tiny vocab forces hash ties
+        rows.append((i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(n))))
+    d = _docs(spark, rows)
+
+    # sequential reference forms (the pre-round-11 expressions, verbatim)
+    if fast:
+        seq_hs = (
+            f"element_at(transform(array(transform(ws, w -> xxhash64(w))), wh -> "
+            f"transform(sequence(1, size(wh) - {SUBSTR_K - 1}), i -> "
+            f"aggregate(slice(wh, i, {SUBSTR_K}), CAST(0 AS BIGINT), "
+            f"(a, x) -> (shiftleft(a, 5) ^ shiftrightunsigned(a, 59)) ^ x))), 1)"
+        )
+    else:
+        seq_hs = _hs_spark(False)  # md5 form is unchanged; ladder only wraps it
+    seq_sel = (
+        f"array_distinct(transform(sequence(1, greatest(1, size(hs) - {WINNOW_W - 1})), "
+        f"j -> array_min(transform(slice(hs, j, {WINNOW_W}), "
+        f"(x, k) -> struct(x AS h, CAST(j + k AS INT) AS pos)))))"
+    )
+    seq = f"element_at(transform(array({seq_hs}), hs -> {seq_sel}), 1)"
+
+    from hdfs2cass_spark.plans.llm import W_SPARK
+
+    base = (
+        d.select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
+    )
+    bad = (
+        base.select(
+            F.expr(f"sort_array({seq})").alias("a"),
+            F.expr(f"sort_array({_sel_let(fast)})").alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert bad == 0
