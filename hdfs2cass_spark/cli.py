@@ -62,8 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_session("hdfs2cass_spark.cli")
-    # --format avro needs the external spark-avro module (read_records raises
-    # with the --packages coordinates when it's absent)
+    # --format avro uses the native spark-avro module when its jar is on the
+    # classpath, else the built-in pure-Python container reader (sources/avro.py)
     opts = {}
     for kv in args.input_option:
         if "=" not in kv:

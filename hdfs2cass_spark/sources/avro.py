@@ -1,0 +1,278 @@
+"""Self-contained Avro source: distributed, byte-range-split container reads.
+
+S1 fallback (SURVEY.md §2.1): the reference's primary input is Avro container
+files (Hdfs2Cass.java:107-108,135-144), but Spark's Avro source lives in the
+EXTERNAL spark-avro module that pip-distributed pyspark does not bundle.
+`read_avro` makes `read_records(format="avro")` work with no extra jars:
+
+  driver:   open each file, parse the header only (schema + codec + sync —
+            a few hundred bytes), plan byte-range splits of
+            ``spark.sql.files.maxPartitionBytes`` each
+  executors: one task per split opens its file, seeks to the range start,
+            scans forward to the next 16-byte sync marker, and decodes the
+            blocks that START inside its range — exactly the Hadoop/
+            spark-avro split contract, so a 10 GB file fans out across the
+            cluster instead of serializing through one task
+  output:   mapInPandas over the split plan — each task yields pandas
+            batches (~one per container block group), Arrow-framed back to
+            the JVM; temporal logical types are converted COLUMN-wise
+
+The decode itself is pure Python (sources/avrodec.py, stdlib only, shipped
+by value into the UDF pickle) — slower per-byte than the JVM source, which
+is why `read_records` still prefers spark-avro when the jar is present and
+uses this reader only as the fallback. The split planning means the
+fallback still SCALES (bounded per-task work, no driver data path); it
+trades per-core decode speed, not architecture.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.shippable import pickle_by_value
+from . import avrodec
+
+_DEFAULT_SPLIT = 128 * 1024 * 1024
+
+
+def avro_to_spark_type(schema) -> T.DataType:
+    """Avro schema -> Catalyst type, the spark-avro mapping for the subset
+    this engine implements (primitives, null-unions, records, arrays, maps,
+    enums/fixed, date + timestamp-millis/micros logical types)."""
+    schema = avrodec.parse_schema(schema)
+    if isinstance(schema, list):  # union
+        non_null = [b for b in schema if avrodec._schema_type(avrodec.parse_schema(b)) != "null"]
+        if len(non_null) != 1:
+            raise ValueError("only unions of null + one type are supported")
+        return avro_to_spark_type(non_null[0])
+    if isinstance(schema, str):
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+            "null": T.NullType(),
+        }
+        if schema in prim:
+            return prim[schema]
+        raise ValueError(f"unsupported avro type {schema!r}")
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if t in ("int", "long"):
+        if logical == "date":
+            return T.DateType()
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        return T.IntegerType() if t == "int" else T.LongType()
+    if t in ("bytes", "string", "boolean", "float", "double"):
+        return avro_to_spark_type(t)
+    if t == "record":
+        return T.StructType(
+            [T.StructField(f["name"], avro_to_spark_type(f["type"]), True) for f in schema["fields"]]
+        )
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]), True)
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]), True)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def spark_to_avro_schema(st: T.StructType, name: str = "record0") -> dict:
+    """Catalyst struct -> avro record schema (nullable fields become
+    null-unions) — the writer-side mapping for fixtures/round-trips."""
+
+    def conv(dt: T.DataType, path: str):
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.IntegerType) or isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType, path + "_item")}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": conv(dt.valueType, path + "_value")}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, path + "_" + f.name)]}
+                    for f in dt.fields
+                ],
+            }
+        raise ValueError(f"no avro mapping for {dt}")
+
+    out = conv(st, name)
+    assert isinstance(out, dict) and out["type"] == "record"
+    return out
+
+
+def _temporal_columns(schema) -> dict[str, str]:
+    """field name -> logicalType for top-level temporal fields (decoded as
+    raw ints; converted column-wise after the batch is assembled)."""
+    schema = avrodec.parse_schema(schema)
+    out = {}
+    for f in schema["fields"]:
+        ft = avrodec.parse_schema(f["type"])
+        if isinstance(ft, list):
+            nn = [b for b in ft if avrodec._schema_type(avrodec.parse_schema(b)) != "null"]
+            ft = avrodec.parse_schema(nn[0]) if len(nn) == 1 else None
+        if isinstance(ft, dict) and ft.get("logicalType") in (
+            "date",
+            "timestamp-millis",
+            "timestamp-micros",
+        ):
+            out[f["name"]] = ft["logicalType"]
+    return out
+
+
+def plan_splits(paths: list[str], split_bytes: int) -> list[tuple[str, int, int]]:
+    """Driver-side split plan: header-only reads (schema/sync, not data).
+    Returns [(path, start, end)] covering every byte of every file."""
+    splits = []
+    for p in sorted(paths):
+        size = os.path.getsize(p)
+        start = 0
+        while start < size:
+            splits.append((p, start, min(start + split_bytes, size)))
+            start += split_bytes
+    return splits
+
+
+def _expand_paths(paths: str | list[str]) -> list[str]:
+    out = []
+    for p in [paths] if isinstance(paths, str) else list(paths):
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".avro") and not f.startswith((".", "_"))
+            )
+        else:
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no .avro files under {paths!r}")
+    return out
+
+
+def read_avro(
+    spark: SparkSession,
+    paths: str | list[str],
+    split_bytes: int | None = None,
+    batch_rows: int = 16384,
+) -> DataFrame:
+    """Read Avro container files into a DataFrame with no external jars —
+    see the module docstring for the split/scan architecture. All files
+    must share one reader schema (the first file's — the reference unions
+    same-schema inputs, Hdfs2Cass.java:107-108)."""
+    files = _expand_paths(paths)
+    with open(files[0], "rb") as f:
+        header = avrodec.read_header(f)
+    schema = header["schema"]
+    if avrodec._schema_type(schema) != "record":
+        raise ValueError("top-level avro schema must be a record")
+    spark_schema = avro_to_spark_type(schema)
+    assert isinstance(spark_schema, T.StructType)
+    temporals = _temporal_columns(schema)
+    col_names = [f.name for f in spark_schema.fields]
+
+    if split_bytes is None:
+        try:
+            split_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
+        except Exception:
+            split_bytes = _DEFAULT_SPLIT
+    splits = plan_splits(files, split_bytes)
+    plan = spark.createDataFrame(splits, "path string, start long, end long").repartition(
+        max(len(splits), 1)
+    )
+
+    pickle_by_value(avrodec)
+    schema_json = __import__("json").dumps(schema)
+
+    def decode_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import json as _json
+
+        sch = avrodec.parse_schema(_json.loads(schema_json))
+        dec = avrodec.compile_decoder(sch)
+
+        def to_pdf(rows: list[dict]) -> pd.DataFrame:
+            pdf = pd.DataFrame(rows, columns=col_names)
+            for c, lt in temporals.items():
+                if lt == "date":
+                    pdf[c] = pd.to_datetime(pdf[c], unit="D", errors="coerce").dt.date
+                elif lt == "timestamp-millis":
+                    pdf[c] = pd.to_datetime(pdf[c], unit="ms", errors="coerce")
+                else:
+                    pdf[c] = pd.to_datetime(pdf[c], unit="us", errors="coerce")
+            return pdf
+
+        for b in batches:
+            for path, start, end in zip(b["path"], b["start"], b["end"]):
+                with open(path, "rb") as f:
+                    hdr = avrodec.read_header(f)
+                    rows: list[dict] = []
+                    for payload, n in avrodec.iter_file_blocks(f, hdr, int(start), int(end)):
+                        buf = _io.BytesIO(payload)
+                        for _ in range(n):
+                            rows.append(dec(buf))
+                        if len(rows) >= batch_rows:
+                            yield to_pdf(rows)
+                            rows = []
+                    if rows:
+                        yield to_pdf(rows)
+
+    return plan.mapInPandas(decode_splits, spark_schema)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Collect a (fixture-scale) DataFrame and write ONE container file —
+    the test/round-trip writer, not a distributed sink (production output
+    is the Cassandra sinks; the reference never writes Avro either)."""
+    avsc = spark_to_avro_schema(df.schema)
+    tcols = {
+        f.name: f.dataType
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    }
+
+    def conv(row: dict) -> dict:
+        for c, dt in tcols.items():
+            v = row[c]
+            if v is None:
+                continue
+            if isinstance(dt, T.DateType):
+                row[c] = (v - __import__("datetime").date(1970, 1, 1)).days
+            else:
+                epoch = __import__("datetime").datetime(1970, 1, 1)
+                row[c] = int((v - epoch).total_seconds() * 1_000_000)
+        return row
+
+    rows = (conv(r.asDict(recursive=True)) for r in df.collect())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    return avrodec.write_container(path, avsc, rows, codec=codec)

@@ -122,15 +122,16 @@ def read_records(
 
     Any Spark datasource format works (parquet, csv, json, orc, text);
     ``options`` pass through to the reader (e.g. ``header="true"`` for CSV).
-    `fmt="avro"` requires the spark-avro module; absent, this raises with the
-    exact package coordinates instead of Spark's opaque lookup error.
+    `fmt="avro"` prefers the native spark-avro module (external jar,
+    JVM-speed decode) and falls back to the built-in pure-Python container
+    reader (sources/avro.py — byte-range-split, mapInPandas, no jars) when
+    the module is absent, so the reference's primary input format runs
+    anywhere.
     """
     p = [paths] if isinstance(paths, str) else list(paths)
     if fmt == "avro" and not has_avro_support(spark):
-        raise RuntimeError(
-            "the Avro source requires the external spark-avro module: "
-            f"run with --packages {AVRO_PACKAGE}:<your-spark-version> "
-            "(e.g. spark.jars.packages). Parquet and text inputs need no extra jars."
-        )
+        from .avro import read_avro
+
+        return read_avro(spark, p)
     # pass the list, not *p: load()'s 2nd positional parameter is `format`
     return spark.read.format(fmt).options(**options).load(p)

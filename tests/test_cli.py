@@ -43,26 +43,70 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/bucket=*")) >= 1
 
 
-def test_avro_roundtrip_or_helpful_error(spark, tmp_path, sf_dir):
-    """S1: when spark-avro is present, round-trip a fixture through the Avro
-    container format and bulk-load it — identical dataflow to parquet. When
-    absent (pip pyspark), the source must fail with the --packages
-    coordinates, not Spark's opaque datasource-lookup error."""
-    import pytest
-
+def test_avro_roundtrip(spark, tmp_path, sf_dir):
+    """S1: round-trip a fixture through the Avro container format and
+    bulk-load it — identical dataflow to parquet. With spark-avro present
+    the native source writes+reads; without it (pip pyspark) the built-in
+    pure-Python container reader (sources/avro.py) is the read path and the
+    built-in writer produces the fixture — either way the reference's
+    primary input format RUNS here, values checked against the parquet
+    original."""
     from hdfs2cass_spark.sinks.pipeline import bulk_load
     from hdfs2cass_spark.sources.readers import has_avro_support, read_records
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    if not has_avro_support(spark):
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            read_records(spark, str(tmp_path / "nope"), fmt="avro")
-        pytest.skip("spark-avro module not bundled in this environment")
-    avro_dir = str(tmp_path / "customer_avro")
-    cust.write.format("avro").save(avro_dir)
-    back = read_records(spark, avro_dir, fmt="avro")
+    avro_dir = tmp_path / "customer_avro"
+    if has_avro_support(spark):  # pragma: no cover - jar absent in sandbox
+        cust.write.format("avro").save(str(avro_dir))
+    else:
+        from hdfs2cass_spark.sources.avro import write_avro
+
+        avro_dir.mkdir()
+        write_avro(cust, str(avro_dir / "part-0.avro"), codec="deflate")
+    back = read_records(spark, str(avro_dir), fmt="avro")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
     routed = bulk_load(back, "cql://h/ks/t?reducers=4", rowkey="c_custkey", now_ms=42)
     assert routed.count() == cust.count()
+
+
+def test_avro_builtin_reader_splits_and_codecs(spark, tmp_path):
+    """The built-in container reader's scale contract: multi-file input,
+    byte-range splits smaller than one file (forced via split_bytes) cover
+    every row exactly once, and every supported codec decodes."""
+    from hdfs2cass_spark.sources.avro import read_avro, write_avro
+    from hdfs2cass_spark.sources import avrodec
+
+    df = spark.range(5000).selectExpr(
+        "id",
+        "concat('name-', id) AS name",
+        "CAST(id AS DOUBLE) / 7 AS score",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('v', id % 5) END AS maybe",
+    )
+    d = tmp_path / "multi"
+    d.mkdir()
+    for codec, fname in (("null", "a.avro"), ("deflate", "b.avro"), ("snappy", "c.avro")):
+        rows = (r.asDict() for r in df.collect())
+        avrodec.write_container(
+            str(d / fname),
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"},
+                    {"name": "score", "type": "double"},
+                    {"name": "maybe", "type": ["null", "string"]},
+                ],
+            },
+            rows,
+            codec=codec,
+            block_records=256,
+        )
+    # 64 KiB splits => many tasks per file; union of 3 files
+    back = read_avro(spark, str(d), split_bytes=64 * 1024)
+    assert back.count() == 3 * 5000
+    one = read_avro(spark, str(d / "b.avro"), split_bytes=64 * 1024)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_read_records_multi_path_union(spark, sf_dir, tmp_path):
