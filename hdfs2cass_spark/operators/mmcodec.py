@@ -5,9 +5,13 @@ these functions into their closures and register THIS module for
 pickle-by-value (functions/shippable.py), so executors that have never heard
 of the package can still run the real-decode branch.
 
-Netpbm payloads (binary PGM ``P5`` / PPM ``P6`` — the layout ffmpeg's
-image2pipe emits) decode identically whether or not PIL is installed; PIL
-only extends coverage to compressed formats (PNG/JPEG/GIF/...).
+Two formats decode identically whether or not PIL is installed:
+  - netpbm (binary PGM ``P5`` / PPM ``P6`` — the layout ffmpeg's image2pipe
+    emits): header parse + raw samples
+  - PNG (8-bit, non-interlaced, all color types, all five scanline filters,
+    CRC-checked): stdlib zlib inflate + numpy unfiltering, palette expanded
+PIL extends coverage to everything else (JPEG/GIF/16-bit or interlaced
+PNG/...) when importable; without it those raise loudly.
 """
 
 from __future__ import annotations
@@ -71,19 +75,147 @@ def encode_netpbm(px, maxval: int = 255) -> bytes:
     return magic + f"\n{w} {h}\n{maxval}\n".encode() + px.tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(b: bytes):
+    """Decode ONE PNG (RFC 2083 / W3C spec) with the stdlib + numpy only:
+    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
+    scanline filters, CRC-checked chunks. Returns (width, height, channels,
+    pixels uint8[h, w, ch]) with palettes expanded to RGB. 16-bit and
+    Adam7-interlaced images raise ValueError (decode_image falls back to
+    PIL for those when it is installed) — a corrupt payload must fail
+    loudly, not emit garbage features."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if depth != 8 or inter != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, interlace={inter}) — "
+            "built-in decoder handles 8-bit non-interlaced; install pillow "
+            "for the rest"
+        )
+    try:
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise ValueError(f"bad PNG color type {ctype}") from None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG IDAT length does not match dimensions")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, out = arr[:, 0], np.zeros((h, stride), np.int32)
+    for y in range(h):
+        f, rec = filters[y], arr[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — whole-row vectorized
+            rec = (rec + prev) & 0xFF
+        elif f == 1:  # Sub: x += left(recon) — sequential in x
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                up = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = plte[px[:, :, 0]]
+        ch = 3
+    return w, h, ch, px
+
+
+def encode_png(px) -> bytes:
+    """uint8[h, w, ch] -> PNG bytes (filter-0 scanlines, zlib level 9) —
+    the parse_png inverse, also the fixture generator for the un-skipped
+    real-decode tests."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(b: bytes):
-    """Real decode -> (width, height, mean_sample_value). Netpbm payloads use
-    the built-in parser; anything else needs PIL."""
+    """Real decode -> (width, height, mean_sample_value). Netpbm and 8-bit
+    PNG payloads use the built-in parsers (identical output with or without
+    PIL); PNG shapes the built-in can't handle fall back to PIL; anything
+    else needs PIL."""
     import numpy as np
 
     if b[:2] in (b"P5", b"P6"):
         w, h, _, px, _ = parse_netpbm(b)
         return w, h, float(px.mean())
+    pil_fallback_err = None
+    if b[:8] == PNG_SIG:
+        try:
+            w, h, _, px = parse_png(b)
+            return w, h, float(px.mean())
+        except ValueError as e:
+            pil_fallback_err = e  # 16-bit / interlaced: try PIL below
     image_mod = pil_image_module()
     if image_mod is None:
+        if pil_fallback_err is not None:
+            raise NotImplementedError(
+                f"PNG beyond the built-in decoder ({pil_fallback_err}) and "
+                "PIL is not installed"
+            ) from pil_fallback_err
         raise NotImplementedError(
-            "payload is not binary netpbm and PIL is not installed — "
-            "pip install pillow for compressed image formats"
+            "payload is not binary netpbm or PNG and PIL is not installed — "
+            "pip install pillow for other compressed image formats"
         )
     import io
 
@@ -93,8 +225,9 @@ def decode_image(b: bytes):
 
 
 def resize_image(b: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor resample; netpbm in -> netpbm out, PIL formats
-    round-trip through PIL (re-encoded in the source format)."""
+    """Nearest-neighbor resample; netpbm in -> netpbm out, PNG in -> PNG out
+    (built-in codec both ways), other PIL formats round-trip through PIL
+    (re-encoded in the source format)."""
     import numpy as np
 
     if b[:2] in (b"P5", b"P6"):
@@ -102,11 +235,19 @@ def resize_image(b: bytes, width: int, height: int) -> bytes:
         ys = (np.arange(height) * px.shape[0]) // height
         xs = (np.arange(width) * px.shape[1]) // width
         return encode_netpbm(px[ys][:, xs])
+    if b[:8] == PNG_SIG:
+        try:
+            _, _, _, px = parse_png(b)
+            ys = (np.arange(height) * px.shape[0]) // height
+            xs = (np.arange(width) * px.shape[1]) // width
+            return encode_png(np.ascontiguousarray(px[ys][:, xs]))
+        except ValueError:
+            pass  # 16-bit / interlaced: PIL below when present
     image_mod = pil_image_module()
     if image_mod is None:
         raise NotImplementedError(
-            "payload is not binary netpbm and PIL is not installed — "
-            "pip install pillow for compressed image formats"
+            "payload is not binary netpbm or 8-bit PNG and PIL is not "
+            "installed — pip install pillow for other compressed formats"
         )
     import io
 
@@ -128,6 +269,12 @@ def demux_frames(b: bytes) -> list[bytes]:
             _, _, _, _, off = parse_netpbm(b, off)
             frames.append(b[start:off])
         return frames
+    if b[:8] == PNG_SIG:
+        try:
+            parse_png(b)  # validate; a PNG is one frame (APNG needs PIL)
+            return [b]
+        except ValueError:
+            pass
     image_mod = pil_image_module()
     if image_mod is None:
         raise NotImplementedError(
