@@ -110,6 +110,45 @@ _TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# the table whose row count scales each headliner's work — used by the
+# scale-slope probe to express marginal cost as sec/Mrow (r10 verdict
+# item 1: the constants-vs-slope adjudication)
+_PRIMARY_TABLE = {
+    "q1_pricing_summary": "lineitem",
+    "q3_shipping_priority": "lineitem",
+    "q5_local_supplier_volume": "lineitem",
+    "window_rank_customers": "customer",
+    "tumbling_window_events": "events",
+    "asof_join_events": "events",
+    "sessionize_events_batch": "events",
+    "dedup_exact_documents": "documents",
+    "minhash_lsh_pairs": "documents",
+    "minhash_lsh_pairs_fast": "documents",
+    "dedup_near_duplicates": "documents",
+    "embedding_topk_cosine": "embeddings",
+    "embedding_ivf_topk": "embeddings",
+    "token_route_customer": "customer",
+    "bulk_route_lineitem": "lineitem",
+}
+
+
+def _table_rows(sf_dir: str, table: str) -> int | None:
+    """Parquet-metadata row count (no scan) for sec/Mrow normalization."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(p):
+            import glob
+
+            return sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
+        return pq.read_metadata(p).num_rows
+    except Exception:  # noqa: BLE001 — normalization is decoration
+        return None
+
 
 def _duckdb_baseline(sf_dir: str, names: list[str], passes: int = 2) -> dict:
     """Measured single-node DuckDB wall-times for the headliners' own oracle
@@ -196,11 +235,25 @@ def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
 
     record = _make_recorder(stats)
 
+    # optional name filter (comma-separated) so a drift adjudication can
+    # re-measure just the suspect lines under the identical fixture +
+    # protocol without paying for the whole section (r9 protocol)
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_BENCH_STRESS_NAMES", "").split(",")
+        if n.strip()
+    }
+
+    def _selected(name: str) -> bool:
+        return not only or name in only
+
     # 1M-doc synthetic stress for the pipeline stages (once per invocation,
     # not per pass): docs/s at the stress shape is the number that predicts
     # 100 TB behavior — the sf0.1 documents table is far too small to expose
     # shard-offset-table / explode-amplification costs.
     stress_docs = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000"))
+    if only and not any(_selected(n) for n in PIPELINE + STRESS_ONLY):
+        stress_docs = 0  # name filter excludes the whole docs section
     if stress_docs > 0:
         tmp = tempfile.mkdtemp(prefix="bench_stress_")
         try:
@@ -221,6 +274,8 @@ def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
             ).withColumn("n_chars", F.length("text").cast("int"))
             docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
             for name in PIPELINE + STRESS_ONLY:
+                if not _selected(name):
+                    continue
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm plan
                 # min-of-3: one loaded pass shouldn't set the recorded
@@ -244,6 +299,8 @@ def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
     # join, tumbling+sliding) at a synthetic scale the sf0.1 events fixture
     # can't reach — us-jittered timestamps, ~1000 events/user
     ev_n = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000"))
+    if only and not any(_selected(n) for n in EVENTS_STRESS):
+        ev_n = 0  # name filter excludes the whole events section
     if ev_n > 0:
         tmp = tempfile.mkdtemp(prefix="bench_events_")
         try:
@@ -265,6 +322,8 @@ def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
             )
             ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
             for name in EVENTS_STRESS:
+                if not _selected(name):
+                    continue
                 df = CATALOG[name].fn(spark, tmp)
                 df.write.mode("overwrite").format("noop").save()  # warm
                 samples = []
@@ -411,26 +470,50 @@ def main() -> int:
         floor_samples.append(time.perf_counter() - t0)
     spark_floor = record("spark_noop_floor", floor_samples)
 
-    def time_query(name: str) -> float:
+    def time_query(name: str, data_dir: str | None = None, key: str | None = None) -> float:
         q = CATALOG[name]
+        key = key or name
         samples = []
         for _ in range(passes):
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
+            df = q.fn(spark, data_dir or sf_dir)
             # noop write materializes every output column (count() would let
             # Catalyst prune the aggregates away)
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
-        best = record(name, samples)
+        best = record(key, samples)
         print(
-            f"# {name}: {best:.3f}s (median {stats[name]['median']:.3f}, "
-            f"spread {stats[name]['rel_spread']:.0%})",
+            f"# {key}: {best:.3f}s (median {stats[key]['median']:.3f}, "
+            f"spread {stats[key]['rel_spread']:.0%})",
             file=sys.stderr,
         )
         return best
 
     loadavg_start = list(os.getloadavg())
     timings = {name: time_query(name) for name in HEADLINE}
+
+    # Scale-slope probe (r10 verdict item 1): the same headliners at a
+    # smaller SF, same JVM, same protocol. The MARGINAL cost
+    # Δt = t(sf_big) - t(sf_small) cancels Spark's per-query constants
+    # (scheduling, codegen, Arrow worker spin-up) that dominate sub-second
+    # queries at sf0.1; the spark/duckdb slope ratio then measures whether
+    # the PLAN's per-row work — the thing that survives a 100x scale-up —
+    # is competitive, which the raw ratio at one SF cannot distinguish
+    # from constants. DuckDB's small-SF times are taken in the baseline
+    # section below; adjudication happens there.
+    sf_small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    slope_enabled = (
+        os.environ.get("SPARK_GRAFT_BENCH_SLOPE", "1") != "0"
+        and os.path.isdir(sf_small)
+        and os.path.abspath(sf_small) != os.path.abspath(sf_dir)
+    )
+    timings_small: dict[str, float] = {}
+    if slope_enabled:
+        for name in HEADLINE:
+            timings_small[name] = time_query(
+                name, data_dir=sf_small, key=f"slope_small_{name}"
+            )
+
     pipeline_timings = {name: time_query(name) for name in PIPELINE}
 
     # the composed curation chain (quality -> exact dedup -> near-dup
@@ -499,6 +582,70 @@ def main() -> int:
         n for n, r in vs_duckdb_adjusted.items() if r > 2.0
     )
 
+    # Slope adjudication (r10 verdict item 1): a flagged headliner whose
+    # Spark MARGINAL cost (Δt between SFs, constants cancelled) is within
+    # 2x of DuckDB's marginal cost is constants-dominated — the flag
+    # measured the fixed per-query floor, not the plan — and is removed
+    # from the final list. One whose slope itself exceeds 2x DuckDB's has
+    # a genuine per-row plan deficit and stays flagged.
+    slope_probe: dict = {}
+    vs_duckdb_flagged_slope: list = list(vs_duckdb_flagged)
+    if slope_enabled and duck_sec:
+        duck_small = _duckdb_baseline(sf_small, HEADLINE, passes=3)
+        tables = set(_PRIMARY_TABLE.values())
+        rows_big = {t: _table_rows(sf_dir, t) for t in tables}
+        rows_small = {t: _table_rows(sf_small, t) for t in tables}
+        still_flagged = []
+        for name in HEADLINE:
+            if name not in timings_small:
+                continue
+            d_spark = max(0.0, timings[name] - timings_small[name])
+            tbl = _PRIMARY_TABLE.get(name)
+            drows = None
+            if tbl and rows_big.get(tbl) and rows_small.get(tbl):
+                drows = rows_big[tbl] - rows_small[tbl]
+            entry: dict = {
+                "spark_small_sec": timings_small[name],
+                "spark_big_sec": timings[name],
+                "spark_marginal_sec": round(d_spark, 4),
+                "primary_table": tbl,
+                "marginal_rows": drows,
+                "spark_sec_per_mrow": (
+                    round(d_spark / drows * 1e6, 4) if drows else None
+                ),
+            }
+            db, ds = duck_sec.get(name), duck_small.get(name)
+            if db is not None and ds is not None:
+                d_duck = db - ds
+                entry["duck_small_sec"] = ds
+                entry["duck_big_sec"] = db
+                entry["duck_marginal_sec"] = round(d_duck, 4)
+                entry["duck_sec_per_mrow"] = (
+                    round(d_duck / drows * 1e6, 4) if drows and d_duck > 0 else None
+                )
+                # below ~2ms DuckDB's own Δ is timer noise — the ratio
+                # would be meaningless, so it stays uncomputed (and a
+                # flagged query stays flagged: unproven, not exonerated)
+                if d_duck > 0.002:
+                    entry["slope_ratio"] = round(d_spark / d_duck, 2)
+            ratio = entry.get("slope_ratio")
+            entry["verdict"] = (
+                "constants-dominated"
+                if ratio is not None and ratio <= 2.0
+                else ("plan-deficit" if ratio is not None else "not-measurable")
+            )
+            slope_probe[name] = entry
+            if name in vs_duckdb_flagged and entry["verdict"] != "constants-dominated":
+                still_flagged.append(name)
+            print(
+                f"# slope {name}: spark Δ {d_spark:.3f}s vs duck Δ "
+                f"{entry.get('duck_marginal_sec', 'n/a')}s -> "
+                f"ratio {ratio if ratio is not None else 'n/a'} "
+                f"({entry['verdict']})",
+                file=sys.stderr,
+            )
+        vs_duckdb_flagged_slope = sorted(still_flagged)
+
     want_stress = (
         int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000")) > 0
         or int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000")) > 0
@@ -534,6 +681,11 @@ def main() -> int:
         "vs_duckdb": vs_duckdb,
         "vs_duckdb_adjusted": vs_duckdb_adjusted,
         "vs_duckdb_flagged": vs_duckdb_flagged,
+        # r10 verdict item 1: marginal-cost (slope) measurements between
+        # SPARK_GRAFT_SF_SMALL and sf_dir, and the flag list AFTER slope
+        # adjudication — this is the list that reflects plan quality
+        "slope_probe": slope_probe,
+        "vs_duckdb_flagged_slope_adjudicated": vs_duckdb_flagged_slope,
         # per-name {min, median, rel_spread, passes}: the recorded scalars
         # above stay min-based (comparable to rounds 1-7); this block is the
         # noise-vs-regression evidence (verdict r7 item 3)
@@ -544,7 +696,21 @@ def main() -> int:
         "load_gate": gate_info,
         "stress_load_gate": stress_gate_info,
         "sf": sf_dir,
+        "sf_small": sf_small if slope_enabled else None,
     }
+    # Full committed artifact (r10 verdict item 3): the driver's BENCH_r*.json
+    # keeps only the tail of stdout, which truncates the pipeline / vs_duckdb
+    # / stats sections — persist the complete payload at the repo root so the
+    # judge reads every per-query min/median/spread from a committed file.
+    try:
+        summary_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
+        )
+        with open(summary_path, "w") as f:
+            json.dump(result, f, indent=2, sort_keys=True)
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001 — the stdout line is the contract
+        print(f"# bench_summary.json write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
     return 0
 
