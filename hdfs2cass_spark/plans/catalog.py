@@ -26,6 +26,7 @@ from ..operators.legacy import format_legacy_lines, parse_legacy_lines
 from ..operators.partitioning import with_bucket, with_token
 from ..operators.reshape import melt_to_mutations, reshape_cql
 from ..sources.readers import load_table
+from .present import present_sorted
 from .registry import declare
 
 NOW_MS = 42  # fixed clock for reshape queries (reference tests pin millis=42)
@@ -1234,6 +1235,47 @@ def legacy_to_sinks_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cql.unionByName(thrift).orderBy("sink", "key")
+
+
+@declare(
+    "avro_roundtrip_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="S1 front door, driver-hash-checked: the customer table is staged as "
+    "a REAL Avro container file (deflate codec, 256-row blocks so even the "
+    "sf0.01 fixture has many sync points) and read back through the built-in "
+    "byte-range-split reader (sources/avro.py — what read_records("
+    "format='avro') resolves to without the external spark-avro jar), with "
+    "splits forced small enough that MULTIPLE tasks decode disjoint block "
+    "ranges of the one file, the Hadoop/spark-avro split contract "
+    "(Hdfs2Cass.java:107-108,135-144 — Avro is the reference's primary "
+    "input). Hash-equality against SQL over the original parquet proves the "
+    "whole encode -> container -> split-scan -> decode loop value-exact. "
+    "Scale: the writer is the fixture-scale staging tool; the READ side is "
+    "the production path — header-only driver planning, one task per "
+    "maxPartitionBytes range, Arrow-batched decode.",
+)
+def avro_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.avro import read_avro, write_avro
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    # deterministic per-(process, sf) staging path: repeated calls in one
+    # session overwrite the same file instead of leaking temp dirs
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"h2c_avro_rt_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_customer.avro",
+    )
+    os.makedirs(os.path.dirname(stage), exist_ok=True)
+    write_avro(cust, stage, codec="deflate", block_records=256)
+    return present_sorted(read_avro(spark, stage, split_bytes=16 * 1024), "c_custkey")
 
 
 @declare(

@@ -250,10 +250,14 @@ def read_avro(
     return plan.mapInPandas(decode_splits, spark_schema)
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", block_records: int = 4096
+) -> int:
     """Collect a (fixture-scale) DataFrame and write ONE container file —
     the test/round-trip writer, not a distributed sink (production output
-    is the Cassandra sinks; the reference never writes Avro either)."""
+    is the Cassandra sinks; the reference never writes Avro either).
+    ``block_records`` sizes the container blocks (small values give a
+    fixture many sync points so byte-range splits have work to divide)."""
     avsc = spark_to_avro_schema(df.schema)
     tcols = {
         f.name: f.dataType
@@ -275,4 +279,6 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
     rows = (conv(r.asDict(recursive=True)) for r in df.collect())
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    return avrodec.write_container(path, avsc, rows, codec=codec)
+    return avrodec.write_container(
+        path, avsc, rows, codec=codec, block_records=block_records
+    )
