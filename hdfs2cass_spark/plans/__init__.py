@@ -30,5 +30,6 @@ from . import spans as _spans  # noqa: E402,F401  # round 9: appends oracle row 
 from . import bpe as _bpe  # noqa: E402,F401  # rows-only; spans stays the oracle tail
 from . import winnow as _winnow  # noqa: E402,F401  # round 10: oracle rows 85-86
 from . import bloom as _bloom  # noqa: E402,F401  # round 10: oracle row 87
+from . import semdedup as _semdedup  # noqa: E402,F401  # round 11: SemDeDup
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

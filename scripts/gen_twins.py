@@ -96,6 +96,16 @@ TWINS = {
         "DuckDB hash-checked end-to-end)",
         "tests": ["tests/test_quality.py::test_rag_planted_exact_copy_ranks_first"],
     },
+    "semantic_dedup_learned": {
+        "invariant": "call-time-fit SemDeDup drops planted exact copies "
+        "regardless of the fitted model, is deterministic across refits, "
+        "and the shared pipeline matches a naive pairwise twin (the "
+        "fixture-model query is DuckDB hash-checked)",
+        "tests": [
+            "tests/test_semdedup.py::test_learned_query_planted_and_deterministic",
+            "tests/test_semdedup.py::test_collapse_matches_naive_pairwise_on_random_corpus",
+        ],
+    },
 }
 
 

@@ -81,7 +81,9 @@ def test_driver_checked_prefix_order_is_frozen():
         "tumbling_window_events", "counter_column_updates", "composite_key_hex",
         "pivot_order_status", "correlated_subquery_balance",
         "advanced_agg_functions", "asof_join_events", "sessionize_events_batch",
-        "bulk_route_lineitem", "legacy_to_sinks_part", "thrift_by_convention",
+        "bulk_route_lineitem", "legacy_to_sinks_part",
+        "avro_roundtrip_customer",  # round 11 (declared mid-catalog, next to S1's other rows)
+        "thrift_by_convention",
         "range_join_events_windows", "salted_agg_events",
         "dedup_exact_documents", "text_analysis_documents",
         "ngram_jaccard_pairs", "minhash_lsh_pairs", "embedding_topk_cosine",
@@ -111,6 +113,8 @@ def test_driver_checked_prefix_order_is_frozen():
         # round 10
         "winnow_fingerprints", "winnow_candidate_pairs",
         "bloom_decontamination",
+        # round 11
+        "semantic_dedup",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]
