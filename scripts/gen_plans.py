@@ -355,6 +355,16 @@ SECTIONS = [
         "candidates, partial `WindowGroupLimit` before the single tiny top-k exchange on q_id. "
         "Zero chunk-side shuffles beyond the embed aggregate itself.",
     ),
+    (
+        "semantic_dedup (SemDeDup, k-means cells + collapse — round 11)",
+        "semantic_dedup",
+        "Cell assignment is ONE `ArrowEvalPython` on the corpus scan (the quantized numpy "
+        "batch — no explode, no centroid join). The exact-duplicate collapse is a single "
+        "`Window` (min vec_id over the embedding value); the pair stage joins group "
+        "REPRESENTATIVES on the cell id only (`SortMergeJoin`/`ShuffledHashJoin` keyed on "
+        "cell, AQE skew-splittable), so identical-vector mass never reaches the cosine. "
+        "Everything after the dup-rep distinct is a small left join back to per-vector grain.",
+    ),
 ]
 
 
