@@ -31,5 +31,6 @@ from . import bpe as _bpe  # noqa: E402,F401  # rows-only; spans stays the oracl
 from . import winnow as _winnow  # noqa: E402,F401  # round 10: oracle rows 85-86
 from . import bloom as _bloom  # noqa: E402,F401  # round 10: oracle row 87
 from . import semdedup as _semdedup  # noqa: E402,F401  # round 11: SemDeDup
+from . import annreport as _annreport  # noqa: E402,F401  # round 11: ANN recall report
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]
