@@ -178,6 +178,49 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_counts_df(load_table(spark, sf_dir, "documents"))
 
 
+@declare(
+    "token_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len({W_DUCK}) AS INTEGER)) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_DUCK}')) AS INTEGER)) AS BIGINT)
+             AS n_bpe_tokens,
+           round(CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_DUCK}')) AS INTEGER)) AS DOUBLE)
+                 / nullif(SUM(CAST(len({W_DUCK}) AS INTEGER)), 0), 6) AS fertility
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language (tokens per whitespace word under "
+    "the same GPT-2-shaped lexer as bpe_token_counts): the standard "
+    "multilingual-balance metric — languages whose scripts fragment into "
+    "more tokens per word consume a larger share of a fixed token budget, "
+    "so mixing decisions (lang_temperature_sample, lang_epoch_mix) read "
+    "this table first. One map-side scan + one tiny aggregation on lang "
+    "(bounded cardinality); integer sums, identical-operand division.",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.expr(f"size({W_SPARK})").cast("int").alias("_ws"),
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_SPARK}', 0))")
+        .cast("int")
+        .alias("_bpe"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("n_ws_tokens"),
+            F.sum("_bpe").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("_bpe").cast("double") / F.expr("nullif(sum(_ws), 0)"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def bpe_counts_df(d: DataFrame) -> DataFrame:
     m = d.select(
         "doc_id",

@@ -149,3 +149,25 @@ def test_c4_and_bpe_plans_are_map_side(spark):
         assert plan.index("rangepartitioning") < plan.index(
             "Exchange hashpartitioning"
         ), name
+
+
+def test_fertility_rollup_on_planted_multiscript_docs(spark, tmp_path):
+    """Fertility must exceed 1.0 when the lexer fragments text beyond
+    whitespace words (punctuation runs, contractions, digit/letter splits)
+    — the fixture corpus is plain ASCII words (fertility exactly 1.0
+    everywhere, which the oracle check covers), so the discriminating
+    geometry is planted here."""
+    rows = [
+        (0, "plain words only here", "en"),
+        (1, "don't stop, really!! cost: $4.99 (sale)", "en"),
+        (2, "abc123def456", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.lang: r for r in CATALOG["token_fertility_by_lang"].fn(spark, str(tmp_path)).collect()}
+    assert out["en"].n_docs == 2 and out["de"].n_docs == 1
+    # doc 0: 4 ws words / 4 tokens; doc 1 fragments heavily -> en fertility > 1
+    assert out["en"].fertility > 1.0
+    # abc123def456 = one ws word, 4 lexer tokens (letters/digits alternate)
+    assert out["de"].n_ws_tokens == 1 and out["de"].n_bpe_tokens == 4
+    assert out["de"].fertility == 4.0

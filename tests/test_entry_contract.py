@@ -103,7 +103,9 @@ def test_driver_checked_prefix_order_is_frozen():
         "decontamination_by_benchmark", "event_funnel_conversion",
         "cohort_retention", "funnel_time_to_convert",
         "event_transition_matrix", "gopher_line_rules",
-        "c4_quality_filter", "bpe_token_counts", "gopher_paragraph_rules",
+        "c4_quality_filter", "bpe_token_counts",
+        "token_fertility_by_lang",  # round 11 (declared next to its per-doc sibling)
+        "gopher_paragraph_rules",
         "session_top_paths", "engagement_dau_wau",
         # round 8
         "quality_classifier_score", "rag_mmr_rerank_md5",
