@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .pipeline import (
+    _BENCH_DUCK,
+    _BENCH_SPARK,
     SUBSTR_K,
     W_DUCK,
     W_SPARK,
@@ -259,3 +261,65 @@ def scrub_against_first(d: DataFrame, pos: DataFrame, first: DataFrame) -> DataF
             F.expr(hash60_spark("concat_ws(' ', _kept)")).alias("scrubbed_fp"),
         )
     )
+
+
+@declare(
+    "decontamination_scrub",
+    oracle=f"""
+    WITH {_POS_DUCK},
+    bgr AS (SELECT DISTINCT h FROM pos WHERE {_BENCH_DUCK}),
+    dup AS (
+      SELECT p.doc_id, p.pos FROM pos p JOIN bgr USING (h)
+      WHERE NOT ({_BENCH_DUCK})),
+    {_SPANS_DUCK},
+    spl AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM sp GROUP BY doc_id),
+    wall AS (
+      SELECT doc_id, {W_DUCK} AS ws FROM documents
+      WHERE NOT ({_BENCH_DUCK}) AND text IS NOT NULL AND len({W_DUCK}) >= 1),
+    scrubbed AS (
+      SELECT w.doc_id, len(ws) AS n_words,
+             CASE WHEN spans IS NULL THEN ws ELSE
+               list_filter(
+                 list_transform(generate_series(1, len(ws)), i ->
+                   CASE WHEN len(list_filter(spans,
+                          sp -> i >= sp.s AND i <= sp.e)) > 0
+                        THEN NULL ELSE ws[i] END),
+                 x -> x IS NOT NULL)
+             END AS kept
+      FROM wall w LEFT JOIN spl USING (doc_id))
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - len(kept) AS BIGINT) AS n_scrubbed,
+           {hash60_duck("coalesce(array_to_string(kept, ' '), '')")} AS scrubbed_fp
+    FROM scrubbed ORDER BY doc_id
+    """,
+    doc=f"Decontamination by SPAN SCRUB — the salvage variant of benchmark "
+    f"decontamination: instead of dropping a contaminated training doc "
+    f"(decontamination_overlap / bloom_decontamination decide doc-level), "
+    f"remove exactly the {SUBSTR_K}-word windows whose gram hash appears "
+    f"anywhere in the benchmark split, keep the rest of the doc. Reuses "
+    f"the exact-substring machinery end to end: the shared skew-safe gram "
+    f"table, the benchmark gram set as the 'first holder' with a sentinel "
+    f"-1 doc (every train window whose gram is benchmark-held scrubs), "
+    f"LAG-island span merge, map-only HOF rewrite, md5 digest of the "
+    f"post-scrub content so the oracle verifies the exact rewritten text. "
+    f"Scale: the benchmark gram set is tiny next to the corpus and is "
+    f"BROADCAST; the corpus gram table is never shuffled against itself "
+    f"(no df aggregate needed — membership only), so this is strictly "
+    f"cheaper than exact_substring_scrub at the same corpus size.",
+)
+def decontamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr(_BENCH_SPARK)
+    train = d.filter(~is_bench)
+    bench = d.filter(is_bench)
+    pos = substring_gram_positions(train)
+    bgr = (
+        substring_gram_positions(bench)
+        .select("h")
+        .distinct()
+        .withColumn("first_doc", F.lit(-1).cast("long"))
+    )
+    return scrub_against_first(train, pos, F.broadcast(bgr)).orderBy("doc_id")

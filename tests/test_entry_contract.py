@@ -112,6 +112,7 @@ def test_driver_checked_prefix_order_is_frozen():
         "ref_perplexity_buckets", "rfm_user_segments",
         # round 9
         "exact_substring_word_spans", "exact_substring_scrub",
+        "decontamination_scrub",  # round 11 (declared with its span-scrub siblings)
         # round 10
         "winnow_fingerprints", "winnow_candidate_pairs",
         "bloom_decontamination",

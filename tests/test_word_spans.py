@@ -163,3 +163,42 @@ def test_scrub_fully_scrubbed_doc_hashes_empty(spark, tmp_path):
 
     empty = spark.range(1).select(F.expr(hash60_spark("''")).alias("v")).first()["v"]
     assert rows[1]["scrubbed_fp"] == empty
+
+
+def test_decontamination_scrub_planted_benchmark_passage(spark, tmp_path):
+    """A train doc carrying a benchmark passage loses exactly that span;
+    train-train duplication is NOT scrubbed (membership is benchmark-only,
+    unlike exact_substring_scrub's keep-first rule); fully-clean docs keep
+    every word."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.plans.pipeline import _BENCH_SPARK, SUBSTR_K
+    from hdfs2cass_spark.plans import CATALOG
+
+    # find bench/train ids under the committed hash predicate
+    ids = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.expr(_BENCH_SPARK).alias("is_bench")
+    ).collect()
+    bench_ids = [r.doc_id for r in ids if r.is_bench]
+    train_ids = [r.doc_id for r in ids if not r.is_bench]
+    assert bench_ids, "predicate selects ~5% — 200 ids must contain one"
+    passage = " ".join(f"secret{i}" for i in range(SUBSTR_K))  # exactly K words
+    dupe = " ".join(f"shared{i}" for i in range(SUBSTR_K))
+    rows = [
+        (bench_ids[0], f"benchmark text holds {passage} inside it"),
+        # train doc with the benchmark passage embedded
+        (train_ids[0], f"prefix words here {passage} suffix words here"),
+        # two train docs sharing a NON-benchmark passage: must stay intact
+        (train_ids[1], f"alpha {dupe} omega"),
+        (train_ids[2], f"beta {dupe} gamma"),
+        (train_ids[3], "entirely clean document with unique words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in CATALOG["decontamination_scrub"].fn(spark, str(tmp_path)).collect()}
+    assert bench_ids[0] not in out  # bench docs are not in the output
+    carrier = out[train_ids[0]]
+    assert carrier.n_scrubbed == SUBSTR_K  # exactly the passage words
+    assert out[train_ids[1]].n_scrubbed == 0  # train-train dup untouched
+    assert out[train_ids[2]].n_scrubbed == 0
+    assert out[train_ids[3]].n_scrubbed == 0
