@@ -129,3 +129,65 @@ class CassandraParams:
         if target is not None:
             return target.num_nodes
         return 1
+
+
+def target_info_from_metadata(table_meta, partitioner: str, num_nodes: int) -> TargetInfo:
+    """Map live cluster metadata to :class:`TargetInfo` — the pure half of
+    CassandraClusterInfo.init (CassandraClusterInfo.java:61-109), factored
+    so tests drive it with duck-typed metadata while only the socket
+    connect stays import-gated in :func:`fetch_target_info`.
+
+    ``table_meta`` follows the DataStax python driver's TableMetadata
+    shape: ``.keyspace_name``, ``.name``, ``.columns`` (ordered mapping
+    name -> column), ``.partition_key`` (list of columns with ``.name``).
+    Mirrors the reference's checks: a partition-key column missing from the
+    column list raises (the 'no matching column for key' branch), and an
+    unknown partitioner raises like its Class.forName failure."""
+    if partitioner not in (MURMUR3, RANDOM):
+        raise ValueError(f"No such partitioner: {partitioner}")
+    columns = list(table_meta.columns)  # ordered names, the table's order
+    pk = [c.name for c in table_meta.partition_key]
+    missing = [c for c in pk if c not in columns]
+    if missing:
+        raise ValueError(f"no matching column for key {missing[0]}")
+    return TargetInfo(
+        keyspace=table_meta.keyspace_name,
+        table=table_meta.name,
+        columns=columns,
+        partition_key_columns=pk,
+        partitioner=partitioner,
+        num_nodes=num_nodes,
+    )
+
+
+def fetch_target_info(
+    host: str, keyspace: str, table: str, port: int | None = None
+) -> TargetInfo:
+    """Live plan-time metadata fetch (M1, CassandraClusterInfo.java:61-109):
+    connect to the cluster, read the table's column order, partition key,
+    partitioner class and node count. Import-gated on the DataStax python
+    driver (absent in this environment — the sinks/cassandra.py precedent);
+    the metadata -> TargetInfo mapping itself is
+    :func:`target_info_from_metadata` and is unit-tested offline."""
+    try:
+        from cassandra.cluster import Cluster  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "Live metadata fetch needs the DataStax python driver "
+            "(pip install cassandra-driver); offline callers construct "
+            "TargetInfo from config instead."
+        ) from e
+    kwargs = {"contact_points": [host]}
+    if port is not None:
+        kwargs["port"] = port
+    cluster = Cluster(**kwargs)
+    try:
+        cluster.connect()
+        md = cluster.metadata
+        ks = md.keyspaces.get(keyspace)
+        tb = ks.tables.get(table) if ks is not None else None
+        if tb is None:
+            raise ValueError(f"No such keyspace/table: {keyspace}/{table}")
+        return target_info_from_metadata(tb, md.partitioner, len(md.all_hosts()))
+    finally:
+        cluster.shutdown()

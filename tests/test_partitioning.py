@@ -411,3 +411,51 @@ def test_prepared_statement_matches_reference_builder():
     )
     with pytest.raises(ValueError, match="not in target table"):
         ti.prepared_statement(["nope"])
+
+
+def test_target_info_from_metadata_maps_driver_shapes():
+    """M1 live-fetch mapping (CassandraClusterInfo.java:61-109): driver
+    TableMetadata -> TargetInfo, with the reference's own failure branches
+    (unknown partitioner = the Class.forName throw; partition-key column
+    missing from the column list = 'no matching column for key')."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from hdfs2cass_spark.config import MURMUR3, target_info_from_metadata
+
+    tb = SimpleNamespace(
+        keyspace_name="ks",
+        name="t",
+        columns={"a": object(), "b": object(), "c": object()},  # ordered
+        partition_key=[SimpleNamespace(name="b")],
+    )
+    ti = target_info_from_metadata(tb, MURMUR3, 5)
+    assert ti.columns == ["a", "b", "c"]
+    assert ti.partition_key_columns == ["b"]
+    assert ti.partition_key_indexes == [1]
+    assert ti.num_nodes == 5
+    assert ti.prepared_statement().startswith("INSERT INTO ks.t (a, b, c )")
+
+    with pytest.raises(ValueError, match="No such partitioner"):
+        target_info_from_metadata(tb, "org.example.Nope", 5)
+    tb_bad = SimpleNamespace(
+        keyspace_name="ks", name="t",
+        columns={"a": object()}, partition_key=[SimpleNamespace(name="zz")],
+    )
+    with pytest.raises(ValueError, match="no matching column for key"):
+        target_info_from_metadata(tb_bad, MURMUR3, 1)
+
+
+def test_fetch_target_info_is_import_gated():
+    import pytest
+
+    from hdfs2cass_spark.config import fetch_target_info
+
+    try:
+        import cassandra  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="DataStax python driver"):
+            fetch_target_info("localhost", "ks", "t")
+    else:  # pragma: no cover — driver present in some environments
+        pytest.skip("cassandra-driver installed; gate test not applicable")
