@@ -97,6 +97,11 @@ def parse_png(b: bytes):
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         typ = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            # a length-inflated/truncated chunk must raise the designed
+            # ValueError (callers catch it for the PIL fallback), not a
+            # struct.error from an empty CRC slice (review round 11)
+            raise ValueError(f"truncated PNG (chunk {typ!r} overruns payload)")
         data = b[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:

@@ -40,16 +40,24 @@ from . import avrodec
 _DEFAULT_SPLIT = 128 * 1024 * 1024
 
 
-def avro_to_spark_type(schema) -> T.DataType:
+def avro_to_spark_type(schema, _depth: int = 0) -> T.DataType:
     """Avro schema -> Catalyst type, the spark-avro mapping for the subset
     this engine implements (primitives, null-unions, records, arrays, maps,
-    enums/fixed, date + timestamp-millis/micros logical types)."""
+    enums/fixed, date + timestamp-millis/micros logical types).
+
+    Temporal logical types map to DateType/TimestampType only for the
+    TOP-LEVEL columns of the file's record (where the batch assembly in
+    read_avro converts the decoded raw ints column-wise); a temporal
+    NESTED inside a record/array/map keeps its underlying int/long, so the
+    declared schema always matches the decoded values — declaring
+    TimestampType there while yielding raw millis would let pyarrow coerce
+    them as MICROseconds, a silent 1000x corruption (review round 11)."""
     schema = avrodec.parse_schema(schema)
     if isinstance(schema, list):  # union
         non_null = [b for b in schema if avrodec._schema_type(avrodec.parse_schema(b)) != "null"]
         if len(non_null) != 1:
             raise ValueError("only unions of null + one type are supported")
-        return avro_to_spark_type(non_null[0])
+        return avro_to_spark_type(non_null[0], _depth)
     if isinstance(schema, str):
         prim = {
             "boolean": T.BooleanType(),
@@ -67,25 +75,30 @@ def avro_to_spark_type(schema) -> T.DataType:
     t = schema["type"]
     logical = schema.get("logicalType")
     if t in ("int", "long"):
-        if logical == "date":
-            return T.DateType()
-        if logical in ("timestamp-millis", "timestamp-micros"):
-            return T.TimestampType()
+        # depth 1 = a direct field of the top-level record (docstring)
+        if _depth == 1:
+            if logical == "date":
+                return T.DateType()
+            if logical in ("timestamp-millis", "timestamp-micros"):
+                return T.TimestampType()
         return T.IntegerType() if t == "int" else T.LongType()
     if t in ("bytes", "string", "boolean", "float", "double"):
-        return avro_to_spark_type(t)
+        return avro_to_spark_type(t, _depth)
     if t == "record":
         return T.StructType(
-            [T.StructField(f["name"], avro_to_spark_type(f["type"]), True) for f in schema["fields"]]
+            [
+                T.StructField(f["name"], avro_to_spark_type(f["type"], _depth + 1), True)
+                for f in schema["fields"]
+            ]
         )
     if t == "enum":
         return T.StringType()
     if t == "fixed":
         return T.BinaryType()
     if t == "array":
-        return T.ArrayType(avro_to_spark_type(schema["items"]), True)
+        return T.ArrayType(avro_to_spark_type(schema["items"], _depth + 1), True)
     if t == "map":
-        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]), True)
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"], _depth + 1), True)
     raise ValueError(f"unsupported avro type {t!r}")
 
 
@@ -151,6 +164,32 @@ def _temporal_columns(schema) -> dict[str, str]:
     return out
 
 
+def _parse_byte_size(s: str | None) -> int:
+    """Spark byte-size string -> bytes (the JVM byteStringAsBytes subset:
+    plain digits or digits + b/k/kb/m/mb/g/gb, case-insensitive). The old
+    ``int(s.rstrip('b'))`` silently fell back to 128MB on '16m'-style
+    values, ignoring the user's fan-out tuning (review round 11); an
+    unparseable value still falls back, but loudly."""
+    if not s:
+        return _DEFAULT_SPLIT
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?b?)\s*", str(s).lower())
+    if not m:
+        import warnings
+
+        warnings.warn(
+            f"unparseable spark.sql.files.maxPartitionBytes {s!r}; "
+            f"using {_DEFAULT_SPLIT} bytes",
+            stacklevel=2,
+        )
+        return _DEFAULT_SPLIT
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+            "t": 1 << 40, "tb": 1 << 40}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def plan_splits(paths: list[str], split_bytes: int) -> list[tuple[str, int, int]]:
     """Driver-side split plan: header-only reads (schema/sync, not data).
     Returns [(path, start, end)] covering every byte of every file."""
@@ -202,10 +241,9 @@ def read_avro(
     col_names = [f.name for f in spark_schema.fields]
 
     if split_bytes is None:
-        try:
-            split_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
-        except Exception:
-            split_bytes = _DEFAULT_SPLIT
+        split_bytes = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        )
     splits = plan_splits(files, split_bytes)
     plan = spark.createDataFrame(splits, "path string, start long, end long").repartition(
         max(len(splits), 1)
@@ -265,16 +303,25 @@ def write_avro(
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType))
     }
 
+    import datetime as _dt
+
+    epoch_date = _dt.date(1970, 1, 1)
+    epoch_ts = _dt.datetime(1970, 1, 1)
+    one_us = _dt.timedelta(microseconds=1)
+
     def conv(row: dict) -> dict:
         for c, dt in tcols.items():
             v = row[c]
             if v is None:
                 continue
             if isinstance(dt, T.DateType):
-                row[c] = (v - __import__("datetime").date(1970, 1, 1)).days
+                row[c] = (v - epoch_date).days
             else:
-                epoch = __import__("datetime").datetime(1970, 1, 1)
-                row[c] = int((v - epoch).total_seconds() * 1_000_000)
+                # timedelta floor-division, NOT total_seconds()*1e6: float64
+                # has ~0.5us resolution at 2000s-era epochs and int() then
+                # truncates downward — fuzzing showed ~1.2% of timestamps
+                # off by 1us under the float path (review round 11)
+                row[c] = (v - epoch_ts) // one_us
         return row
 
     rows = (conv(r.asDict(recursive=True)) for r in df.collect())

@@ -130,6 +130,15 @@ def read_records(
     """
     p = [paths] if isinstance(paths, str) else list(paths)
     if fmt == "avro" and not has_avro_support(spark):
+        if options:
+            # the built-in reader has no option surface — honoring some
+            # options with the jar and silently dropping them without it
+            # would make the same call behave differently per environment
+            raise ValueError(
+                "reader options are not supported by the built-in Avro "
+                f"fallback (got {sorted(options)}); install the spark-avro "
+                "module or drop the options"
+            )
         from .avro import read_avro
 
         return read_avro(spark, p)

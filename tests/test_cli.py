@@ -250,3 +250,93 @@ def test_cli_timestamp_ttl_ignore_flags(spark, sf_dir, tmp_path):
     assert rows["2"]["ttl"] == 0
     assert "payload" not in rows["1"]  # --ignore drops the column
     assert "event_ms" not in rows["1"]  # timestamp source column is consumed
+
+
+def test_avro_timestamp_roundtrip_is_microsecond_exact(spark, tmp_path):
+    """The writer's datetime->micros conversion must be integer-exact:
+    float total_seconds()*1e6 + int() truncation corrupted ~1.2% of
+    timestamps by 1us (review round 11). Includes the adversarial odd-
+    microsecond epochs where float64 resolution is ~0.5us."""
+    import datetime as dt
+
+    from hdfs2cass_spark.sources.avro import read_avro, write_avro
+
+    rows = [
+        (0, dt.datetime(2005, 4, 17, 8, 29, 2, 646319)),  # the fuzz repro
+        (1, dt.datetime(1999, 12, 31, 23, 59, 59, 999999)),
+        (2, dt.datetime(2070, 1, 1, 0, 0, 0, 1)),
+        (3, None),
+    ] + [
+        (10 + i, dt.datetime(2038, 1, 19, 3, 14, 7, 137 * i % 1000000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp_ntz")
+    p = str(tmp_path / "ts.avro")
+    write_avro(df, p)
+    got = {r.k: r.ts for r in read_avro(spark, p).collect()}
+    for k, want in rows:
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_avro_nested_temporal_stays_underlying_int(spark, tmp_path):
+    """A temporal logical type NESTED in a record/array must surface as its
+    underlying int/long with the raw value intact — declaring TimestampType
+    there while decoding raw millis let pyarrow coerce them as MICROseconds,
+    a silent 1000x corruption (review round 11)."""
+    from pyspark.sql import types as T
+
+    from hdfs2cass_spark.sources import avrodec
+    from hdfs2cass_spark.sources.avro import avro_to_spark_type, read_avro
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "t", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "nest", "type": {"type": "record", "name": "n", "fields": [
+                {"name": "t2", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            ]}},
+            {"name": "arr", "type": {"type": "array",
+                "items": {"type": "long", "logicalType": "timestamp-millis"}}},
+        ],
+    }
+    st = avro_to_spark_type(schema)
+    assert isinstance(st["t"].dataType, T.TimestampType)  # top level converts
+    assert isinstance(st["nest"].dataType["t2"].dataType, T.LongType)  # nested stays raw
+    assert isinstance(st["arr"].dataType.elementType, T.LongType)
+
+    millis = 1700000000000
+    p = str(tmp_path / "nested.avro")
+    avrodec.write_container(
+        p, schema, [{"k": 1, "t": millis, "nest": {"t2": millis}, "arr": [millis]}]
+    )
+    row = read_avro(spark, p).collect()[0]
+    assert row.nest.t2 == millis and row.arr == [millis]
+    assert row.t.year == 2023  # top-level converted from millis correctly
+
+
+def test_avro_fallback_rejects_reader_options(spark, tmp_path):
+    import pytest
+
+    from hdfs2cass_spark.sources.readers import has_avro_support, read_records
+
+    if has_avro_support(spark):  # pragma: no cover — jar present elsewhere
+        pytest.skip("spark-avro present; fallback gate not applicable")
+    with pytest.raises(ValueError, match="built-in Avro fallback"):
+        read_records(spark, str(tmp_path / "x.avro"), fmt="avro", avroSchema="{}")
+
+
+def test_parse_byte_size_spark_forms():
+    from hdfs2cass_spark.sources.avro import _DEFAULT_SPLIT, _parse_byte_size
+
+    assert _parse_byte_size("134217728b") == 128 << 20
+    assert _parse_byte_size("16m") == 16 << 20
+    assert _parse_byte_size("256MB") == 256 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("4096") == 4096
+    assert _parse_byte_size(None) == _DEFAULT_SPLIT
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _parse_byte_size("lots") == _DEFAULT_SPLIT
+        assert any("unparseable" in str(x.message) for x in w)

@@ -316,3 +316,18 @@ def test_real_decode_png_builtin(spark):
     w, h, ch, px = parse_png(bytes(rz["payload"]))
     assert (w, h, ch) == (2, 2, 3)
     assert np.array_equal(px, arr[[0, 2]][:, [0, 2]])  # nearest-neighbor grid
+
+
+def test_parse_png_truncated_chunk_raises_valueerror():
+    """A length-inflated chunk header must raise the designed ValueError
+    (decode_image catches it for the PIL fallback), not struct.error
+    (review round 11)."""
+    import struct
+
+    import pytest
+
+    from hdfs2cass_spark.operators.mmcodec import PNG_SIG, parse_png
+
+    evil = PNG_SIG + struct.pack(">I", 10_000) + b"IHDR" + b"\x00" * 4
+    with pytest.raises(ValueError, match="truncated PNG"):
+        parse_png(evil)
