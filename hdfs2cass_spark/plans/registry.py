@@ -49,18 +49,22 @@ def declare(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness gate hash-compares a bounded PREFIX of queries()
 # (50 entries since round 2). Rounds 2-7 therefore always checked declaration
 # rows 1-50; round 8 rotated LEFT so the window covered the LAST 50 declared
-# oracle rows (the ones that had never had a driver verdict). Round 9 onward
-# (r8 verdict item 1): the window ALTERNATES per round — odd rounds expose
-# declaration rows 1-50, even rounds the last 50 — so every oracle row gets a
-# fresh sf0.01 driver verdict at least every other round instead of rows
-# 1-(n-50) parking outside the window forever. The round number is derived
-# from the committed CORRECTNESS_r{N}.json files at the repo root (the
-# driver writes one per completed round, so max(N)+1 IS the running round) —
-# deterministic at import time, no mutable state. Rows outside this round's
-# window stay oracle-checked at sf0.001 by tests/test_catalog_oracle.py on
-# every pytest run; tests/test_entry_contract.py asserts the exact rotated
-# order AND that the two windows jointly cover the whole catalog (see
-# OPERATORS.md "Driver-prefix rotation").
+# oracle rows (the ones that had never had a driver verdict); rounds 9-11
+# ALTERNATED per round parity between rows 1-50 and the last 50 (which covers
+# at most 100 oracle rows — the catalog hit 92 in round 11). Round 12 onward
+# (r11 verdict item 1): the checked rows are walked by a ROUND-ROBIN of
+# ceil(n_rest / window) contiguous windows with stride = window, wrapping at
+# the end — so every oracle row gets a fresh sf0.01 driver verdict at least
+# every ceil(n_rest / window) rounds for ANY catalog size, and the parity
+# scheme is the k == 2 special case (offsets 0 and window instead of 0 and
+# n_rest - window; both pairs cover). The round number is derived from the
+# committed CORRECTNESS_r{N}.json files at the repo root (the driver writes
+# one per completed round, so max(N)+1 IS the running round) — deterministic
+# at import time, no mutable state. Rows outside this round's window stay
+# oracle-checked at sf0.001 by tests/test_catalog_oracle.py on every pytest
+# run; tests/test_entry_contract.py asserts the exact rotated order AND that
+# ceil(n/window) consecutive windows jointly cover the whole catalog for any
+# n (see OPERATORS.md "Driver-prefix rotation").
 DRIVER_PREFIX = 50
 
 
@@ -113,25 +117,34 @@ def ever_driver_checked() -> frozenset[str]:
 
 def rotation(n_rest: int, round_no: int | None = None, window: int | None = None) -> int:
     """Left-rotation of the ALREADY-CHECKED oracle ordering for this round's
-    driver window: 0 on odd rounds (earliest rows re-checked), n_rest -
-    window on even rounds (latest rows re-checked). ``window`` is the
-    checked-row budget left after never-checked rows took the front slots
-    (DRIVER_PREFIX - n_never). With n_oracle <= 2*window the two parity
-    windows jointly cover every row each round-pair (asserted in
-    test_entry_contract.py)."""
+    driver window. ``window`` is the checked-row budget left after
+    never-checked rows took the front slots (DRIVER_PREFIX - n_never).
+
+    Round-robin over k = ceil(n_rest / window) contiguous windows: round
+    ``rnd`` starts at ``((rnd - 1) % k) * window`` and wraps at the end of
+    the list, so ANY k consecutive rounds jointly cover every checked row
+    (the slot index (rnd - 1) % k walks all residues mod k over any k
+    consecutive rounds; windows at offsets 0, w, 2w, ... (k-1)*w cover
+    [0, k*w) >= [0, n_rest)). With n_rest <= window this degenerates to a
+    constant 0 (one window covers everything); with n_rest <= 2*window it
+    reproduces the round-9-11 parity alternation up to the even-round
+    offset (w instead of n_rest - w — both pairs cover). Asserted for
+    arbitrary n in test_entry_contract.py."""
     rnd = current_round() if round_no is None else round_no
     w = DRIVER_PREFIX if window is None else window
-    if rnd % 2 == 1:
+    if n_rest <= 0 or w <= 0:
         return 0
-    return max(0, n_rest - w)
+    k = -(-n_rest // w)  # ceil(n_rest / w)
+    slot = (rnd - 1) % k
+    return (slot * w) % n_rest
 
 
 def _ordered() -> list[DeclaredQuery]:
     """Exposed ordering: never-driver-checked oracle rows first (declaration
     order — they get their first hard verdict in the round they ship), then
-    the already-checked oracle rows rotated by :func:`rotation` (parity
-    alternation so every row is re-verified at least every other round),
-    rows-only entries last (documented weaker check)."""
+    the already-checked oracle rows rotated by :func:`rotation` (round-robin
+    windows so every row is re-verified at least every ceil(n/window)
+    rounds), rows-only entries last (documented weaker check)."""
     qs = sorted(CATALOG.values(), key=lambda q: q.oracle is None)
     n_oracle = sum(1 for q in qs if q.oracle is not None)
     oracle, rows_only = qs[:n_oracle], qs[n_oracle:]

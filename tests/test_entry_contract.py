@@ -57,11 +57,12 @@ def test_driver_checked_prefix_order_is_frozen():
     the then-documented rows 59-60 to 61/63). `frozen` below is the
     DECLARATION order (extend it every time a query is appended); the
     exposed order is that list rotated left by registry.rotation(n) so the
-    exposed order (round 9 onward) is: never-driver-checked oracle rows
+    exposed order (round 12 onward) is: never-driver-checked oracle rows
     first (first hard verdict in the round they ship), then the
-    already-checked rows rotated by round parity (odd = earliest re-checked,
-    even = latest re-checked) — see OPERATORS.md "Driver-prefix rotation".
-    This test asserts the exact exposed order."""
+    already-checked rows rotated by the ceil(n/window) round-robin (round r
+    starts at slot (r-1) % k, offset slot*window, wrapping) — see
+    OPERATORS.md "Driver-prefix rotation". This test asserts the exact
+    exposed order."""
     import __spark_entry__ as entry
 
     from hdfs2cass_spark.plans.registry import (
@@ -141,26 +142,34 @@ def test_rotation_literal_pin():
     arithmetic and of the live CORRECTNESS files."""
     from hdfs2cass_spark.plans.registry import rotation
 
-    # 6 checked rows, window 4: odd rounds expose the earliest (rotation
-    # 0), even rounds the last 4 (rotation 6 - 4 = 2). Literals, not math.
+    # 6 checked rows, window 4 -> k = ceil(6/4) = 2 windows: odd rounds
+    # (slot 0) expose the earliest (rotation 0), even rounds (slot 1) start
+    # at offset 4 and wrap. Literals, not math.
     assert rotation(6, round_no=9, window=4) == 0
-    assert rotation(6, round_no=10, window=4) == 2
+    assert rotation(6, round_no=10, window=4) == 4
     assert rotation(6, round_no=11, window=4) == 0
     assert rotation(2, round_no=10, window=4) == 0  # window covers all
+    # three-window case (the r11-verdict generalization): 10 rows, window 4
+    # -> k = 3; rounds 12/13/14 start at slots 2/0/1 = offsets 8/0/4.
+    assert rotation(10, round_no=12, window=4) == 8
+    assert rotation(10, round_no=13, window=4) == 0
+    assert rotation(10, round_no=14, window=4) == 4
     # composition rule: declaration order [a..f] all checked, plus g never
     # checked, fixture DRIVER_PREFIX 5 -> checked window w = 5 - 1 = 4;
-    # even round must expose exactly [g, c, d, e, f] then wrap [a, b]
+    # even round (slot 1, offset 4) must expose exactly [g, e, f] then wrap
+    # [a, b, c, d]
     order = ["a", "b", "c", "d", "e", "f"]
     r = rotation(len(order), round_no=10, window=4)
     exposed = ["g"] + order[r:] + order[:r]
-    assert exposed == ["g", "c", "d", "e", "f", "a", "b"]
+    assert exposed == ["g", "e", "f", "a", "b", "c", "d"]
 
 
-def test_rotation_alternates_and_windows_cover_catalog():
-    """The r8-verdict alternation guard, r9-review form: never-checked rows
-    are always in the window; the two parity windows over the checked rows
-    must TOGETHER cover every oracle row (fails loudly when the catalog
-    outgrows what two windows can cover — add a third window then)."""
+def test_rotation_round_robin_windows_cover_catalog():
+    """The r8-verdict alternation guard, r11-verdict round-robin form:
+    never-checked rows are always in the window; starting from ANY round,
+    the next k = ceil(n_rest / w) windows over the checked rows must
+    TOGETHER cover every oracle row — for the live catalog whatever its
+    size, so this no longer fails when the catalog outgrows two windows."""
     import __spark_entry__ as entry
 
     from hdfs2cass_spark.plans.registry import (
@@ -173,24 +182,58 @@ def test_rotation_alternates_and_windows_cover_catalog():
     m = _load_entry()
     osql = m.oracle_sql()
     oracle_names = [n for n in m.queries() if n in osql]  # exposed order
-    n = len(oracle_names)
     checked = ever_driver_checked()
     never = [q for q in oracle_names if q not in checked]
     rest = [q for q in oracle_names if q in checked]
     w = max(0, DRIVER_PREFIX - len(never))
-    windows = []
-    for rnd in (current_round(), current_round() + 1):
-        r = rotation(len(rest), round_no=rnd, window=w) % max(1, len(rest))
-        exposed = never + rest[r:] + rest[:r]
-        windows.append(set(exposed[:DRIVER_PREFIX]))
-    assert windows[0] | windows[1] >= set(oracle_names), (
-        "two parity windows no longer cover the catalog; add a third window"
-    )
-    # parity semantics pinned
-    assert rotation(len(rest), round_no=9, window=w) == 0
-    assert rotation(len(rest), round_no=10, window=w) == max(0, len(rest) - w)
+    k = max(1, -(-len(rest) // max(1, w)))
+    for start in (current_round(), current_round() + 1, current_round() + 2):
+        windows = []
+        for rnd in range(start, start + k):
+            r = rotation(len(rest), round_no=rnd, window=w) % max(1, len(rest))
+            exposed = never + rest[r:] + rest[:r]
+            windows.append(set(exposed[:DRIVER_PREFIX]))
+        covered = set().union(*windows)
+        assert covered >= set(oracle_names), (
+            f"{k} consecutive windows starting at round {start} no longer "
+            "cover the catalog — rotation stride bug"
+        )
+    # slot semantics pinned: round r uses slot (r-1) % k
+    assert rotation(len(rest), round_no=1, window=w) == 0
+    assert rotation(len(rest), round_no=1 + k, window=w) == 0
+    if k > 1:
+        assert rotation(len(rest), round_no=2, window=w) == w % len(rest)
     # the driver's actual prefix this round is all-oracle and contains
     # every never-checked row
     names = list(entry.queries())
     assert all(name in osql for name in names[:DRIVER_PREFIX])
     assert set(never) <= set(names[:DRIVER_PREFIX])
+
+
+def test_rotation_covers_for_arbitrary_catalog_sizes():
+    """Synthetic coverage sweep (r11 verdict item 1 'extend the covering
+    test to arbitrary n'): for a grid of catalog sizes and window budgets,
+    any k = ceil(n/w) CONSECUTIVE rounds — at every starting round in a
+    cycle-and-a-half — must cover all n rows; and a row's re-check gap
+    never exceeds k rounds across a long horizon."""
+    from hdfs2cass_spark.plans.registry import rotation
+
+    for n in (1, 4, 49, 50, 51, 92, 100, 101, 149, 150, 151, 237):
+        for w in (1, 7, 49, 50):
+            k = -(-n // w)
+            for start in range(1, 2 * k + 2):
+                covered = set()
+                for rnd in range(start, start + k):
+                    r = rotation(n, round_no=rnd, window=w)
+                    covered.update((r + i) % n for i in range(min(w, n)))
+                assert covered == set(range(n)), (n, w, start)
+            # max re-check gap over a 4-cycle horizon is k rounds
+            last_seen = {i: 0 for i in range(n)}
+            worst = 0
+            for rnd in range(1, 4 * k + 1):
+                r = rotation(n, round_no=rnd, window=w)
+                for i in range(min(w, n)):
+                    row = (r + i) % n
+                    worst = max(worst, rnd - last_seen[row])
+                    last_seen[row] = rnd
+            assert worst <= k, (n, w, worst, k)
