@@ -238,3 +238,86 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("duration_ms", DoubleType()),
+    ]
+)
+
+_AUDIO_FEATURE_KEYS = [
+    "n_channels", "sample_rate", "n_frames", "peak_abs",
+    "sum_abs", "sum_sq", "zero_crossings", "duration_ms",
+]
+
+
+def _shippable_wavcodec():
+    """wavcodec bound for closure capture, pickle-by-value (the mmcodec
+    pattern: executors without the package on PYTHONPATH still decode)."""
+    from ..functions.shippable import pickle_by_value
+    from . import wavcodec
+
+    pickle_by_value(wavcodec)
+    return wavcodec
+
+
+def extract_audio_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Audio decode + integer-exact features via mapInPandas (Arrow batches)
+    — the second REAL codec family (operators/wavcodec.py: built-in
+    RIFF/WAVE PCM, 8/16/24/32-bit, mono/stereo, chunk-walking).
+
+    Stub features are pure functions of the payload bytes (the image
+    extract_features contract); the real branch parses the container and
+    computes peak/sum_abs/sum_sq/zero-crossings over the decoded frames —
+    every field integer-exact so an analytic oracle can verify the whole
+    encode -> container -> decode -> feature loop."""
+    features_fn = None if decode_stub else _shippable_wavcodec().audio_features
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            byte_len = payloads.map(len).astype("int64")
+            if decode_stub:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "byte_len": byte_len,
+                        "n_channels": (byte_len % 2 + 1).astype("int32"),
+                        "sample_rate": pd.Series([8000] * len(pdf), dtype="int32"),
+                        "n_frames": (byte_len // 2).astype("int64"),
+                        "peak_abs": (byte_len % 32768).astype("int64"),
+                        "sum_abs": byte_len.astype("int64"),
+                        "sum_sq": (byte_len * byte_len).astype("int64"),
+                        "zero_crossings": (byte_len % 7).astype("int64"),
+                        "duration_ms": (byte_len // 2) * 1000.0 / 8000,
+                    }
+                )
+                continue
+            feats = [features_fn(bytes(b)) for b in payloads]
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": byte_len,
+            }
+            for k in _AUDIO_FEATURE_KEYS:
+                dtype = (
+                    "float64"
+                    if k == "duration_ms"
+                    else ("int32" if k in ("n_channels", "sample_rate") else "int64")
+                )
+                out[k] = pd.Series([f[k] for f in feats], dtype=dtype)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -1275,12 +1275,19 @@ def avro_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    # deterministic per-(process, sf) staging path: repeated calls in one
-    # session overwrite the same file instead of leaking temp dirs
+    # deterministic per-(process, thread, sf-PATH) staging path: repeated
+    # calls in one session overwrite the same file instead of leaking temp
+    # dirs, while two session threads (or two sf dirs sharing a basename)
+    # can never race write_avro against the other's lazy read_avro scan
+    # (ADVICE r11) — the thread id and the full-path hash split them
+    import hashlib
+    import threading
+
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"h2c_avro_rt_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)) + "_customer.avro",
+        f"h2c_avro_rt_{os.getpid()}_{threading.get_ident()}",
+        f"{sf_key}_customer.avro",
     )
     os.makedirs(os.path.dirname(stage), exist_ok=True)
     write_avro(cust, stage, codec="deflate", block_records=256)

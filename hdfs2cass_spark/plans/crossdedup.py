@@ -119,16 +119,44 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_dedup_df(new, ref)
 
 
+@declare(
+    "dedup_against_reference_fast",
+    oracle=None,  # engine-native xxhash64 everywhere by design — the md5 twin above is the oracle-checked one
+    doc=f"Production cross-corpus dedup: identical dataflow and output "
+    f"contract to dedup_against_reference but every hash is JVM-native "
+    f"xxhash64 — exact-check text hash, minhash signature family, and "
+    f"shingle-set elements — no per-shingle md5+hex round-trip (the "
+    f"dominant cost of the md5 twin at the 1M-doc stress shape) — the "
+    f"variant you run at 100 TB. Kept alongside the md5 twin so the "
+    f"dataflow stays oracle-verified while the fast path is what the "
+    f"stress lane benchmarks (the minhash_lsh_pairs_fast precedent); "
+    f"planted cross-pair recovery is pinned for BOTH hash modes by "
+    f"tests/test_crossdedup.py (TWINS.json).",
+)
+def dedup_against_reference_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread_docs(load_table(spark, sf_dir, "documents"))
+    new = d.filter(F.col("doc_id") % REF_MOD != 0)
+    ref = d.filter(F.col("doc_id") % REF_MOD == 0)
+    return cross_dedup_df(new, ref, fast=True)
+
+
 def cross_dedup_df(
-    new: DataFrame, ref: DataFrame, threshold: float = _JT
+    new: DataFrame, ref: DataFrame, threshold: float = _JT, fast: bool = False
 ) -> DataFrame:
     """Composable form over two (doc_id, text, ...) DataFrames with globally
     unique doc ids. Returns one row per NEW doc:
-    (doc_id, exact_dup, near_dup, keep) ordered by doc_id."""
+    (doc_id, exact_dup, near_dup, keep) ordered by doc_id.
+
+    ``fast`` switches every hash (exact-check text hash, minhash signature
+    family, shingle-set elements) from the md5-derived DuckDB-matchable
+    forms to JVM-native xxhash64 — same candidate/verify dataflow, no
+    per-value md5+hex round-trip (the production mode the stress lane
+    benchmarks; the md5 twin stays the oracle-checked one)."""
     # exact: distinct reference text hashes -> semi join (the reference side
     # drops to 1 narrow row per distinct hash before the join)
-    nh = new.select("doc_id", F.expr(hash60_spark("text")).alias("h"))
-    rh = ref.select(F.expr(hash60_spark("text")).alias("h")).distinct()
+    texth = "xxhash64(text)" if fast else hash60_spark("text")
+    nh = new.select("doc_id", F.expr(texth).alias("h"))
+    rh = ref.select(F.expr(texth).alias("h")).distinct()
     exact = (
         nh.join(rh, "h", "left_semi")
         .select("doc_id")
@@ -137,8 +165,8 @@ def cross_dedup_df(
 
     # near: one minhash aggregate per side; band keys union under a side
     # marker so the skew cap gates the COMBINED bucket in one pass
-    wn = minhash_wide_df(new, with_sets=True, spread=False)
-    wr = minhash_wide_df(ref, with_sets=True, spread=False)
+    wn = minhash_wide_df(new, fast=fast, with_sets=True, spread=False)
+    wr = minhash_wide_df(ref, fast=fast, with_sets=True, spread=False)
 
     def _bands(wide: DataFrame, side: str) -> DataFrame:
         # the shared band-key definition, payload re-marked with the side

@@ -141,19 +141,22 @@ def _features_duck_ctes() -> str:
       FROM emb e JOIN st ON st.doc_id = e.vec_id)"""
 
 
-def _fixture_model() -> tuple[list[float], float]:
+def _fixture_model(fname: str = "quality_logreg.parquet") -> tuple[list[float], float]:
     """The committed learned scorer (fixtures/quality_logreg.parquet, fit
     once offline by scripts/gen_classifier_fixture.py on sf0.01 — see its
     docstring). Both engines inline these as literals, so the margin is
-    engine-exact at every scale factor."""
+    engine-exact at every scale factor. ``quality_logreg_xxh.parquet`` is
+    the same recipe fit over the production xxhash64 featurizer (the
+    stress-lane fast twin's model, round 12)."""
     import pyarrow.parquet as pq
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    t = pq.read_table(os.path.join(repo_root, "fixtures", "quality_logreg.parquet"))
+    t = pq.read_table(os.path.join(repo_root, "fixtures", fname))
     return list(t.column("weights").to_pylist()[0]), float(t.column("bias").to_pylist()[0])
 
 
 _W, _B = _fixture_model()
+_W_XXH, _B_XXH = _fixture_model("quality_logreg_xxh.parquet")
 
 
 @declare(
@@ -207,6 +210,34 @@ def quality_classifier_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = feats.join(labels, "doc_id")
     w, b = fit_logreg(train, "keep", "features", _FDIMS, iters=_ITERS, lr=_LR)
     m = margin_expr("features", w, b)
+    return (
+        feats.select(
+            "doc_id",
+            F.round(m, 6).alias("margin"),
+            (m > 0).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "quality_classifier_score_fast",
+    oracle=None,  # production xxhash64 featurizer by design — quality_classifier_score (md5) is the oracle-checked twin
+    doc="Production quality scorer: identical recipe and output contract to "
+    "quality_classifier_score, but the hashed-BoW featurizer uses JVM-native "
+    "xxhash64 (no per-word md5+hex round-trip — the ~2 s/1M-doc oracle tax "
+    "the round-11 stage profile measured) and the committed weights are the "
+    "same offline fit re-run over those features "
+    "(fixtures/quality_logreg_xxh.parquet) — the variant you run at 100 TB. "
+    "Kept alongside the md5 twin so the scorer stays oracle-verified while "
+    "the fast path is what the stress lane benchmarks (the "
+    "minhash_lsh_pairs_fast precedent). Teacher agreement and planted "
+    "separation pinned by tests/test_classifier.py (TWINS.json).",
+)
+def quality_classifier_score_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = _features_spark(d, "xxhash64")
+    m = margin_expr("features", _W_XXH, _B_XXH)
     return (
         feats.select(
             "doc_id",

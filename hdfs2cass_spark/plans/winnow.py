@@ -294,6 +294,28 @@ def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _candidate_pairs_df(d: DataFrame, fast: bool = False) -> DataFrame:
+    """The MOSS matching stage over either hash mode: distinct selected
+    fingerprints -> capped-bucket gate -> in-bucket pair expansion ->
+    per-pair shared count (>= 2). One definition so the md5 oracle twin and
+    the xxhash64 production twin can never fork on the pair dataflow."""
+    fp = winnow_fingerprints_df(d, fast=fast)
+    dfp = fp.select("doc_id", "h").distinct()
+    buckets = capped_buckets(dfp, ["h"], "doc_id", cap=PAIR_CAP)
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @declare(
     "winnow_candidate_pairs",
     oracle=f"""
@@ -323,18 +345,20 @@ def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"all-pairs stage exists at any skew.",
 )
 def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
-    dfp = fp.select("doc_id", "h").distinct()
-    buckets = capped_buckets(dfp, ["h"], "doc_id", cap=PAIR_CAP)
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
-        "struct(x AS doc_a, y AS doc_b))))"
-    )
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _candidate_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "winnow_candidate_pairs_fast",
+    oracle=None,  # engine-native xxhash64 grams by design — the md5 twin above is the oracle-checked one
+    doc="Production MOSS pair stage: identical capped-bucket pair dataflow "
+    "to winnow_candidate_pairs (one shared definition) but over the "
+    "xxhash64 fingerprint selection (winnow_fingerprints_fast's mode — no "
+    "per-gram md5+hex round-trip) — the variant you run at 100 TB. Kept "
+    "alongside the md5 twin so the matching stage stays oracle-verified "
+    "while the fast path is what the stress lane benchmarks; planted "
+    "shared-substring pair recovery is pinned for BOTH hash modes by "
+    "tests/test_winnow.py (TWINS.json).",
+)
+def winnow_candidate_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_pairs_df(load_table(spark, sf_dir, "documents"), fast=True)

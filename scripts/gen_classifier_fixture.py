@@ -46,16 +46,24 @@ def main() -> int:
         .getOrCreate()
     )
     docs = load_table(spark, SF, "documents")
-    feats = _features_spark(docs, "md5")
     labels = gopher_quality_filter(spark, SF).select("doc_id", "keep")
-    train = feats.join(labels, "doc_id")
-    w, b = fit_logreg(train, "keep", "features", _FDIMS, iters=ITERS, lr=LR)
-    pq.write_table(
-        pa.table({"weights": [w], "bias": [b]}),
-        os.path.join(OUT, "quality_logreg.parquet"),
-    )
-    print(f"bias={b!r}")
-    print(f"weights[:4]={w[:4]!r}")
+    # two models, one per featurizer hash: md5 (the DuckDB-reproducible
+    # oracle twin) and xxhash64 (the production featurizer — the stress
+    # lane's quality_classifier_score_fast twin, round 12). Same recipe,
+    # same labels; only the hashed-BoW bucket identities differ.
+    for hash_mode, fname in (
+        ("md5", "quality_logreg.parquet"),
+        ("xxhash64", "quality_logreg_xxh.parquet"),
+    ):
+        feats = _features_spark(docs, hash_mode)
+        train = feats.join(labels, "doc_id")
+        w, b = fit_logreg(train, "keep", "features", _FDIMS, iters=ITERS, lr=LR)
+        pq.write_table(
+            pa.table({"weights": [w], "bias": [b]}),
+            os.path.join(OUT, fname),
+        )
+        print(f"{hash_mode}: bias={b!r}")
+        print(f"{hash_mode}: weights[:4]={w[:4]!r}")
     spark.stop()
     return 0
 

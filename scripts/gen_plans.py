@@ -356,6 +356,16 @@ SECTIONS = [
         "Zero chunk-side shuffles beyond the embed aggregate itself.",
     ),
     (
+        "wav_audio_features (WAV/PCM audio round-trip — round 12)",
+        "wav_audio_features",
+        "The entire synth -> encode -> chunk-walk decode -> integer features "
+        "pipeline is TWO chained `ArrowEvalPython`-free `MapInPandas` nodes on "
+        "one scan — no explode of per-sample rows (samples never exist as rows; "
+        "features fold inside the Arrow batch), no shuffle before the single "
+        "presentation exchange. At 100 TB the payload column streams through "
+        "executors batch-by-batch; per-row Python is whole-batch numpy.",
+    ),
+    (
         "semantic_dedup (SemDeDup, k-means cells + collapse — round 11)",
         "semantic_dedup",
         "Cell assignment is ONE `ArrowEvalPython` on the corpus scan (the quantized numpy "

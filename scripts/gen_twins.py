@@ -96,6 +96,33 @@ TWINS = {
         "DuckDB hash-checked end-to-end)",
         "tests": ["tests/test_quality.py::test_rag_planted_exact_copy_ranks_first"],
     },
+    "quality_classifier_score_fast": {
+        "invariant": "xxhash64 production scorer (committed "
+        "quality_logreg_xxh.parquet fit) agrees with the md5 "
+        "(DuckDB-hash-checked) twin's keep prediction on >= 90% of docs "
+        "over the identical doc set, and separates planted good/bad docs",
+        "tests": [
+            "tests/test_classifier.py::test_fast_twin_agrees_with_md5_twin",
+            "tests/test_classifier.py::test_fast_twin_separates_planted_good_bad",
+        ],
+    },
+    "dedup_against_reference_fast": {
+        "invariant": "xxhash64 cross-corpus twin flags the same planted "
+        "exact copies (exactly) and near copies (within the LSH banding "
+        "budget, zero background false positives) as the md5 "
+        "(DuckDB-hash-checked) twin",
+        "tests": [
+            "tests/test_crossdedup.py::test_fast_twin_recovers_same_planted_cross_dups",
+        ],
+    },
+    "winnow_candidate_pairs_fast": {
+        "invariant": "xxhash64 MOSS pair stage recovers a planted shared "
+        "passage (>= 2 guaranteed shared fingerprints) with no unrelated "
+        "pairs, same as the md5 (DuckDB-hash-checked) twin",
+        "tests": [
+            "tests/test_winnow.py::test_candidate_pairs_recover_planted_shared_passage",
+        ],
+    },
     "semantic_dedup_learned": {
         "invariant": "call-time-fit SemDeDup drops planted exact copies "
         "regardless of the fitted model, is deterministic across refits, "
@@ -128,17 +155,25 @@ def main() -> int:
 
     # parse per-node outcomes from the -q progress lines is fragile across
     # param'd tests; re-derive from the terminal summary instead: pytest -q
-    # prints one line per failure ("FAILED nodeid") and the final counts.
+    # prints one line per failure ("FAILED nodeid") / collection error
+    # ("ERROR nodeid") and the final counts. An ERROR produces no FAILED
+    # line, so it must be scanned separately or a broken twin test file
+    # would report pass* (ADVICE r11).
     failed_nodes = [
-        ln.split(" ", 2)[1] if ln.startswith("FAILED ") else ln
+        ln.split(" ", 2)[1]
         for ln in proc.stdout.splitlines()
-        if ln.startswith("FAILED ")
+        if ln.startswith(("FAILED ", "ERROR "))
     ]
 
     def node_failed(node: str) -> bool:
         # param'd failures print as node[id]; match on the unparametrized
-        # prefix so any failing param marks the invariant red
-        return any(f == node or f.startswith(node + "[") for f in failed_nodes)
+        # prefix so any failing param marks the invariant red. ERROR lines
+        # may name just the FILE (collection error) — match that too.
+        fname = node.split("::")[0]
+        return any(
+            f == node or f.startswith(node + "[") or f == fname
+            for f in failed_nodes
+        )
 
     out = {
         "generated_by": "scripts/gen_twins.py",

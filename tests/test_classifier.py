@@ -120,3 +120,40 @@ def test_fit_rejects_bad_sample_fraction(spark, planted_sf):
     t = _train_frame(spark, planted_sf)
     with pytest.raises(ValueError, match="sample_fraction"):
         fit_logreg(t, "label", "features", 68, sample_fraction=1.5)
+
+
+def test_fast_twin_agrees_with_md5_twin(spark, sf_dir):
+    """TWINS invariant for quality_classifier_score_fast: the production
+    xxhash64 scorer (committed quality_logreg_xxh.parquet weights — the
+    same offline fit over the xxhash64 featurizer) must agree with the md5
+    (DuckDB hash-checked) twin's keep prediction on >= 90% of docs
+    (measured 97.0% at sf0.001 / 97.6% at sf0.01 — pinned below to stay
+    robust to fixture regeneration), over the identical doc set."""
+    a = CATALOG["quality_classifier_score"].fn(spark, sf_dir)
+    b = CATALOG["quality_classifier_score_fast"].fn(spark, sf_dir)
+    assert a.columns == b.columns == ["doc_id", "margin", "pred"]
+    j = a.select("doc_id", F.col("pred").alias("pa")).join(
+        b.select("doc_id", F.col("pred").alias("pb")), "doc_id", "full"
+    )
+    r = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pa").isNull() | F.col("pb").isNull(), 1).otherwise(0)).alias("miss"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0)).alias("agree"),
+    ).first()
+    assert r["miss"] == 0, "twins must score the identical doc set"
+    assert r["n"] > 0 and r["agree"] / r["n"] >= 0.9
+
+
+def test_fast_twin_separates_planted_good_bad(spark, planted_sf):
+    """The xxhash64 fixture scorer is a REAL scorer, not just fast: on the
+    planted corpus the clearly-good docs' margins must exceed the
+    clearly-bad docs' on average (the fixture was fit on sf0.01, so demand
+    separation of the means, not a per-doc margin ordering)."""
+    from hdfs2cass_spark.plans import CATALOG as C
+
+    got = C["quality_classifier_score_fast"].fn(spark, planted_sf)
+    r = got.agg(
+        F.avg(F.when(F.col("doc_id") < 40, F.col("margin"))).alias("good"),
+        F.avg(F.when(F.col("doc_id") >= 40, F.col("margin"))).alias("bad"),
+    ).first()
+    assert r["good"] > r["bad"]

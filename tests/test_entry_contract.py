@@ -119,6 +119,8 @@ def test_driver_checked_prefix_order_is_frozen():
         "bloom_decontamination",
         # round 11
         "semantic_dedup", "ann_recall_report",
+        # round 12
+        "wav_audio_features",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]

@@ -136,3 +136,32 @@ def test_doubling_ladders_equal_sequential_forms(spark, fast):
         .count()
     )
     assert bad == 0
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_candidate_pairs_recover_planted_shared_passage(spark, fast):
+    """TWINS invariant for winnow_candidate_pairs_fast: a planted shared
+    passage long enough to guarantee >= 2 shared fingerprints (two disjoint
+    guarantee windows) is recovered as a candidate pair by BOTH hash modes,
+    and unrelated docs never pair. Winnowing guarantees >= 1 shared
+    fingerprint per SUBSTR_K + WINNOW_W - 1 shared words, so a passage of
+    2 * (SUBSTR_K + WINNOW_W - 1) + SUBSTR_K words guarantees >= 2 —
+    exactly the pair stage's n_shared >= 2 bar."""
+    from hdfs2cass_spark.plans.winnow import _candidate_pairs_df
+
+    n_shared_words = 2 * (SUBSTR_K + WINNOW_W - 1) + SUBSTR_K
+    shared = " ".join(f"s{i}" for i in range(n_shared_words))
+    a_fill = " ".join(f"a{i}" for i in range(30))
+    b_fill = " ".join(f"b{i}" for i in range(30))
+    c_text = " ".join(f"c{i}" for i in range(60))
+    d = _docs(
+        spark,
+        [
+            (1, f"{a_fill} {shared}"),
+            (2, f"{shared} {b_fill}"),
+            (3, c_text),  # unrelated — must not pair with anyone
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in _candidate_pairs_df(d, fast=fast).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
