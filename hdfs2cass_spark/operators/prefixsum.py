@@ -39,9 +39,16 @@ BROADCAST_LIMIT = 1_000_000
 
 
 def _join_bases(df: DataFrame, bases: DataFrame, on: str, n_bases: int) -> DataFrame:
+    # LEFT join, not inner: every shard key trivially has a base (bases is
+    # an aggregate of the same rows), but an INNER join makes Catalyst
+    # infer an isnotnull(shard) filter into the probe side's scan — and
+    # that filter difference breaks the canonical equality ReuseExchange
+    # needs to dedup the shared Exchange(hashpartitioning(shard)) subtree
+    # (without it the upstream — e.g. pack_sequences' tokenize — scans and
+    # shuffles twice per action).
     if n_bases <= BROADCAST_LIMIT:
         bases = F.broadcast(bases)
-    return df.join(bases, on)
+    return df.join(bases, on, "left")
 
 
 def exclusive_cumsum(
@@ -69,8 +76,20 @@ def exclusive_cumsum(
     with_local = df.withColumn("_shard", shard).withColumn(
         "_local", F.coalesce(F.sum(value).over(local_w), F.lit(0)).cast("bigint")
     )
+    # Shard totals DERIVED FROM THE WINDOW OUTPUT (the key-last row's
+    # exclusive cumsum + its own value), NOT a fresh sum(value) aggregate:
+    # a plain sum doesn't reference _local, so column pruning deletes the
+    # window from the totals subtree and plans a SECOND scan + shuffle of
+    # the input — the upstream (e.g. pack_sequences' tokenize) then runs
+    # twice per action (measured: 2 FileScans, 0 ReusedExchange). Keeping
+    # the dependency makes both join sides share the identical
+    # Exchange(hashpartitioning(_shard)) subtree, which ReuseExchange
+    # dedups: one scan, one shuffle write. max_by is order-, sign- and
+    # NULL-correct where max(_local + value) would need value >= 0.
     totals = with_local.groupBy("_shard").agg(
-        F.sum(value).cast("bigint").alias("_tot")
+        F.max_by(F.col("_local") + F.coalesce(F.col(value).cast("bigint"), F.lit(0)), F.col(key))
+        .cast("bigint")
+        .alias("_tot")
     )
     n = totals.count()  # one scalar per level — levels are logarithmic
     bases = _shard_bases(totals, n)

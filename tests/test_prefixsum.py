@@ -44,3 +44,37 @@ def test_exclusive_cumsum_sparse_keys(spark):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in _truth(df).collect()
     )
+
+
+def test_exclusive_cumsum_negative_and_null_values(spark):
+    """The shard total is max_by(_local + value, key) (round 12 — it keeps
+    the window in the totals subtree so the input is scanned once); that
+    form must stay correct for NEGATIVE and NULL values, where a naive
+    max(_local + value) would not be."""
+    rows = [(0, 5), (1, -7), (2, None), (3, 4), (40, -2), (41, None), (80, 3)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["o"]
+        for r in prefixsum.exclusive_cumsum(
+            df, "id", "v", out="o", shard_width=32
+        ).collect()
+    }
+    assert got == {0: 0, 1: 5, 2: -2, 3: -2, 40: 2, 41: 0, 80: 0}
+
+
+def test_exclusive_cumsum_scans_input_once(spark, sf_dir):
+    """Regression pin for the round-12 double-scan fix: in the executed
+    adaptive plan the totals subtree must REUSE the window's shard
+    exchange (one scan + one shuffle write of the input), not re-scan it.
+    Requires (a) totals derived from the window output — a plain
+    sum(value) gets the window pruned out and plans a second scan — and
+    (b) a LEFT join-back — inner infers an isnotnull filter into only one
+    side's scan, breaking canonical equality."""
+    from hdfs2cass_spark.plans import CATALOG
+
+    df = CATALOG["pack_sequences"].fn(spark, sf_dir)
+    df.collect()  # finalize THIS DataFrame's adaptive execution (a noop
+    # save would run its own QueryExecution and leave df's un-finalized)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "totals subtree re-scans the input"
