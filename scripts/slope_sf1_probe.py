@@ -92,9 +92,13 @@ def build_sf1(spark, out: str) -> None:
 
 
 def table_rows(sf: str, t: str) -> int:
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf}/{t}.parquet").metadata.num_rows
+    p = f"{sf}/{t}.parquet"
+    files = sorted(glob.glob(f"{p}/*.parquet")) if os.path.isdir(p) else [p]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def time_spark(spark, name: str, sf: str) -> float:
@@ -116,7 +120,10 @@ def time_duck(name: str, sf: str) -> float:
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         t = os.path.basename(p).replace(".parquet", "")
-        con.execute(f"create view {t} as select * from read_parquet('{p}')")
+        # Spark writes <table>.parquet as a DIRECTORY of part files; the
+        # driver testdata ships single files — glob both
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"create view {t} as select * from read_parquet('{pat}')")
     sql = CATALOG[name].oracle
     t0 = time.perf_counter()
     con.execute(sql).fetchall()
