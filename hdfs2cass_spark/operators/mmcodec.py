@@ -5,16 +5,23 @@ these functions into their closures and register THIS module for
 pickle-by-value (functions/shippable.py), so executors that have never heard
 of the package can still run the real-decode branch.
 
-Two formats decode identically whether or not PIL is installed:
+Three formats decode identically whether or not PIL is installed:
   - netpbm (binary PGM ``P5`` / PPM ``P6`` — the layout ffmpeg's image2pipe
     emits): header parse + raw samples
   - PNG (8-bit, non-interlaced, all color types, all five scanline filters,
     CRC-checked): stdlib zlib inflate + numpy unfiltering, palette expanded
-PIL extends coverage to everything else (JPEG/GIF/16-bit or interlaced
-PNG/...) when importable; without it those raise loudly.
+  - baseline JPEG (SOF0/SOF1, gray + YCbCr 4:4:4/4:2:2/4:2:0, restart
+    markers): the built-in huffman + batch-IDCT decoder in jpegcodec.py
+PIL extends coverage to everything else (GIF/progressive JPEG/16-bit or
+interlaced PNG/...) when importable; without it those raise loudly.
 """
 
 from __future__ import annotations
+
+# module-level so the binding travels INSIDE mmcodec's pickled globals when
+# this module ships by value (an in-function `from . import jpegcodec` would
+# re-run package import machinery on a worker that lacks the package)
+from . import jpegcodec  # noqa: E402
 
 
 def pil_image_module():
@@ -195,16 +202,23 @@ def encode_png(px) -> bytes:
 
 
 def decode_image(b: bytes):
-    """Real decode -> (width, height, mean_sample_value). Netpbm and 8-bit
-    PNG payloads use the built-in parsers (identical output with or without
-    PIL); PNG shapes the built-in can't handle fall back to PIL; anything
-    else needs PIL."""
+    """Real decode -> (width, height, mean_sample_value). Netpbm, 8-bit PNG
+    and baseline JPEG payloads use the built-in parsers (identical output
+    with or without PIL); shapes the built-ins can't handle (16-bit or
+    interlaced PNG, progressive JPEG) fall back to PIL; anything else needs
+    PIL."""
     import numpy as np
 
     if b[:2] in (b"P5", b"P6"):
         w, h, _, px, _ = parse_netpbm(b)
         return w, h, float(px.mean())
     pil_fallback_err = None
+    if b[:2] == b"\xff\xd8":
+        try:
+            px = jpegcodec.decode_jpeg(b)
+            return px.shape[1], px.shape[0], float(px.mean())
+        except NotImplementedError as e:
+            pil_fallback_err = e  # progressive / 12-bit: try PIL below
     if b[:8] == PNG_SIG:
         try:
             w, h, _, px = parse_png(b)
@@ -215,12 +229,12 @@ def decode_image(b: bytes):
     if image_mod is None:
         if pil_fallback_err is not None:
             raise NotImplementedError(
-                f"PNG beyond the built-in decoder ({pil_fallback_err}) and "
-                "PIL is not installed"
+                f"payload beyond the built-in decoders ({pil_fallback_err}) "
+                "and PIL is not installed"
             ) from pil_fallback_err
         raise NotImplementedError(
-            "payload is not binary netpbm or PNG and PIL is not installed — "
-            "pip install pillow for other compressed image formats"
+            "payload is not binary netpbm, PNG or baseline JPEG and PIL is "
+            "not installed — pip install pillow for other image formats"
         )
     import io
 
@@ -240,6 +254,15 @@ def resize_image(b: bytes, width: int, height: int) -> bytes:
         ys = (np.arange(height) * px.shape[0]) // height
         xs = (np.arange(width) * px.shape[1]) // width
         return encode_netpbm(px[ys][:, xs])
+    if b[:2] == b"\xff\xd8":
+        try:
+            px = jpegcodec.decode_jpeg(b)
+        except NotImplementedError:
+            px = None  # progressive / 12-bit: PIL below when present
+        if px is not None:
+            ys = (np.arange(height) * px.shape[0]) // height
+            xs = (np.arange(width) * px.shape[1]) // width
+            return jpegcodec.encode_jpeg(np.ascontiguousarray(px[ys][:, xs]))
     if b[:8] == PNG_SIG:
         try:
             _, _, _, px = parse_png(b)

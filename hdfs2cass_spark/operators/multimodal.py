@@ -61,11 +61,13 @@ FEATURE_SCHEMA = StructType(
 def _shippable_codec():
     """The real-decode helpers, bound for closure capture: registering the
     spark-free mmcodec module for pickle-by-value means executors without the
-    package on PYTHONPATH still run the decode (the murmur3-UDF pattern)."""
+    package on PYTHONPATH still run the decode (the murmur3-UDF pattern).
+    jpegcodec ships too — mmcodec dispatches into it lazily on FFD8
+    payloads, and a by-reference jpegcodec would ImportError on workers."""
     from ..functions.shippable import pickle_by_value
-    from . import mmcodec
+    from . import jpegcodec, mmcodec
 
-    pickle_by_value(mmcodec)
+    pickle_by_value(mmcodec, jpegcodec)
     return mmcodec
 
 

@@ -366,6 +366,15 @@ SECTIONS = [
         "executors batch-by-batch; per-row Python is whole-batch numpy.",
     ),
     (
+        "jpeg_image_features (baseline-JPEG round-trip — round 12)",
+        "jpeg_image_features",
+        "Same shape as the WAV row: ONE `MapInPandas` holds the whole synth -> "
+        "encode -> huffman-decode -> IDCT -> feature loop (pixels never exist as "
+        "rows), on a scan pruned to doc_id; the only exchange is the presentation "
+        "sort. The oracle predicts the decoded level by closed-form DC-quantization "
+        "integer math.",
+    ),
+    (
         "semantic_dedup (SemDeDup, k-means cells + collapse — round 11)",
         "semantic_dedup",
         "Cell assignment is ONE `ArrowEvalPython` on the corpus scan (the quantized numpy "

@@ -120,7 +120,7 @@ def test_driver_checked_prefix_order_is_frozen():
         # round 11
         "semantic_dedup", "ann_recall_report",
         # round 12
-        "wav_audio_features",
+        "wav_audio_features", "jpeg_image_features",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]
