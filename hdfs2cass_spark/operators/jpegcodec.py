@@ -452,70 +452,76 @@ def decode_jpeg(b: bytes):
     comps = None
     scan = None
 
-    while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
-            raise ValueError(f"marker expected at offset {pos}")
-        if b[pos + 1] == 0xFF:  # fill bytes before a marker are legal
-            pos += 1
-            continue
-        marker = b[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack_from(">H", b, pos + 2)
-        body = b[pos + 4 : pos + 2 + seglen]
-        if len(body) != seglen - 2:
-            raise ValueError(
-                f"truncated JPEG: marker 0xFF{marker:02X} declares {seglen - 2} "
-                f"body bytes, only {len(body)} present"
-            )
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT (possibly several tables)
-            o = 0
-            while o < len(body):
-                pq, tq = body[o] >> 4, body[o] & 0xF
-                o += 1
-                if pq == 0:
-                    tab = np.frombuffer(body[o : o + 64], dtype=np.uint8).astype(np.int64)
-                    o += 64
-                else:
-                    tab = np.frombuffer(body[o : o + 128], dtype=">u2").astype(np.int64)
-                    o += 128
-                dz = np.empty(64, dtype=np.int64)
-                dz[ZIGZAG] = tab  # de-zigzag into natural order
-                qtabs[tq] = dz.reshape(8, 8)
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            o = 0
-            while o < len(body):
-                tc, th = body[o] >> 4, body[o] & 0xF
-                bits = list(body[o + 1 : o + 17])
-                n = sum(bits)
-                vals = list(body[o + 17 : o + 17 + n])
-                htabs[(tc, th)] = _build_decode_table(bits, vals)
-                o += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended sequential)
-            prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG not supported")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            sof = (hh, ww)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X} — progressive/"
-                "arithmetic/hierarchical) is not supported by the built-in decoder"
-            )
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = []
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 0xF))
-            break  # entropy data follows at `pos`
-        # APPn / COM / anything else: skipped by seglen
+    # header truncation shows up as struct.error / IndexError / short-slice
+    # unpacks deep in segment parsing; the module contract is ValueError on
+    # malformed input (ADVICE r12), so normalize them here
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError(f"marker expected at offset {pos}")
+            if b[pos + 1] == 0xFF:  # fill bytes before a marker are legal
+                pos += 1
+                continue
+            marker = b[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack_from(">H", b, pos + 2)
+            body = b[pos + 4 : pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                raise ValueError(
+                    f"truncated JPEG: marker 0xFF{marker:02X} declares {seglen - 2} "
+                    f"body bytes, only {len(body)} present"
+                )
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT (possibly several tables)
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0xF
+                    o += 1
+                    if pq == 0:
+                        tab = np.frombuffer(body[o : o + 64], dtype=np.uint8).astype(np.int64)
+                        o += 64
+                    else:
+                        tab = np.frombuffer(body[o : o + 128], dtype=">u2").astype(np.int64)
+                        o += 128
+                    dz = np.empty(64, dtype=np.int64)
+                    dz[ZIGZAG] = tab  # de-zigzag into natural order
+                    qtabs[tq] = dz.reshape(8, 8)
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0xF
+                    bits = list(body[o + 1 : o + 17])
+                    n = sum(bits)
+                    vals = list(body[o + 17 : o + 17 + n])
+                    htabs[(tc, th)] = _build_decode_table(bits, vals)
+                    o += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended sequential)
+                prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise NotImplementedError(f"{prec}-bit JPEG not supported")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                sof = (hh, ww)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline JPEG (SOF marker 0xFF{marker:02X} — progressive/"
+                    "arithmetic/hierarchical) is not supported by the built-in decoder"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                    scan.append((cs, tt >> 4, tt & 0xF))
+                break  # entropy data follows at `pos`
+            # APPn / COM / anything else: skipped by seglen
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated JPEG header: {e}") from e
     if sof is None or comps is None or scan is None:
         raise ValueError("missing SOF/SOS")
     h, w = sof
@@ -534,6 +540,17 @@ def decode_jpeg(b: bytes):
             raise ValueError(f"scan references unknown component {cs}")
         c["td"], c["ta"] = td, ta
         order.append(c)
+
+    if len(order) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one data
+        # unit per MCU in block-raster order over ceil(w/8) x ceil(h/8),
+        # regardless of the SOF sampling factors (libjpeg does the same).
+        # Using the interleaved h x v geometry here would desync the entropy
+        # stream for a legal grayscale JPEG declaring e.g. 2x2 sampling.
+        order[0]["h"] = order[0]["v"] = 1
+        hmax = vmax = 1
+        mcus_x = -(-w // 8)
+        mcus_y = -(-h // 8)
 
     for c in order:
         c["nbx"] = mcus_x * c["h"]

@@ -170,6 +170,28 @@ def encode_wav(samples, sample_rate: int, bits: int = 16, float_fmt: bool = Fals
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _exact_sum(a) -> int:
+    """Exact arbitrary-precision sum of a non-negative uint64 array.
+
+    int64/uint64 accumulation silently wraps for 32-bit PCM squares (eight
+    full-scale int32 samples already exceed int64), so split each element
+    into 32-bit words and sum the words in chunks small enough that the
+    per-word accumulator cannot wrap (word < 2^32, chunk <= 2^31 terms ->
+    partial sum < 2^63 < uint64 max), then recombine as Python ints.
+    """
+    import numpy as np
+
+    lo = a & np.uint64(0xFFFFFFFF)
+    hi = a >> np.uint64(32)
+    total = 0
+    step = 1 << 31
+    for i in range(0, len(a), step):
+        total += (int(hi[i : i + step].sum(dtype=np.uint64)) << 32) + int(
+            lo[i : i + step].sum(dtype=np.uint64)
+        )
+    return total
+
+
 def audio_features(b: bytes) -> dict:
     """Deterministic integer-exact features of one WAV payload — the values
     an analytic oracle can recompute without the codec (every field is an
@@ -188,13 +210,17 @@ def audio_features(b: bytes) -> dict:
     frames = int(v.shape[0])
     prev, cur = v[:-1], v[1:]
     zc = int(np.count_nonzero(((prev < 0) & (cur > 0)) | ((prev > 0) & (cur < 0))))
+    # |sample| <= 2^31 so abs fits uint64 and each square <= 2^62 fits a
+    # uint64 element; the SUMS need arbitrary precision (ADVICE r12: eight
+    # full-scale int32 squares wrap int64) -> _exact_sum
+    a = np.abs(v).astype(np.uint64).reshape(-1)
     return {
         "n_channels": int(ch),
         "sample_rate": int(rate),
         "n_frames": frames,
-        "peak_abs": int(np.abs(v).max()) if frames else 0,
-        "sum_abs": int(np.abs(v).sum()),
-        "sum_sq": int((v * v).sum()),
+        "peak_abs": int(a.max()) if frames else 0,
+        "sum_abs": _exact_sum(a),
+        "sum_sq": _exact_sum(a * a),
         "zero_crossings": zc,
         "duration_ms": frames * 1000.0 / rate if rate else 0.0,
     }

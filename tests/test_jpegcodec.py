@@ -110,8 +110,36 @@ def test_progressive_sof2_rejected_loudly():
     [b"", b"\x00\x01", b"\xff\xd8\xff\xd9", b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 3) + b"\x00"],
 )
 def test_malformed_inputs_raise_value_error(bad):
-    with pytest.raises((ValueError, NotImplementedError, struct.error, IndexError)):
+    # contract (ADVICE r12): malformed input is ValueError/NotImplementedError
+    # ONLY — mmcodec callers catch exactly these, so struct.error/IndexError
+    # must not leak out of header parsing
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(bad)
+
+
+@pytest.mark.parametrize("cut", [3, 5, 9, 14, 21, 40, 120])
+def test_truncated_prefixes_raise_value_error_only(cut):
+    """Every truncation point of a real stream must surface as ValueError
+    (or NotImplementedError), never struct.error / IndexError."""
+    full = encode_jpeg(_gradient_gray(16, 16), quality=85)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(full[: min(cut, len(full) - 1)])
+
+
+def test_single_component_scan_is_noninterleaved():
+    """T.81 A.2.2: a grayscale JPEG whose SOF declares 2x2 sampling still
+    carries a NON-interleaved scan (one data unit per MCU, block raster over
+    ceil(w/8) wide rows). Patching the sampling byte must not change the
+    decode (interleaved geometry would desync: 24x8 has 3 blocks in raster
+    order but 2x4=8 under 2x2 MCU interleave)."""
+    img = _gradient_gray(8, 24)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    i = enc.find(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv at +11
+    assert enc[i + 11] == 0x11
+    enc[i + 11] = 0x22
+    patched = decode_jpeg(bytes(enc))
+    assert np.array_equal(patched, decode_jpeg(encode_jpeg(img, quality=90)))
 
 
 def test_truncated_entropy_segment_raises():

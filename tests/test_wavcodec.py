@@ -58,6 +58,34 @@ def test_audio_features_hand_computed():
     assert audio_features(encode_wav(s, 1000, bits=16)) == want
 
 
+def test_full_scale_int32_sums_are_exact():
+    """ADVICE r12: eight full-scale int32 samples wrap an int64 sum_sq
+    (8 * (2^31)^2 = 2^65). The features must be arbitrary-precision exact,
+    not silently negative."""
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    s = np.array([[lo], [hi], [lo], [hi], [lo], [hi], [lo], [hi]], np.int64)
+    f = audio_features(encode_wav(s, 8000, bits=32))
+    want_sq = sum(int(x) * int(x) for x in s.reshape(-1))
+    assert f["sum_sq"] == want_sq and f["sum_sq"] > 0
+    assert f["sum_abs"] == sum(abs(int(x)) for x in s.reshape(-1))
+    assert f["peak_abs"] == 1 << 31
+    assert f["zero_crossings"] == 7
+
+
+def test_exact_sum_word_split_matches_python():
+    """_exact_sum chunked 32-bit word split == pure-Python big-int sum on
+    adversarial values (max uint62 squares, mixed magnitudes)."""
+    from hdfs2cass_spark.operators.wavcodec import _exact_sum
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 1 << 31, size=257).astype(np.uint64)
+    a[:5] = (1 << 31) - 1
+    sq = a * a
+    assert _exact_sum(sq) == sum(int(x) for x in sq)
+    assert _exact_sum(a) == sum(int(x) for x in a)
+    assert _exact_sum(np.array([], dtype=np.uint64)) == 0
+
+
 def test_zero_crossings_per_channel_not_interleave():
     """Stereo: crossings are per channel between consecutive FRAMES — the
     interleaved stream (L R L R) must not create cross-channel flips."""
