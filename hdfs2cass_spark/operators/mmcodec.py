@@ -12,16 +12,20 @@ Three formats decode identically whether or not PIL is installed:
     CRC-checked): stdlib zlib inflate + numpy unfiltering, palette expanded
   - baseline JPEG (SOF0/SOF1, gray + YCbCr 4:4:4/4:2:2/4:2:0, restart
     markers): the built-in huffman + batch-IDCT decoder in jpegcodec.py
-PIL extends coverage to everything else (GIF/progressive JPEG/16-bit or
-interlaced PNG/...) when importable; without it those raise loudly.
+  - GIF87a/89a (LZW, interlace, local palettes, transparency, multi-frame
+    disposal compositing): the built-in decoder in gifcodec.py
+PIL extends coverage to everything else (progressive JPEG/16-bit or
+interlaced PNG/TIFF/...) when importable; without it those raise loudly.
 """
 
 from __future__ import annotations
 
-# module-level so the binding travels INSIDE mmcodec's pickled globals when
+# module-level so the bindings travel INSIDE mmcodec's pickled globals when
 # this module ships by value (an in-function `from . import jpegcodec` would
 # re-run package import machinery on a worker that lacks the package)
-from . import jpegcodec  # noqa: E402
+from . import gifcodec, jpegcodec  # noqa: E402
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def pil_image_module():
@@ -225,6 +229,12 @@ def decode_image(b: bytes):
             return w, h, float(px.mean())
         except ValueError as e:
             pil_fallback_err = e  # 16-bit / interlaced: try PIL below
+    if b[:6] in GIF_MAGICS:
+        # lossless + fully covered by the built-in decoder — no PIL fallback;
+        # mean is over the first COMPOSITED RGB frame (PIL's palette-index
+        # mean on mode-"P" GIFs was never meaningful for features)
+        w, h, frames = gifcodec.parse_gif(b)
+        return w, h, float(frames[0].mean())
     image_mod = pil_image_module()
     if image_mod is None:
         if pil_fallback_err is not None:
@@ -233,8 +243,8 @@ def decode_image(b: bytes):
                 "and PIL is not installed"
             ) from pil_fallback_err
         raise NotImplementedError(
-            "payload is not binary netpbm, PNG or baseline JPEG and PIL is "
-            "not installed — pip install pillow for other image formats"
+            "payload is not binary netpbm, PNG, baseline JPEG or GIF and PIL "
+            "is not installed — pip install pillow for other image formats"
         )
     import io
 
@@ -271,10 +281,23 @@ def resize_image(b: bytes, width: int, height: int) -> bytes:
             return encode_png(np.ascontiguousarray(px[ys][:, xs]))
         except ValueError:
             pass  # 16-bit / interlaced: PIL below when present
+    if b[:6] in GIF_MAGICS:
+        import numpy as np
+
+        w0, h0, frames = gifcodec.parse_gif(b)
+        px = frames[0]
+        ys = (np.arange(height) * px.shape[0]) // height
+        xs = (np.arange(width) * px.shape[1]) // width
+        rs = np.ascontiguousarray(px[ys][:, xs])
+        # rebuild an indexed palette from the surviving colors (bounded by
+        # the source color tables, so always <= 256)
+        colors, inv = np.unique(rs.reshape(-1, 3), axis=0, return_inverse=True)
+        idx = inv.reshape(height, width).astype(np.uint8)
+        return gifcodec.encode_gif([idx], colors.astype(np.uint8))
     image_mod = pil_image_module()
     if image_mod is None:
         raise NotImplementedError(
-            "payload is not binary netpbm or 8-bit PNG and PIL is not "
+            "payload is not binary netpbm, 8-bit PNG or GIF and PIL is not "
             "installed — pip install pillow for other compressed formats"
         )
     import io
@@ -303,11 +326,16 @@ def demux_frames(b: bytes) -> list[bytes]:
             return [b]
         except ValueError:
             pass
+    if b[:6] in GIF_MAGICS:
+        # composited RGB frames re-encoded as PNG, matching the PIL branch's
+        # per-frame PNG convention
+        _, _, frames = gifcodec.parse_gif(b)
+        return [encode_png(f) for f in frames]
     image_mod = pil_image_module()
     if image_mod is None:
         raise NotImplementedError(
             "payload is not a concatenated-netpbm stream and PIL is not "
-            "installed — pip install pillow for GIF/TIFF; video containers "
+            "installed — pip install pillow for TIFF; video containers "
             "need ffmpeg"
         )
     import io

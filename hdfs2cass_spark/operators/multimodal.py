@@ -62,12 +62,13 @@ def _shippable_codec():
     """The real-decode helpers, bound for closure capture: registering the
     spark-free mmcodec module for pickle-by-value means executors without the
     package on PYTHONPATH still run the decode (the murmur3-UDF pattern).
-    jpegcodec ships too — mmcodec dispatches into it lazily on FFD8
-    payloads, and a by-reference jpegcodec would ImportError on workers."""
+    jpegcodec and gifcodec ship too — mmcodec dispatches into them lazily on
+    FFD8/GIF8 payloads, and a by-reference import would ImportError on
+    workers."""
     from ..functions.shippable import pickle_by_value
-    from . import jpegcodec, mmcodec
+    from . import gifcodec, jpegcodec, mmcodec
 
-    pickle_by_value(mmcodec, jpegcodec)
+    pickle_by_value(mmcodec, jpegcodec, gifcodec)
     return mmcodec
 
 

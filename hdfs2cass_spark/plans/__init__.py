@@ -34,5 +34,6 @@ from . import semdedup as _semdedup  # noqa: E402,F401  # round 11: SemDeDup
 from . import annreport as _annreport  # noqa: E402,F401  # round 11: ANN recall report
 from . import audio as _audio  # noqa: E402,F401  # round 12: WAV/PCM audio features
 from . import image as _image  # noqa: E402,F401  # round 12: baseline-JPEG features
+from . import gifimage as _gifimage  # noqa: E402,F401  # round 13: GIF/LZW features
 
 __all__ = ["CATALOG", "DeclaredQuery", "declare", "get_queries", "get_oracles"]

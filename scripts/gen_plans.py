@@ -375,6 +375,15 @@ SECTIONS = [
         "integer math.",
     ),
     (
+        "gif_image_features (GIF/LZW lossless round-trip — round 13)",
+        "gif_image_features",
+        "Same shape as the WAV/JPEG rows: ONE `MapInPandas` holds the whole "
+        "synth -> LZW encode -> decode -> de-interlace -> composite -> feature "
+        "loop (pixels never exist as rows), on a scan pruned to doc_id; the "
+        "only exchange is the presentation sort. Being lossless, the oracle "
+        "predicts the row-weighted RGB sum exactly with no excluded cases.",
+    ),
+    (
         "semantic_dedup (SemDeDup, k-means cells + collapse — round 11)",
         "semantic_dedup",
         "Cell assignment is ONE `ArrowEvalPython` on the corpus scan (the quantized numpy "

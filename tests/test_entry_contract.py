@@ -121,6 +121,8 @@ def test_driver_checked_prefix_order_is_frozen():
         "semantic_dedup", "ann_recall_report",
         # round 12
         "wav_audio_features", "jpeg_image_features",
+        # round 13
+        "gif_image_features",
     ]
     checked = ever_driver_checked()
     never = [n for n in frozen if n not in checked]
