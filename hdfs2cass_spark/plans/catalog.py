@@ -151,10 +151,16 @@ def token_route_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("bucket", "md5_bucket")
     )
     df = with_token(df, "_pk")
-    return (
-        with_bucket(df, 8, shuffle_seed=None)
-        .select("c_custkey", "token", "bucket", "md5_token", "md5_bucket")
-        .orderBy("c_custkey")
+    # present_sorted, not bare orderBy: the child is MAP-ONLY (scan -> typed
+    # key encode -> BOTH token UDFs), so the range sampler would re-run the
+    # murmur3 + md5 hops a second time (r13 slope audit: the sf1 probe
+    # measured 4.25 s/Mrow with the double execution, 2.28 without — the
+    # same defect class present.py documents for the report family)
+    return present_sorted(
+        with_bucket(df, 8, shuffle_seed=None).select(
+            "c_custkey", "token", "bucket", "md5_token", "md5_bucket"
+        ),
+        "c_custkey",
     )
 
 
@@ -528,24 +534,88 @@ def full_outer_balance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines). One window partitioning, every ranking function riding it.",
 )
 def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-first plan (r13 slope audit): the naive form — six window
+    functions over every row, then filter rn <= 3 — made Spark's WindowExec
+    evaluate the whole rank family on 100% of rows to keep 75. The sf1-decade
+    probe measured it at 3.6x DuckDB per row; at 100 TB the full-partition
+    sort+window is the whole job. This plan reconstructs every ranking value
+    EXACTLY from three cheap scans instead:
+
+      A. top-3 per nation via row_number + filter — Spark plans a PARTIAL
+         WindowGroupLimit before the exchange, so each map task ships <= 3
+         rows per nation (the shuffle carries ~nothing at any scale)
+      B. per-nation row counts — map-side partial aggregate, 25-row shuffle
+      C. per-(nation, acctbal) counts restricted to acctbal >= the nation's
+         rank-3 value (broadcast threshold join) — the tie neighborhood
+         only, map-side combined
+
+    rank/dense_rank over the 75-row subset equal their full-partition values
+    (every strictly-greater value already appears inside the top 3);
+    percent_rank = (rank-1)/(count-1), cume_dist = |rows >= value|/count and
+    ntile(4) = tile of position rn among count rows are the engines' own
+    definitions computed as the same integer-derived double divisions, so
+    the driver hash matches bit-for-bit."""
     from pyspark.sql.window import Window
 
     c = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    wr = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    top3 = (
+        c.select(*cols)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+    counts = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+    thresholds = top3.groupBy("c_nationkey").agg(F.min("c_acctbal").alias("_v3"))
+    ge_counts = (
+        c.select("c_nationkey", "c_acctbal")
+        .join(F.broadcast(thresholds), "c_nationkey")
+        .filter(F.col("c_acctbal") >= F.col("_v3"))
+        .groupBy("c_nationkey", "c_acctbal")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    wge = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ge_cum = ge_counts.withColumn("_nge", F.sum("_nv").over(wge)).select(
+        "c_nationkey", "c_acctbal", "_nge"
+    )
+
+    wr3 = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    out = (
+        top3.join(F.broadcast(counts), "c_nationkey")
+        .join(F.broadcast(ge_cum), ["c_nationkey", "c_acctbal"])
+        .withColumn("rnk", F.rank().over(wr3))
+        .withColumn("drnk", F.dense_rank().over(wr3))
+    )
+    # ntile(4) of position rn among cnt rows: the first (cnt % 4) tiles hold
+    # floor(cnt/4)+1 rows — pure integer arithmetic, no window needed
+    base = F.floor(F.col("cnt") / 4).cast("long")
+    rem = (F.col("cnt") % 4).cast("long")
+    big = rem * (base + 1)
+    quartile = F.when(
+        F.col("rn") <= big, F.ceil(F.col("rn") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("rn") - big) / F.greatest(base, F.lit(1))))
     return (
-        c.select(
+        out.select(
             "c_custkey",
             "c_nationkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(wr).alias("rnk"),
-            F.dense_rank().over(wr).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
-            F.percent_rank().over(wr).alias("pct_rank"),
-            F.cume_dist().over(wr).alias("cum_dist"),
+            "rn",
+            "rnk",
+            "drnk",
+            quartile.cast("int").alias("quartile"),
+            F.when(F.col("cnt") > 1,
+                   (F.col("rnk") - 1).cast("double") / (F.col("cnt") - 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("_nge").cast("double") / F.col("cnt").cast("double")).alias("cum_dist"),
         )
-        .filter(F.col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     )
 

@@ -375,6 +375,17 @@ SECTIONS = [
         "integer math.",
     ),
     (
+        "window_rank_customers (top-k-first rank family — rewritten round 13)",
+        "window_rank_customers",
+        "The r13 rewrite: the naive six-function full-partition window (3.6x DuckDB "
+        "per-row at the sf1 probe) is replaced by a PARTIAL `WindowGroupLimit` top-3 "
+        "(each map task ships <= 3 rows per nation — the exchange carries ~nothing at "
+        "any scale), a 25-row count aggregate, and a broadcast-threshold tie "
+        "neighborhood aggregate; rank/dense_rank/percent_rank/cume_dist/ntile are "
+        "reconstructed exactly on the 75-row subset. Probe verdict: 0.115 s/Mrow — "
+        "faster per row than DuckDB (0.18).",
+    ),
+    (
         "gif_image_features (GIF/LZW lossless round-trip — round 13)",
         "gif_image_features",
         "Same shape as the WAV/JPEG rows: ONE `MapInPandas` holds the whole "

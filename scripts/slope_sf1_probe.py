@@ -13,6 +13,13 @@ Verdict rule: sf1 sec/Mrow within ~1.3x of the sf0.1-recorded value =>
 the per-row cost is flat (constants adjudication confirmed); materially
 above => a real plan defect to find.
 
+Round 13 (r12 verdict item 1) extends the probe to the four remaining
+flagged headliners over the SMALL tables (PROBE_QUERIES_SMALL, 100
+replicas) and stamps every entry with the query module's sha256 so
+bench.py's per-round slope adjudication can consume the committed
+SLOPE_SF1.json whenever the code is unchanged (verdict
+"decade-adjudicated") instead of re-flagging on sub-floor marginals.
+
     python scripts/slope_sf1_probe.py [--passes 3] [--keep]
 
 Generated data lives under /tmp (never committed); the replica key shifts
@@ -41,6 +48,36 @@ PROBE_QUERIES = {
     "sessionize_events_batch": "events",
 }
 REPLICAS = 10
+# Round 13 (r12 verdict item 1): the four remaining >2x-adjusted flags are
+# sub-second queries on SMALL tables (customer 15k / embeddings 2k /
+# documents 5k at sf0.1) whose sf0.01->0.1 marginal rows (1.5k-13.5k) sit
+# below the measurement floor — so they get their own decade slice at 100
+# replicas (1.5M customers / 200k vectors / 500k docs), built the same
+# key-shifted way. Their sf0.01->0.1 "baseline sec/Mrow" is timer noise, so
+# the verdict rule for this group compares the sf1 per-row marginal against
+# DUCKDB's per-row marginal on the identical slice (<= 2x = no compounding
+# plan defect), not against a noise baseline.
+PROBE_QUERIES_SMALL = {
+    "window_rank_customers": "customer",
+    "token_route_customer": "customer",
+    "embedding_ivf_topk": "embeddings",
+    "dedup_exact_documents": "documents",
+}
+REPLICAS_SMALL = 100
+# The small group is ALSO timed at a 10x slice so the probe can measure
+# INTERNAL decade flatness — marginal sec/Mrow across sf0.1 -> 10x vs
+# 10x -> 100x. A compounding plan defect bends that ratio regardless of any
+# oracle; a constant-factor engine gap does not. This is the controlling
+# verdict where the DuckDB oracle is declared not work-equivalent, and is
+# recorded alongside the duck ratio everywhere else.
+REPLICAS_SMALL_MID = 10
+# token_route_customer's oracle JOINS a precomputed golden-token fixture
+# (DuckDB cannot express murmur3/md5-128 in SQL) — the duck time measures a
+# hash join, not the hashing work, so the vs-duck ratio is meaningless by
+# construction for it. Sibling evidence for the absolute constant:
+# bulk_route_lineitem (same dataflow, one token branch) is flat at
+# 0.33-0.54 s/Mrow.
+ORACLE_NOT_WORK_EQUIVALENT = {"token_route_customer"}
 # BASELINE.md round-11 slope table (sf0.01 -> sf0.1 spark marginal sec/Mrow)
 BASELINE_SEC_PER_MROW = {
     "q3_shipping_priority": 0.59,
@@ -48,6 +85,22 @@ BASELINE_SEC_PER_MROW = {
     "asof_join_events": 2.70,
     "sessionize_events_batch": 4.42,
 }
+
+
+def fn_module_sha(name: str) -> str:
+    """sha256 of the module FILE declaring the query fn — bench.py's
+    decade-adjudication gate recomputes this so committed SLOPE_SF1 evidence
+    only applies while the query's code is untouched (a whole-module hash is
+    deliberately conservative: any edit to the module invalidates every one
+    of its queries' decade verdicts)."""
+    import hashlib
+    import inspect
+
+    from hdfs2cass_spark.plans import CATALOG
+
+    src = inspect.getsourcefile(inspect.unwrap(CATALOG[name].fn))
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def build_sf1(spark, out: str) -> None:
@@ -67,7 +120,7 @@ def build_sf1(spark, out: str) -> None:
             else F.col(c)
             for c in d.columns
         ]
-        d.select("*", r).select(*cols).coalesce(8).write.mode("overwrite").parquet(
+        d.select("*", r).select(*cols).repartition(32).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
 
@@ -89,6 +142,62 @@ def build_sf1(spark, out: str) -> None:
     replicate("events", {"event_id": ce, "user_id": cu})
     for dim in ("supplier", "nation", "region", "part"):
         shutil.copy(f"{SF01}/{dim}.parquet", f"{out}/{dim}.parquet")
+
+
+def build_small(spark, out: str, reps: int) -> None:
+    """`reps` key-shifted replicas of the SMALL tables (customer / embeddings /
+    documents); the other tables are referenced from sf0.1 via copies.
+    Group-size preservation per table: customer keys shift; embedding
+    VECTORS are copied bit-identical per replica (cell populations scale
+    exactly 100x, preserving relative IVF skew); document TEXT gets a
+    per-replica suffix so exact-dup group sizes are preserved (two equal
+    texts stay equal within a replica, never collide across replicas)."""
+    from pyspark.sql import functions as F
+
+    from hdfs2cass_spark.sources import load_table
+
+    os.makedirs(out, exist_ok=True)
+    r = F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("_r")
+
+    cust = load_table(spark, SF01, "customer")
+    cc = cust.agg(F.max("c_custkey")).first()[0] + 1
+    cust.select("*", r).select(
+        *[
+            (F.col(c) + F.col("_r") * F.lit(cc)).alias(c)
+            if c == "c_custkey"
+            else F.col(c)
+            for c in cust.columns
+        ]
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    emb = load_table(spark, SF01, "embeddings")
+    ce = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb.select("*", r).select(
+        *[
+            (F.col(c) + F.col("_r") * F.lit(ce)).alias(c)
+            if c == "vec_id"
+            else F.col(c)
+            for c in emb.columns
+        ]
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    docs = load_table(spark, SF01, "documents")
+    cd = docs.agg(F.max("doc_id")).first()[0] + 1
+    docs.select("*", r).select(
+        (F.col("doc_id") + F.col("_r") * F.lit(cd)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r"), F.col("_r").cast("string")).alias("text"),
+        "lang",
+        "source",
+        F.length(F.concat(F.col("text"), F.lit(" r"), F.col("_r").cast("string")))
+        .cast("long")
+        .alias("n_chars"),
+    ).repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    for t in ("supplier", "nation", "region", "part", "orders", "lineitem", "events"):
+        src = f"{SF01}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
 
 
 def table_rows(sf: str, t: str) -> int:
@@ -145,61 +254,132 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf1 = args.sf1_dir
+    sfb = args.sf1_dir + "_small100"
+    sfm = args.sf1_dir + "_small10"
     if not os.path.exists(f"{sf1}/lineitem.parquet"):
         print(f"# building sf1 slice at {sf1} ...", file=sys.stderr)
         t0 = time.perf_counter()
         build_sf1(spark, sf1)
         print(f"# built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if not os.path.exists(f"{sfb}/documents.parquet"):
+        print(f"# building small-table 100x slice at {sfb} ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        build_small(spark, sfb, REPLICAS_SMALL)
+        print(f"# built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if not os.path.exists(f"{sfm}/documents.parquet"):
+        print(f"# building small-table 10x slice at {sfm} ...", file=sys.stderr)
+        build_small(spark, sfm, REPLICAS_SMALL_MID)
 
-    names = list(PROBE_QUERIES)
+    # (name, primary table, big dir, replica count) for both groups
+    plan = [(n, t, sf1, REPLICAS) for n, t in PROBE_QUERIES.items()] + [
+        (n, t, sfb, REPLICAS_SMALL) for n, t in PROBE_QUERIES_SMALL.items()
+    ]
     # warm both scales once (plan compile, code cache)
-    for name in names:
+    for name, _, big, _ in plan:
         time_spark(spark, name, SF01)
-        time_spark(spark, name, sf1)
+        time_spark(spark, name, big)
+        if name in PROBE_QUERIES_SMALL:
+            time_spark(spark, name, sfm)
     # interleaved min-of-N: A/B within one pass so a load burst hits both
-    # scales equally (bench-box burstiness protocol)
-    sp = {name: {"small": [], "big": []} for name in names}
-    du = {name: {"small": [], "big": []} for name in names}
+    # scales equally (bench-box burstiness protocol); the small group adds
+    # a MID (10x) point for the internal-flatness decade ratio
+    sp = {name: {"small": [], "mid": [], "big": []} for name, *_ in plan}
+    du = {name: {"small": [], "big": []} for name, *_ in plan}
     for p in range(args.passes):
-        for name in names:
+        for name, _, big, _ in plan:
             sp[name]["small"].append(time_spark(spark, name, SF01))
-            sp[name]["big"].append(time_spark(spark, name, sf1))
+            if name in PROBE_QUERIES_SMALL:
+                sp[name]["mid"].append(time_spark(spark, name, sfm))
+            sp[name]["big"].append(time_spark(spark, name, big))
         print(f"# spark pass {p + 1}/{args.passes} loadavg={os.getloadavg()[0]:.1f}",
               file=sys.stderr)
     spark.stop()
     for p in range(args.passes):
-        for name in names:
+        for name, _, big, _ in plan:
             du[name]["small"].append(time_duck(name, SF01))
-            du[name]["big"].append(time_duck(name, sf1))
+            du[name]["big"].append(time_duck(name, big))
         print(f"# duck pass {p + 1}/{args.passes} loadavg={os.getloadavg()[0]:.1f}",
               file=sys.stderr)
 
-    out = {"replicas": REPLICAS, "passes": args.passes, "sf1_dir": sf1,
+    out = {"replicas": REPLICAS, "replicas_small": REPLICAS_SMALL,
+           "passes": args.passes, "sf1_dir": sf1, "small100_dir": sfb,
            "loadavg": [round(x, 2) for x in os.getloadavg()], "queries": {}}
-    for name in names:
-        tbl = PROBE_QUERIES[name]
-        drows = table_rows(sf1, tbl) - table_rows(SF01, tbl)
+    for name, tbl, big, reps in plan:
+        drows = table_rows(big, tbl) - table_rows(SF01, tbl)
         ds = min(sp[name]["big"]) - min(sp[name]["small"])
         dd = min(du[name]["big"]) - min(du[name]["small"])
         spm = ds / drows * 1e6
-        base = BASELINE_SEC_PER_MROW[name]
+        dpm = dd / drows * 1e6 if dd > 0 else None
+        base = BASELINE_SEC_PER_MROW.get(name)
+        # verdict rules: a query with a MEASURABLE sf0.01->0.1 baseline is
+        # flat when its decade per-row cost stays within 1.3x of it; the
+        # small-table group (noise baseline, r13) is adjudicated against
+        # DuckDB's per-row marginal on the identical slice instead —
+        # <= 2x the baseline engine at the decade = no compounding defect
+        # internal decade flatness for the small group: marginal sec/Mrow
+        # across sf0.1 -> 10x vs 10x -> 100x (constants cancel in both)
+        internal = None
+        if sp[name]["mid"]:
+            rows01 = table_rows(SF01, tbl)
+            rows10 = table_rows(sfm, tbl)
+            rows100 = table_rows(big, tbl)
+            t01 = min(sp[name]["small"])
+            t10 = min(sp[name]["mid"])
+            t100 = min(sp[name]["big"])
+            spm1 = (t10 - t01) / (rows10 - rows01) * 1e6
+            spm2 = (t100 - t10) / (rows100 - rows10) * 1e6
+            internal = {
+                "spark_mid_sec": round(t10, 4),
+                "sec_per_mrow_dec1": round(spm1, 4),
+                "sec_per_mrow_dec2": round(spm2, 4),
+                "ratio": round(spm2 / spm1, 3) if spm1 > 0.002 * 1e6 / (rows10 - rows01) else None,
+            }
+        if ds <= 0.002:
+            verdict = "not-measurable"
+        elif base is not None and spm <= base * 1.3:
+            verdict = "flat-slope"
+        elif (
+            name not in ORACLE_NOT_WORK_EQUIVALENT
+            and base is None
+            and dpm is not None
+            and spm <= dpm * 2.0
+        ):
+            verdict = "flat-slope-vs-duck"
+        elif (
+            internal is not None
+            and internal["ratio"] is not None
+            and internal["ratio"] <= 1.3
+        ):
+            # no compounding defect across two decades; the absolute level
+            # vs duck (recorded) is a constant factor, or the oracle is not
+            # work-equivalent (ORACLE_NOT_WORK_EQUIVALENT rationale above)
+            verdict = "flat-slope-internal"
+        else:
+            verdict = "slope-grows"
         out["queries"][name] = {
+            "internal": internal,
+            "oracle_work_equivalent": name not in ORACLE_NOT_WORK_EQUIVALENT,
+            "replicas": reps,
             "spark_small_sec": round(min(sp[name]["small"]), 4),
             "spark_big_sec": round(min(sp[name]["big"]), 4),
             "duck_small_sec": round(min(du[name]["small"]), 4),
             "duck_big_sec": round(min(du[name]["big"]), 4),
             "marginal_rows": drows,
             "spark_sec_per_mrow_sf1": round(spm, 4),
-            "duck_sec_per_mrow_sf1": round(dd / drows * 1e6, 4) if dd > 0 else None,
+            "duck_sec_per_mrow_sf1": round(dpm, 4) if dpm else None,
             "baseline_sec_per_mrow_sf01": base,
             "ratio_vs_baseline": round(spm / base, 3) if base else None,
-            "verdict": (
-                "flat-slope" if spm <= base * 1.3 else "slope-grows"
-            ),
+            "ratio_vs_duck": round(spm / dpm, 3) if dpm else None,
+            "module_sha256": fn_module_sha(name),
+            "verdict": verdict,
         }
+        print(f"# {name}: spark {spm:.3f} s/Mrow vs duck "
+              f"{dpm if dpm else 'n/a'} -> {verdict}", file=sys.stderr)
     print(json.dumps(out, indent=2))
     if not args.keep:
         shutil.rmtree(sf1, ignore_errors=True)
+        shutil.rmtree(sfb, ignore_errors=True)
+        shutil.rmtree(sfm, ignore_errors=True)
     return 0
 
 

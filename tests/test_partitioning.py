@@ -459,3 +459,42 @@ def test_fetch_target_info_is_import_gated():
             fetch_target_info("localhost", "ks", "t")
     else:  # pragma: no cover — driver present in some environments
         pytest.skip("cassandra-driver installed; gate test not applicable")
+
+
+def test_distribute_randomly_bounds_skew(spark):
+    """r12 verdict item 6: the reference's `distributerandomly` escape hatch
+    (CassandraPartitioner.java:58-60) must BOUND task skew under a zipf-hot
+    partition key. Token routing keeps a partition key inside one bucket by
+    contract, so a 90%-hot key makes one task carry ~90% of the rows; the
+    round-robin hatch spreads the same rows near-uniformly. scripts/
+    route_skew_probe.py measures the same surfaces at scale."""
+    n, parts = 8000, 8
+    # 90% of rows share one key, the rest spread over 100 cold keys
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hotuser"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 100).cast("string")))
+        .alias("key")
+    )
+
+    def task_sizes(routed):
+        rows = (
+            routed.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return sorted((int(r["count"]) for r in rows), reverse=True)
+
+    hot = task_sizes(route_to_buckets(df, parts, "key"))
+    assert sum(hot) == n
+    # the hot key's bucket dominates its task: this is the sink CONTRACT
+    # (one partition key -> one SSTable range), the skew the hatch escapes
+    assert hot[0] >= n * 0.9
+
+    rand = task_sizes(route_to_buckets(df, parts, "key", distribute_randomly=True))
+    assert sum(rand) == n
+    mean = n / parts
+    # round-robin: every task within 30% of the mean (Spark's round-robin
+    # repartition is near-exact; the margin absorbs per-partition remainders)
+    assert rand[0] <= mean * 1.3
+    assert len(rand) == parts

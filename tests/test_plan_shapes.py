@@ -171,6 +171,68 @@ def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_no_unbarriered_range_sort_over_maponly_compute(spark, sf_dir):
+    """Blanket net for the present.py defect class (caught on the winnow
+    report in r10 and token_route_customer in r13): an ORDER BY plans a
+    range exchange whose boundary sampler RE-EXECUTES the child; when the
+    child is map-only and contains expensive compute (Python hops, windows),
+    the whole query runs twice. Every such query must route through
+    present_sorted (hash-repartition barrier first). The check: below a
+    rangepartitioning exchange there must be another exchange whenever the
+    subtree contains an expensive compute node."""
+    expensive = (
+        "ArrowEvalPython",
+        "MapInPandas",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "Window ",
+    )
+    barriers = (
+        "Exchange hashpartitioning",
+        "Exchange SinglePartition",
+        "Exchange RoundRobin",
+        "ShuffleQueryStage",
+        "AQEShuffleRead",
+    )
+    flagged = []
+    for name, q in CATALOG.items():
+        p = _explain(spark, q.fn(spark, sf_dir))
+        i = p.find("rangepartitioning")
+        if i < 0:
+            continue
+        child = p[i:]
+        if not any(b in child for b in barriers) and any(m in child for m in expensive):
+            flagged.append(name)
+    assert flagged == []
+
+
+def test_window_rank_is_group_limited(spark, sf_dir):
+    """window_rank_customers (r13 rewrite): the top-3 selection must plan a
+    PARTIAL WindowGroupLimit before its exchange (map tasks ship <= 3 rows
+    per nation) and the full-partition six-function window must be gone —
+    the rank family is reconstructed from the 75-row subset + tiny
+    aggregates, so no Window node may consume the raw customer scan."""
+    p = _explain(spark, CATALOG["window_rank_customers"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p
+    # the expensive shape would be a Window evaluating percent_rank/cume_dist
+    # over every row; the rewrite computes them arithmetically
+    assert "percent_rank" not in p
+    assert "cume_dist" not in p
+
+
+def test_token_route_sampler_reuses_barrier(spark, sf_dir):
+    """token_route_customer (r13 fix): both token UDFs are map-only, so the
+    presentation sort must sit on a hash-repartition barrier — otherwise the
+    range sampler re-runs the murmur3 + md5 hops (measured 2x end-to-end on
+    the 1.5M-row probe slice)."""
+    p = _explain(spark, CATALOG["token_route_customer"].fn(spark, sf_dir))
+    i = p.find("rangepartitioning")
+    assert i >= 0
+    assert "Exchange hashpartitioning" in p[i:] or "ShuffleQueryStage" in p[i:]
+    assert p.count("ArrowEvalPython") == 1  # both token UDFs share one hop
+
+
 def test_substring_spans_skew_safe_dup_marking(spark, sf_dir):
     """exact_substring_spans must NOT mark duplicated positions with a Window
     partitioned on the gram hash: a window partition cannot be split, so one
