@@ -61,9 +61,13 @@ def zipf_keys(spark, rows: int, keys: int, s: float):
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    @F.pandas_udf(LongType())
-    def rank_of(ids: pd.Series) -> pd.Series:
+    def _rank(ids):
         return pd.Series(np.searchsorted(bounds, ids.to_numpy(), side="right"))
+
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's signature inference rejects
+    _rank.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    rank_of = F.pandas_udf(_rank, LongType())
 
     return spark.range(rows).select(
         F.concat(F.lit("user"), rank_of(F.col("id")).cast("string")).alias("key")
