@@ -8,14 +8,15 @@ of the package can still run the real-decode branch.
 Three formats decode identically whether or not PIL is installed:
   - netpbm (binary PGM ``P5`` / PPM ``P6`` — the layout ffmpeg's image2pipe
     emits): header parse + raw samples
-  - PNG (8-bit, non-interlaced, all color types, all five scanline filters,
-    CRC-checked): stdlib zlib inflate + numpy unfiltering, palette expanded
+  - PNG (8- and 16-bit, plain or Adam7-interlaced, all color types, all
+    five scanline filters, CRC-checked): stdlib zlib inflate + numpy
+    unfiltering, palette expanded
   - baseline JPEG (SOF0/SOF1, gray + YCbCr 4:4:4/4:2:2/4:2:0, restart
     markers): the built-in huffman + batch-IDCT decoder in jpegcodec.py
   - GIF87a/89a (LZW, interlace, local palettes, transparency, multi-frame
     disposal compositing): the built-in decoder in gifcodec.py
-PIL extends coverage to everything else (progressive JPEG/16-bit or
-interlaced PNG/TIFF/...) when importable; without it those raise loudly.
+PIL extends coverage to everything else (progressive JPEG, sub-byte-depth
+PNG, TIFF, ...) when importable; without it those raise loudly.
 """
 
 from __future__ import annotations
@@ -89,14 +90,59 @@ def encode_netpbm(px, maxval: int = 255) -> bytes:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per the PNG spec
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(arr, ph: int, stride: int, bpp: int):
+    """Per-(sub-)image scanline unfiltering: arr is uint8[ph, stride+1]
+    (filter byte + filtered bytes per row); returns uint8[ph, stride].
+    ``bpp`` is bytes-per-pixel — the spec's "left" reaches bpp bytes back,
+    which is what makes the same loop serve 8- and 16-bit samples."""
+    import numpy as np
+
+    filters, out = arr[:, 0], np.zeros((ph, stride), np.int32)
+    for y in range(ph):
+        f, rec = filters[y], arr[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — whole-row vectorized
+            rec = (rec + prev) & 0xFF
+        elif f == 1:  # Sub: x += left(recon) — sequential in x
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
 def parse_png(b: bytes):
     """Decode ONE PNG (RFC 2083 / W3C spec) with the stdlib + numpy only:
-    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA, all five
-    scanline filters, CRC-checked chunks. Returns (width, height, channels,
-    pixels uint8[h, w, ch]) with palettes expanded to RGB. 16-bit and
-    Adam7-interlaced images raise ValueError (decode_image falls back to
-    PIL for those when it is installed) — a corrupt payload must fail
-    loudly, not emit garbage features."""
+    8- and 16-bit depth, color types gray/RGB/palette/gray+alpha/RGBA, all
+    five scanline filters, Adam7 interlace, CRC-checked chunks. Returns
+    (width, height, channels, pixels[h, w, ch]) — uint8 for depth 8 (with
+    palettes expanded to RGB), uint16 for depth 16. Sub-byte depths (1/2/4)
+    raise ValueError (decode_image falls back to PIL for those when it is
+    installed) — a corrupt payload must fail loudly, not emit garbage
+    features."""
     import struct
     import zlib
 
@@ -129,49 +175,60 @@ def parse_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
     w, h, depth, ctype, comp, filt, inter = ihdr
-    if depth != 8 or inter != 0 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or inter not in (0, 1) or comp != 0 or filt != 0:
         raise ValueError(
             f"unsupported PNG shape (depth={depth}, interlace={inter}) — "
-            "built-in decoder handles 8-bit non-interlaced; install pillow "
-            "for the rest"
+            "built-in decoder handles 8/16-bit, plain or Adam7; install "
+            "pillow for sub-byte depths"
         )
     try:
         ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     except KeyError:
         raise ValueError(f"bad PNG color type {ctype}") from None
+    if ctype == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal shape")
+    sb = depth // 8  # bytes per sample
+    bpp = ch * sb
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG IDAT length does not match dimensions")
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    filters, out = arr[:, 0], np.zeros((h, stride), np.int32)
-    for y in range(h):
-        f, rec = filters[y], arr[y, 1:].astype(np.int32)
-        prev = out[y - 1] if y > 0 else np.zeros(stride, np.int32)
-        if f == 0:
-            pass
-        elif f == 2:  # Up — whole-row vectorized
-            rec = (rec + prev) & 0xFF
-        elif f == 1:  # Sub: x += left(recon) — sequential in x
-            for i in range(ch, stride):
-                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
-                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = rec[i - ch] if i >= ch else 0
-                up = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[i] = (rec[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter byte {f}")
-        out[y] = rec
-    px = out.astype(np.uint8).reshape(h, w, ch)
+
+    def rows_to_px(block, ph, pw):
+        """Unfiltered bytes uint8[ph, pw*bpp] -> samples [ph, pw, ch]."""
+        if sb == 1:
+            return block.reshape(ph, pw, ch)
+        return (
+            block.reshape(ph, pw * ch, 2)
+            .astype(np.uint16)[:, :, 0] * 256
+            + block.reshape(ph, pw * ch, 2).astype(np.uint16)[:, :, 1]
+        ).reshape(ph, pw, ch)
+
+    if inter == 0:
+        stride = w * bpp
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG IDAT length does not match dimensions")
+        arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        px = rows_to_px(_png_unfilter(arr, h, stride, bpp), h, w)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered onto
+        # the full grid by each pass's (x0, y0, dx, dy)
+        px = np.zeros((h, w, ch), np.uint16 if sb == 2 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            need = (stride + 1) * ph
+            if off + need > len(raw):
+                raise ValueError("PNG IDAT too short for Adam7 passes")
+            arr = np.frombuffer(raw[off : off + need], np.uint8).reshape(
+                ph, stride + 1
+            )
+            off += need
+            sub = rows_to_px(_png_unfilter(arr, ph, stride, bpp), ph, pw)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG IDAT length does not match Adam7 passes")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -180,15 +237,22 @@ def parse_png(b: bytes):
     return w, h, ch, px
 
 
-def encode_png(px) -> bytes:
-    """uint8[h, w, ch] -> PNG bytes (filter-0 scanlines, zlib level 9) —
-    the parse_png inverse, also the fixture generator for the un-skipped
+def encode_png(px, interlace: bool = False) -> bytes:
+    """[h, w, ch] uint8 (depth 8) or uint16 (depth 16, big-endian samples)
+    -> PNG bytes (filter-0 scanlines, zlib level 9, optional Adam7) — the
+    parse_png inverse, also the fixture generator for the un-skipped
     real-decode tests."""
     import struct
     import zlib
 
+    import numpy as np
+
     h, w, ch = px.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    depth = 16 if px.dtype == np.uint16 else 8
+
+    def row_bytes(rows):
+        return rows.astype(">u2").tobytes() if depth == 16 else rows.tobytes()
 
     def chunk(t: bytes, d: bytes) -> bytes:
         return (
@@ -196,21 +260,30 @@ def encode_png(px) -> bytes:
             + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
         )
 
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + row_bytes(sub[y]) for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + row_bytes(px[y]) for y in range(h))
     return (
         PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0))
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
 
 
 def decode_image(b: bytes):
-    """Real decode -> (width, height, mean_sample_value). Netpbm, 8-bit PNG
-    and baseline JPEG payloads use the built-in parsers (identical output
-    with or without PIL); shapes the built-ins can't handle (16-bit or
-    interlaced PNG, progressive JPEG) fall back to PIL; anything else needs
-    PIL."""
+    """Real decode -> (width, height, mean_sample_value). Netpbm, PNG
+    (8/16-bit, plain or Adam7), GIF and baseline JPEG payloads use the
+    built-in parsers (identical output with or without PIL); shapes the
+    built-ins can't handle (sub-byte-depth PNG, progressive JPEG) fall
+    back to PIL; anything else needs PIL."""
     import numpy as np
 
     if b[:2] in (b"P5", b"P6"):
@@ -228,7 +301,7 @@ def decode_image(b: bytes):
             w, h, _, px = parse_png(b)
             return w, h, float(px.mean())
         except ValueError as e:
-            pil_fallback_err = e  # 16-bit / interlaced: try PIL below
+            pil_fallback_err = e  # sub-byte depth / corrupt: try PIL below
     if b[:6] in GIF_MAGICS:
         # lossless + fully covered by the built-in decoder — no PIL fallback;
         # mean is over the first COMPOSITED RGB frame (PIL's palette-index
@@ -280,7 +353,7 @@ def resize_image(b: bytes, width: int, height: int) -> bytes:
             xs = (np.arange(width) * px.shape[1]) // width
             return encode_png(np.ascontiguousarray(px[ys][:, xs]))
         except ValueError:
-            pass  # 16-bit / interlaced: PIL below when present
+            pass  # sub-byte depth / corrupt: PIL below when present
     if b[:6] in GIF_MAGICS:
         import numpy as np
 

@@ -219,7 +219,7 @@ def _forward_filter(px, filters):
     return b"".join(out)
 
 
-def _png_from_raw(w, h, ctype, raw, plte=None):
+def _png_from_raw(w, h, ctype, raw, plte=None, depth=8):
     import struct
     import zlib
 
@@ -229,11 +229,66 @@ def _png_from_raw(w, h, ctype, raw, plte=None):
         )
 
     out = b"\x89PNG\r\n\x1a\n" + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     )
     if plte is not None:
         out += chunk(b"PLTE", plte)
     return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_roundtrip_and_filters():
+    """Depth-16 PNG (r13): encode/parse round trip per color type, plus the
+    independent forward-filter check running over the BYTE view with
+    bpp = 2*ch (the spec's 'left' reaches bpp bytes back)."""
+    import numpy as np
+
+    from hdfs2cass_spark.operators.mmcodec import encode_png, parse_png
+
+    rng = np.random.RandomState(16)
+    for ch, ctype in ((1, 0), (3, 2), (2, 4), (4, 6)):
+        px = rng.randint(0, 1 << 16, size=(5, 4, ch)).astype(np.uint16)
+        px[0, 0] = 0
+        px[0, 1] = 0xFFFF  # force the extremes through the byte split
+        w, h, got_ch, got = parse_png(encode_png(px))
+        assert (w, h, got_ch) == (4, 5, ch)
+        assert got.dtype == np.uint16 and np.array_equal(got, px)
+        # independent forward filtering over bytes, all five filters
+        bview = np.ascontiguousarray(px.astype(">u2")).view(np.uint8).reshape(5, 4, 2 * ch)
+        raw = _forward_filter(bview, filters=[0, 1, 2, 3, 4])
+        w, h, got_ch, got = parse_png(_png_from_raw(4, 5, ctype, raw, depth=16))
+        assert got.dtype == np.uint16 and np.array_equal(got, px)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlace (r13): round trip at sizes exercising empty and
+    partial passes, both depths; the interlaced payload must genuinely
+    differ from the plain one (raster reordered, not a no-op flag)."""
+    import numpy as np
+
+    from hdfs2cass_spark.operators.mmcodec import encode_png, parse_png
+
+    rng = np.random.RandomState(77)
+    for wh in ((1, 1), (3, 2), (7, 7), (8, 8), (13, 9), (16, 5)):
+        w0, h0 = wh
+        for dt, hi in ((np.uint8, 256), (np.uint16, 1 << 16)):
+            px = rng.randint(0, hi, size=(h0, w0, 3)).astype(dt)
+            enc = encode_png(px, interlace=True)
+            w, h, ch, got = parse_png(enc)
+            assert (w, h, ch) == (w0, h0, 3)
+            assert np.array_equal(got, px), (wh, dt)
+    px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    assert encode_png(px, interlace=True) != encode_png(px)
+
+
+def test_png_16bit_palette_rejected():
+    import numpy as np
+    import pytest as pt
+
+    from hdfs2cass_spark.operators.mmcodec import parse_png
+
+    raw = b"\x00" + b"\x00" * 2  # one row, junk
+    with pt.raises(ValueError, match="16-bit palette"):
+        parse_png(_png_from_raw(1, 1, 3, raw, plte=b"\x00" * 6, depth=16))
 
 
 def test_png_builtin_all_filters_and_color_types():
@@ -281,12 +336,13 @@ def test_png_builtin_rejects_corruption():
         parse_png(bytes(bad))
     with pt.raises(ValueError, match="signature"):
         parse_png(b"JUNK" + good)
-    # 16-bit depth is out of the built-in envelope and says so
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    hdr = good[:8] + struct.pack(">I", 13) + b"IHDR" + ihdr16
+    # sub-byte depth is out of the built-in envelope and says so (16-bit
+    # and Adam7 joined the envelope in r13)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    hdr = good[:8] + struct.pack(">I", 13) + b"IHDR" + ihdr4
     import zlib
 
-    hdr += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+    hdr += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4) & 0xFFFFFFFF)
     with pt.raises(ValueError, match="unsupported PNG"):
         parse_png(hdr + good[33:])
 
