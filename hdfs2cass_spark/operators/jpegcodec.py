@@ -1,14 +1,19 @@
 """Built-in baseline JPEG codec — pure Python + numpy, spark-free.
 
 Closes the JPEG gap in the multimodal codec family (netpbm + PNG in
-mmcodec.py, WAV/PCM in wavcodec.py): DECODE of baseline DCT JPEG (SOF0/SOF1
-— huffman, 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling,
-restart markers, multi-table DQT/DHT markers) and ENCODE of baseline
-grayscale/RGB (4:4:4 or 4:2:0, quality-scaled Annex-K tables, optional
-restart interval), written against the public ITU-T T.81 spec. Progressive
-(SOF2), arithmetic coding, 12-bit precision and hierarchical modes raise
-NotImplementedError loudly — silent garbage pixels would poison a training
-set (the mmcodec contract).
+mmcodec.py, GIF in gifcodec.py, WAV/PCM in wavcodec.py): DECODE of baseline
+DCT JPEG (SOF0/SOF1 — huffman, 8-bit, grayscale or YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 sampling, restart markers, multi-table DQT/DHT markers,
+multi-scan sequential) AND of PROGRESSIVE JPEG (SOF2 — spectral selection,
+successive approximation with DC/AC refinement scans, EOB runs), plus
+ENCODE of baseline grayscale/RGB (4:4:4 or 4:2:0, quality-scaled Annex-K
+tables, optional restart interval) and of progressive streams
+(encode_jpeg_progressive — both modes, used by the cross-validation tests:
+a progressive stream carries the identical quantized coefficients as the
+baseline one, so the two decodes must agree bit-for-bit). Written against
+the public ITU-T T.81 spec. Arithmetic coding, 12-bit precision and
+hierarchical modes raise NotImplementedError loudly — silent garbage
+pixels would poison a training set (the mmcodec contract).
 
 Correctness over speed by design (the r11-verdict framing): entropy coding
 is per-symbol Python, but the DCT/IDCT, quantization, upsampling and color
@@ -282,15 +287,13 @@ def _pad_to(plane, h8, w8):
     )
 
 
-def encode_jpeg(
-    px,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W) grayscale or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
-    ``subsample`` writes 4:2:0 chroma; ``restart_interval`` > 0 emits DRI +
-    RSTn markers every N MCUs (exercises the decoder's resync path)."""
+def _forward_blocks(px, quality: int, subsample: bool):
+    """Shared encoder front end: (H,W[,3]) uint8 -> color transform, pad,
+    batch DCT, quantize. Returns (gray, h, w, samp, qtab_of, ql, qc,
+    comp_zz, comp_nbx, mcus_x, mcus_y) where comp_zz[ci] is the quantized
+    coefficients in ZIGZAG order, shape (n_blocks, 64) int64 — the exact
+    values both the baseline and progressive entropy coders serialize (the
+    two paths must reconstruct bit-identical pixels from them)."""
     import numpy as np
 
     a = np.asarray(px)
@@ -331,9 +334,9 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # per-component: pad plane to its MCU-aligned size, batch-DCT, quantize
-    comp_q = []  # quantized coefficient blocks in raster order, per comp
+    comp_zz = []  # quantized zigzag coefficient rows per block, per comp
     comp_nbx = []
+    zz_idx = np.array(ZIGZAG)
     for ci, plane in enumerate(planes):
         hi, vi = samp[ci]
         n_bx, n_by = mcus_x * hi, mcus_y * vi
@@ -342,14 +345,30 @@ def encode_jpeg(
         coef = np.einsum("ux,nxy,vy->nuv", cmat, blocks, cmat)
         q = np.array(ql if qtab_of[ci] == 0 else qc, dtype=np.float64).reshape(8, 8)
         # floor(x/q + 0.5): the deterministic rounding the oracle predicts
-        comp_q.append(np.floor(coef / q + 0.5).astype(np.int64))
+        nat = np.floor(coef / q + 0.5).astype(np.int64).reshape(-1, 64)
+        comp_zz.append(nat[:, zz_idx])
         comp_nbx.append(n_bx)
+    return gray, h, w, samp, qtab_of, ql, qc, comp_zz, comp_nbx, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    px,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+    ``subsample`` writes 4:2:0 chroma; ``restart_interval`` > 0 emits DRI +
+    RSTn markers every N MCUs (exercises the decoder's resync path)."""
+    (
+        gray, h, w, samp, qtab_of, ql, qc, comp_q, comp_nbx, mcus_x, mcus_y
+    ) = _forward_blocks(px, quality, subsample)
 
     # --- entropy-coded segment ---
     enc_dc = [_build_encode_table(*DC_LUMA), _build_encode_table(*DC_CHROMA)]
     enc_ac = [_build_encode_table(*AC_LUMA), _build_encode_table(*AC_CHROMA)]
     wtr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(comp_q)
     tbl_of = qtab_of  # luma tables for comp 0, chroma for the rest
     mcu_count = 0
     rst_idx = 0
@@ -359,15 +378,14 @@ def encode_jpeg(
                 wtr.pad_and_flush()
                 wtr.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
                 rst_idx += 1
-                pred = [0] * len(planes)
-            for ci in range(len(planes)):
+                pred = [0] * len(comp_q)
+            for ci in range(len(comp_q)):
                 hi, vi = samp[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        blk = comp_q[ci][
+                        zz = comp_q[ci][
                             (my * vi + by) * comp_nbx[ci] + (mx * hi + bx)
                         ]
-                        zz = blk.reshape(64)[ZIGZAG]
                         diff = int(zz[0]) - pred[ci]
                         pred[ci] = int(zz[0])
                         size = _category(diff)
@@ -433,13 +451,465 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder
+# ---------------------------------------------------------------------------
+
+# The K.3 sequential AC tables carry no EOBn symbols (rr<<4 with rr>0), so
+# progressive scans get a custom table: every needed symbol at a flat 9-bit
+# canonical code (224 symbols < 511 — the all-ones codeword stays unused, as
+# T.81 requires). Decoders read DHT from the stream, so compatibility never
+# depends on this choice; it only costs compression ratio.
+PROG_AC_SYMBOLS = (
+    [rr << 4 for rr in range(15)]  # EOB / EOBn runs up to 2^14
+    + [0xF0]  # ZRL
+    + [(rr << 4) | sz for rr in range(16) for sz in range(1, 14)]
+)
+PROG_AC = ([0] * 8 + [len(PROG_AC_SYMBOLS)] + [0] * 7, PROG_AC_SYMBOLS)
+
+
+class _ProgScanWriter:
+    """Per-scan emitter handling EOB-run aggregation and (for refinement
+    scans) the TWO-region buffered-correction-bit protocol: ``runbits``
+    belong to blocks already committed to the pending EOB run and flush
+    right after the EOBn symbol; ``bits`` belong to the CURRENT block since
+    its last emitted symbol and flush right after the next ZRL / (run,1) —
+    mixing the regions puts current-block bits in front of its first symbol
+    and desyncs the decoder (the r13 fuzz found exactly that)."""
+
+    def __init__(self, wtr: _BitWriter, ac_tbl: dict):
+        self.w = wtr
+        self.ac = ac_tbl
+        self.eobrun = 0
+        self.bits: list[int] = []  # current block, since last dump
+        self.runbits: list[int] = []  # committed to the pending EOB run
+
+    def sym(self, s: int) -> None:
+        ln, code = self.ac[s]
+        self.w.write(code, ln)
+
+    def dump_bits(self) -> None:
+        for bit in self.bits:
+            self.w.write(bit, 1)
+        self.bits = []
+
+    def end_block_with_eob(self) -> None:
+        """The current block needs an EOB: join the pending run, moving its
+        still-buffered correction bits into the run region."""
+        self.eobrun += 1
+        self.runbits += self.bits
+        self.bits = []
+        if self.eobrun == 0x7FFF or len(self.runbits) > 900:
+            self.flush_eob()
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            rr = self.eobrun.bit_length() - 1
+            self.sym(rr << 4)
+            if rr:
+                self.w.write(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+            for bit in self.runbits:
+                self.w.write(bit, 1)
+            self.runbits = []
+
+
+def _encode_ac_first(ps: _ProgScanWriter, zz, ss: int, se: int, al: int) -> None:
+    w = ps.w
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        ps.end_block_with_eob()
+        return
+    ps.flush_eob()
+    run = 0
+    for v in vals[: last + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ps.sym(0xF0)
+            run -= 16
+        size = _category(v)
+        ps.sym((run << 4) | size)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < se - ss:
+        ps.end_block_with_eob()
+
+
+def _encode_ac_refine(ps: _ProgScanWriter, zz, ss: int, se: int, al: int) -> None:
+    w = ps.w
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in band]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i  # last NEWLY-nonzero coefficient
+    run = 0
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            ps.flush_eob()
+            ps.sym(0xF0)
+            run -= 16
+            ps.dump_bits()
+        if t > 1:
+            ps.bits.append(t & 1)  # history-nonzero: one correction bit
+            continue
+        ps.flush_eob()
+        ps.sym((run << 4) | 1)
+        w.write(1 if band[i] > 0 else 0, 1)
+        ps.dump_bits()
+        run = 0
+    if run > 0 or ps.bits:
+        ps.end_block_with_eob()
+
+
+def encode_jpeg_progressive(
+    px,
+    quality: int = 85,
+    subsample: bool = False,
+    successive: bool = False,
+) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> PROGRESSIVE (SOF2) JFIF
+    bytes carrying the IDENTICAL quantized coefficients as encode_jpeg —
+    decode_jpeg of both must be bit-identical, which is the cross-check the
+    tests pin (two independent entropy codings agreeing). ``successive``
+    adds successive approximation (Al=1 first scans + refinement scans for
+    DC and AC); otherwise spectral selection only (split AC bands)."""
+    (
+        gray, h, w, samp, qtab_of, ql, qc, comp_zz, comp_nbx, mcus_x, mcus_y
+    ) = _forward_blocks(px, quality, subsample)
+    ncomp = len(comp_zz)
+    enc_dc = [_build_encode_table(*DC_LUMA), _build_encode_table(*DC_CHROMA)]
+    enc_ac = _build_encode_table(*PROG_AC)
+    tbl_of = qtab_of
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(
+                                comp_zz[ci][(my * vi + by) * comp_nbx[ci] + mx * hi + bx][0]
+                            )
+                            if ah == 0:
+                                t = v >> al  # DC point transform: arithmetic shift
+                                diff = t - pred[ci]
+                                pred[ci] = t
+                                size = _category(diff)
+                                ln, code = enc_dc[tbl_of[ci]][size]
+                                wtr.write(code, ln)
+                                if size:
+                                    wtr.write(
+                                        diff if diff > 0 else diff + (1 << size) - 1, size
+                                    )
+                            else:
+                                wtr.write((v >> al) & 1, 1)
+        wtr.pad_and_flush()
+        return bytes(wtr.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        hi, vi = samp[ci]
+        xi = -(-w * hi // max(s[0] for s in samp))
+        yi = -(-h * vi // max(s[1] for s in samp))
+        cw, chh = -(-xi // 8), -(-yi // 8)
+        wtr = _BitWriter()
+        ps = _ProgScanWriter(wtr, enc_ac)
+        for by in range(chh):
+            for bx in range(cw):
+                zz = comp_zz[ci][by * comp_nbx[ci] + bx]
+                if ah == 0:
+                    _encode_ac_first(ps, zz, ss, se, al)
+                else:
+                    _encode_ac_refine(ps, zz, ss, se, al)
+        ps.flush_eob()
+        wtr.pad_and_flush()
+        return bytes(wtr.out)
+
+    # --- headers ---
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_ql = bytes(ql[ZIGZAG[i]] for i in range(64))
+    zz_qc = bytes(qc[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_ql
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + zz_qc
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qtab_of[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dht(0, 0, DC_LUMA)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA)
+    out += dht(1, 0, PROG_AC)
+
+    def sos_dc(ah: int, al: int, data: bytes) -> bytes:
+        hdr = bytearray([ncomp])
+        for ci in range(ncomp):
+            hdr += bytes([ci + 1, tbl_of[ci] << 4])
+        hdr += bytes([0, 0, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + bytes(hdr) + data
+
+    def sos_ac(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = bytes([1, ci + 1, 0, ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+            + ac_scan(ci, ss, se, ah, al)
+        )
+
+    al0 = 1 if successive else 0
+    out += sos_dc(0, al0, dc_scan(0, al0))
+    for ci in range(ncomp):
+        # split bands: exercises mid-band Ss/Se decode, not just 1..63
+        out += sos_ac(ci, 1, 5, 0, al0)
+        out += sos_ac(ci, 6, 63, 0, al0)
+    if successive:
+        out += sos_dc(1, 0, dc_scan(1, 0))
+        for ci in range(ncomp):
+            out += sos_ac(ci, 1, 5, 1, 0)
+            out += sos_ac(ci, 6, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
+def _comp_scan_dims(c, w: int, h: int, hmax: int, vmax: int):
+    """True data-unit dims of one component for a NON-interleaved scan
+    (T.81 A.2.2): ceil(component sample dims / 8), WITHOUT MCU padding."""
+    xi = -(-w * c["h"] // hmax)
+    yi = -(-h * c["v"] // vmax)
+    return -(-xi // 8), -(-yi // 8)
+
+
+def _decode_unit_baseline(r, c, zz, dc_tab, ac_tab):
+    size = _decode_symbol(r, dc_tab)
+    diff = _extend(r.receive(size), size) if size else 0
+    c["pred"] += diff
+    zz[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, ac_tab)
+        rrrr, ssss = rs >> 4, rs & 0xF
+        if ssss == 0:
+            if rrrr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rrrr
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(r.receive(ssss), ssss)
+        k += 1
+
+
+def _decode_unit_dc_first(r, c, zz, dc_tab, al):
+    size = _decode_symbol(r, dc_tab)
+    diff = _extend(r.receive(size), size) if size else 0
+    c["pred"] += diff
+    zz[0] = c["pred"] << al
+
+
+def _decode_unit_dc_refine(r, zz, al):
+    # no huffman table: one raw bit per block, ORed into the approximation
+    # (two's complement OR appends the magnitude bit for either sign)
+    if r.read_bit():
+        zz[0] |= 1 << al
+
+
+def _decode_block_ac_first(r, zz, ac_tab, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, ac_tab)
+        rr, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << rr) - 1  # EOBn: this block + (n-1) more
+            if rr:
+                state["eobrun"] += r.receive(rr)
+            break
+        k += rr
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(r.receive(sz), sz) << al
+        k += 1
+
+
+def _decode_block_ac_refine(r, zz, ac_tab, ss, se, al, state):
+    """T.81 G.1.2.3 successive-approximation AC refinement: (run, 1)
+    symbols place new +-2^al coefficients, skipping ``run`` zero-HISTORY
+    positions; every nonzero-history coefficient passed on the way (and the
+    whole band tail under an EOB run) carries one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(r, ac_tab)
+            rr, sz = rs >> 4, rs & 0xF
+            val = 0
+            if sz == 0:
+                if rr < 15:
+                    # refinement EOBn counts the CURRENT block too: its tail
+                    # corrections run below, then the shared decrement —
+                    # unlike the first-scan EOBn, which ends the block here
+                    state["eobrun"] = 1 << rr
+                    if rr:
+                        state["eobrun"] += r.receive(rr)
+                    break
+                # rr == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise ValueError("bad successive-approximation magnitude")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if r.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if sz and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0 and r.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(
+    b, pos, sc, by_id, htabs, restart_interval, geom, progressive, ss, se, ah, al
+):
+    """Decode one entropy-coded scan starting at ``pos``; coefficients
+    accumulate into each component's zigzag-order array. Returns the offset
+    of the marker ending the scan."""
+    w, h, hmax, vmax, mcus_x, mcus_y = geom
+    order = []
+    for cs, td, ta in sc:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        c["td"], c["ta"] = td, ta
+        c["pred"] = 0
+        order.append(c)
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral band")
+
+    # per-scan data units: non-interleaved block raster for a one-component
+    # scan (T.81 A.2.2 — over the component's TRUE data-unit dims), MCU
+    # interleave otherwise
+    if len(order) == 1:
+        c0 = order[0]
+        cw, chh = _comp_scan_dims(c0, w, h, hmax, vmax)
+        units = [
+            [(c0, by * c0["nbx"] + bx)] for by in range(chh) for bx in range(cw)
+        ]
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append(
+                                (c, (my * c["v"] + by) * c["nbx"] + (mx * c["h"] + bx))
+                            )
+                units.append(mcu)
+
+    # table lookups: DC-refine scans need no table at all
+    tabs = {}
+    for c in order:
+        dc_tab = htabs.get((0, c["td"]))
+        ac_tab = htabs.get((1, c["ta"]))
+        if not progressive:
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("scan uses an undefined huffman table")
+        elif ss == 0 and ah == 0:
+            if dc_tab is None:
+                raise ValueError("DC scan uses an undefined huffman table")
+        elif ss > 0:
+            if ac_tab is None:
+                raise ValueError("AC scan uses an undefined huffman table")
+        tabs[id(c)] = (dc_tab, ac_tab)
+
+    r = _BitReader(b, pos)
+    state = {"eobrun": 0}
+    mcu_count = 0
+    rst_idx = 0
+    for mcu in units:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            r.sync_restart(rst_idx)
+            rst_idx += 1
+            for c in order:
+                c["pred"] = 0
+            state["eobrun"] = 0
+        for c, bi in mcu:
+            zz = c["coef"][bi]
+            dc_tab, ac_tab = tabs[id(c)]
+            if not progressive:
+                _decode_unit_baseline(r, c, zz, dc_tab, ac_tab)
+            elif ss == 0:
+                if ah == 0:
+                    _decode_unit_dc_first(r, c, zz, dc_tab, al)
+                else:
+                    _decode_unit_dc_refine(r, zz, al)
+            elif ah == 0:
+                _decode_block_ac_first(r, zz, ac_tab, ss, se, al, state)
+            else:
+                _decode_block_ac_refine(r, zz, ac_tab, ss, se, al, state)
+        mcu_count += 1
+    # resume the marker walk at the marker that ended (or follows) the scan
+    p = r.pos
+    while p < len(b) and b[p] != 0xFF:
+        p += 1
+    return p
+
+
 def decode_jpeg(b: bytes):
-    """Baseline JPEG bytes -> (H, W) or (H, W, 3) uint8. Raises ValueError
-    on malformed input and NotImplementedError on non-baseline modes."""
+    """JPEG bytes -> (H, W) or (H, W, 3) uint8: baseline/extended-sequential
+    (SOF0/SOF1, single- or multi-scan) and PROGRESSIVE (SOF2 — spectral
+    selection and successive approximation, DC and AC refinement scans,
+    EOB runs, restart markers). Raises ValueError on malformed input and
+    NotImplementedError on arithmetic/hierarchical/12-bit modes."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -450,13 +920,16 @@ def decode_jpeg(b: bytes):
     restart_interval = 0
     sof = None
     comps = None
-    scan = None
+    by_id: dict[int, dict] = {}
+    progressive = False
+    seen_scan = False
+    hmax = vmax = mcus_x = mcus_y = 0
 
     # header truncation shows up as struct.error / IndexError / short-slice
     # unpacks deep in segment parsing; the module contract is ValueError on
     # malformed input (ADVICE r12), so normalize them here
     try:
-        while pos + 4 <= len(b):
+        while pos + 2 <= len(b):
             if b[pos] != 0xFF:
                 raise ValueError(f"marker expected at offset {pos}")
             if b[pos + 1] == 0xFF:  # fill bytes before a marker are legal
@@ -465,6 +938,9 @@ def decode_jpeg(b: bytes):
             marker = b[pos + 1]
             if marker == 0xD9:  # EOI
                 break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone TEM / stray RSTn: no length field
+                continue
             (seglen,) = struct.unpack_from(">H", b, pos + 2)
             body = b[pos + 4 : pos + 2 + seglen]
             if len(body) != seglen - 2:
@@ -496,7 +972,8 @@ def decode_jpeg(b: bytes):
                     vals = list(body[o + 17 : o + 17 + n])
                     htabs[(tc, th)] = _build_decode_table(bits, vals)
                     o += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended sequential)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+                progressive = marker == 0xC2
                 prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -505,110 +982,59 @@ def decode_jpeg(b: bytes):
                     cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
                 sof = (hh, ww)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-ww // (8 * hmax))
+                mcus_y = -(-hh // (8 * vmax))
+                by_id = {}
+                for c in comps:
+                    c["nbx"] = mcus_x * c["h"]
+                    c["nby"] = mcus_y * c["v"]
+                    # zigzag order: coefficients ACCUMULATE across scans
+                    c["coef"] = np.zeros((c["nby"] * c["nbx"], 64), dtype=np.int64)
+                    c["pred"] = 0
+                    by_id[c["id"]] = c
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"non-baseline JPEG (SOF marker 0xFF{marker:02X} — progressive/"
+                    f"non-baseline JPEG (SOF marker 0xFF{marker:02X} — lossless/"
                     "arithmetic/hierarchical) is not supported by the built-in decoder"
                 )
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", body, 0)
-            elif marker == 0xDA:  # SOS
+            elif marker == 0xDA:  # SOS — decode the scan inline, then resume
+                if sof is None or comps is None:
+                    raise ValueError("SOS before SOF")
                 ns = body[0]
-                scan = []
+                sc = []
                 for i in range(ns):
                     cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                    scan.append((cs, tt >> 4, tt & 0xF))
-                break  # entropy data follows at `pos`
+                    sc.append((cs, tt >> 4, tt & 0xF))
+                ss_, se_, aa_ = body[1 + 2 * ns : 4 + 2 * ns]
+                hh, ww = sof
+                pos = _decode_scan(
+                    b, pos, sc, by_id, htabs, restart_interval,
+                    (ww, hh, hmax, vmax, mcus_x, mcus_y),
+                    progressive, ss_, se_, aa_ >> 4, aa_ & 0xF,
+                )
+                seen_scan = True
             # APPn / COM / anything else: skipped by seglen
     except (struct.error, IndexError) as e:
         raise ValueError(f"truncated JPEG header: {e}") from e
-    if sof is None or comps is None or scan is None:
+    if sof is None or comps is None or not seen_scan:
         raise ValueError("missing SOF/SOS")
     h, w = sof
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan JPEG not supported")
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        c = by_id.get(cs)
-        if c is None:
-            raise ValueError(f"scan references unknown component {cs}")
-        c["td"], c["ta"] = td, ta
-        order.append(c)
-
-    if len(order) == 1:
-        # T.81 A.2.2: a single-component scan is NON-interleaved — one data
-        # unit per MCU in block-raster order over ceil(w/8) x ceil(h/8),
-        # regardless of the SOF sampling factors (libjpeg does the same).
-        # Using the interleaved h x v geometry here would desync the entropy
-        # stream for a legal grayscale JPEG declaring e.g. 2x2 sampling.
-        order[0]["h"] = order[0]["v"] = 1
-        hmax = vmax = 1
-        mcus_x = -(-w // 8)
-        mcus_y = -(-h // 8)
-
-    for c in order:
-        c["nbx"] = mcus_x * c["h"]
-        c["nby"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["nby"] * c["nbx"], 8, 8), dtype=np.int64)
-        c["pred"] = 0
-
-    r = _BitReader(b, pos)
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.sync_restart(rst_idx)
-                rst_idx += 1
-                for c in order:
-                    c["pred"] = 0
-            for c in order:
-                dc_tab = htabs.get((0, c["td"]))
-                ac_tab = htabs.get((1, c["ta"]))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("scan uses an undefined huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _decode_symbol(r, dc_tab)
-                        diff = _extend(r.receive(size), size) if size else 0
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(r, ac_tab)
-                            rrrr, ssss = rs >> 4, rs & 0xF
-                            if ssss == 0:
-                                if rrrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(r.receive(ssss), ssss)
-                            k += 1
-                        blk = np.empty(64, dtype=np.int64)
-                        blk[ZIGZAG] = zz
-                        c["coef"][
-                            (my * c["v"] + by) * c["nbx"] + (mx * c["h"] + bx)
-                        ] = blk.reshape(8, 8)
-            mcu_count += 1
-
-    # dequantize + batch IDCT + stitch + upsample
+    # dequantize + batch IDCT + stitch + upsample (over the FRAME's
+    # components — a multi-scan file touches them across several scans)
     cmat = _dct_matrix()
     planes = []
-    for c in order:
+    for c in comps:
         q = qtabs.get(c["tq"])
         if q is None:
             raise ValueError(f"component uses undefined quant table {c['tq']}")
-        deq = c["coef"].astype(np.float64) * q[None, :, :]
+        nat = np.zeros((len(c["coef"]), 64), dtype=np.int64)
+        nat[:, ZIGZAG] = c["coef"]  # de-zigzag whole-image
+        deq = nat.reshape(-1, 8, 8).astype(np.float64) * q[None, :, :]
         # block = C.T @ F @ C  <=>  B[x,y] = sum_uv C[u,x] F[u,v] C[v,y]
         sp = np.einsum("ux,nuv,vy->nxy", cmat, deq, cmat)
         plane = (

@@ -11,12 +11,14 @@ Three formats decode identically whether or not PIL is installed:
   - PNG (8- and 16-bit, plain or Adam7-interlaced, all color types, all
     five scanline filters, CRC-checked): stdlib zlib inflate + numpy
     unfiltering, palette expanded
-  - baseline JPEG (SOF0/SOF1, gray + YCbCr 4:4:4/4:2:2/4:2:0, restart
-    markers): the built-in huffman + batch-IDCT decoder in jpegcodec.py
+  - JPEG, baseline AND progressive (SOF0/1/2, gray + YCbCr
+    4:4:4/4:2:2/4:2:0, restart markers, successive approximation): the
+    built-in huffman + batch-IDCT decoder in jpegcodec.py
   - GIF87a/89a (LZW, interlace, local palettes, transparency, multi-frame
     disposal compositing): the built-in decoder in gifcodec.py
-PIL extends coverage to everything else (progressive JPEG, sub-byte-depth
-PNG, TIFF, ...) when importable; without it those raise loudly.
+PIL extends coverage to everything else (sub-byte-depth PNG, TIFF,
+arithmetic-coded JPEG, ...) when importable; without it those raise
+loudly.
 """
 
 from __future__ import annotations
@@ -282,8 +284,8 @@ def decode_image(b: bytes):
     """Real decode -> (width, height, mean_sample_value). Netpbm, PNG
     (8/16-bit, plain or Adam7), GIF and baseline JPEG payloads use the
     built-in parsers (identical output with or without PIL); shapes the
-    built-ins can't handle (sub-byte-depth PNG, progressive JPEG) fall
-    back to PIL; anything else needs PIL."""
+    built-ins can't handle (sub-byte-depth PNG, arithmetic-coded JPEG)
+    fall back to PIL; anything else needs PIL."""
     import numpy as np
 
     if b[:2] in (b"P5", b"P6"):
@@ -295,7 +297,7 @@ def decode_image(b: bytes):
             px = jpegcodec.decode_jpeg(b)
             return px.shape[1], px.shape[0], float(px.mean())
         except NotImplementedError as e:
-            pil_fallback_err = e  # progressive / 12-bit: try PIL below
+            pil_fallback_err = e  # arithmetic / 12-bit: try PIL below
     if b[:8] == PNG_SIG:
         try:
             w, h, _, px = parse_png(b)
@@ -341,7 +343,7 @@ def resize_image(b: bytes, width: int, height: int) -> bytes:
         try:
             px = jpegcodec.decode_jpeg(b)
         except NotImplementedError:
-            px = None  # progressive / 12-bit: PIL below when present
+            px = None  # arithmetic / 12-bit: PIL below when present
         if px is not None:
             ys = (np.arange(height) * px.shape[0]) // height
             xs = (np.arange(width) * px.shape[1]) // width

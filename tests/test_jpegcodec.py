@@ -97,12 +97,68 @@ def test_scaled_quant_bounds():
         scaled_quant(QUANT_LUMA, 0)
 
 
-def test_progressive_sof2_rejected_loudly():
+def test_arithmetic_sof_rejected_loudly():
     b = bytearray(encode_jpeg(_gradient_gray(16, 16)))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    b[i + 1] = 0xC9  # masquerade as arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(b))
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_identical_to_baseline(successive, subsample):
+    """The decisive progressive check: SOF2 scans carry the IDENTICAL
+    quantized coefficients as the baseline encoding, so the two decodes must
+    agree bit-for-bit — two independent entropy codings (huffman sequential
+    vs spectral-selection/successive-approximation with EOB runs)
+    cross-validating each other with no external codec."""
+    from hdfs2cass_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    imgs = [
+        _gradient_rgb(33, 41),
+        rng.randint(0, 256, (17, 23, 3)).astype(np.uint8),
+    ]
+    for img in imgs:
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=subsample))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=85, subsample=subsample, successive=successive
+            )
+        )
+        assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_gray_and_tiny(successive):
+    from hdfs2cass_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(5)
+    for img in (_gradient_gray(19, 27), rng.randint(0, 256, (3, 5)).astype(np.uint8),
+                rng.randint(0, 256, (1, 1)).astype(np.uint8)):
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, successive=successive))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_truncated_scan_raises():
+    from hdfs2cass_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    b = encode_jpeg_progressive(_gradient_gray(32, 32), successive=True)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(b[: int(len(b) * 0.6)])
+
+
+def test_progressive_is_actually_multiscan():
+    from hdfs2cass_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    plain = encode_jpeg_progressive(_gradient_rgb(16, 16))
+    sa = encode_jpeg_progressive(_gradient_rgb(16, 16), successive=True)
+    # 1 DC + 2 AC bands x 3 comps = 7 scans; SA doubles them
+    assert plain.count(b"\xff\xda") == 7
+    assert sa.count(b"\xff\xda") == 14
+    assert plain[2:].find(b"\xff\xc2") >= 0  # SOF2, not SOF0
 
 
 @pytest.mark.parametrize(
