@@ -923,7 +923,41 @@ def main() -> int:
             f.write("\n")
     except Exception as e:  # noqa: BLE001 — the stdout line is the contract
         print(f"# bench_summary.json write failed: {e}", file=sys.stderr)
-    print(json.dumps(result))
+    # The driver captures only the LAST 2000 characters of stdout and parses
+    # the JSON line from that tail: rounds 1-5 (whose line was < 2000 chars)
+    # parsed fine, and every round since 6 — when the pipeline section grew
+    # the line past 2 KB — recorded "parsed": null in BENCH_r*.json. This is
+    # a measurement bug fix (round 13, documented in OPTIMIZATION_r13.md):
+    # the final stdout line is now a COMPACT payload guaranteed to fit the
+    # tail — the contract keys (metric/value/unit/queries/sf) with the
+    # pipeline + curate timings ADDED under "queries" (additions are allowed;
+    # the 15 headline keys and the headline-total "value" are unchanged).
+    # The full artifact lives in bench_summary.json and on stderr.
+    print(f"# full-result: {json.dumps(result)}", file=sys.stderr)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {
+            **timings,
+            **pipeline_timings,
+            "curate_corpus": round(curate_best, 4),
+        },
+        "pipeline_total_sec": result["pipeline_total_sec"],
+        "sf": sf_dir,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # headroom under the 2000-char tail, whatever grows
+        line = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    print(line)
     return 0
 
 
