@@ -141,8 +141,14 @@ def bloom_words(bench_hashes: DataFrame) -> list[int]:
 def bloom_probe_df(train: DataFrame, words: list[int]) -> DataFrame:
     """Probe (doc_id, h) rows against the filter literal: pure codegen
     column expressions over a constant-folded array — map-only, the corpus
-    is never shuffled (the final per-doc aggregate combines map-side)."""
-    bloom = F.array(*[F.lit(int(x)) for x in words])
+    is never shuffled (the final per-doc aggregate combines map-side).
+
+    The literal is rendered as ONE SQL text and parsed JVM-side: the former
+    ``F.array(*[F.lit(x) for x in words])`` made N_WORDS py4j round-trips
+    (~2.3 s of driver time PER CALL at 4229 words — r13 profile: probe_build
+    3.7-4.7 s/pass, almost all of it this loop); the rendered form builds in
+    ~5 ms and folds to the identical bigint array literal."""
+    bloom = F.expr("array(" + ",".join(f"{int(x)}L" for x in words) + ")")
     conds = [
         F.expr(
             f"(element_at(_bl, CAST({_pos(i)} DIV {_BPW} AS INT) + 1) & "
@@ -185,8 +191,24 @@ def bloom_probe_df(train: DataFrame, words: list[int]) -> DataFrame:
     f"mod/mask arithmetic over the shared md5-derived shingle hashes.",
 )
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import SH_ON_WS_SPARK, hash60_spark
+    from .llm import W_SPARK as _W
+
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles_hashed(d)  # (doc_id, h) distinct
     is_bench = F.expr(_BENCH_SPARK)
-    words = bloom_words(sh.filter(is_bench).select("h").distinct())
+    # Filter-build side (eager: bloom_words collects the words): the bench
+    # predicate is doc-level, so filter FIRST and shingle only bench docs —
+    # no corpus-wide _spread_docs repartition on this side — and skip the
+    # former global .distinct(): bit_or is duplicate-insensitive, so the
+    # distinct exchange bought nothing (r13: the build job dropped from 3
+    # exchanges over the corpus-spread scan to 1 over ~1/20 of the docs;
+    # identical filter words by construction).
+    bench_sh = (
+        d.filter(is_bench)
+        .select(F.expr(_W).alias("ws"))
+        .select(F.explode(F.array_distinct(F.expr(SH_ON_WS_SPARK))).alias("s"))
+        .select(F.expr(hash60_spark("s")).alias("h"))
+    )
+    words = bloom_words(bench_sh)
+    sh = _shingles_hashed(d)  # (doc_id, h) distinct per doc
     return bloom_probe_df(sh.filter(~is_bench), words)
