@@ -575,8 +575,13 @@ def minhash_wide_df(
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
     )
+    # each signature aggregate is ONE parsed SQL expression: the Column-API
+    # forms cost ~10 py4j round-trips per signature (~0.3 s per call at
+    # N_HASHES=16, x2 for the cross-corpus twins — r13 cProfile); the parsed
+    # text analyzes to the identical aggregate (and for the md5 branch it is
+    # the same text the DuckDB oracle runs, _MH_MINS).
     if fast:
-        aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_HASHES)]
+        aggs = [F.expr(f"min(xxhash64({i}, s)) AS mh{i}") for i in range(N_HASHES)]
     else:
         # the digest is materialized as REAL COLUMNS before the aggregate so
         # codegen computes md5 once per shingle, not once per signature; `h`
@@ -595,9 +600,7 @@ def minhash_wide_df(
             F.expr(f"CAST(conv(substr(mhex, 9, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g2"),
         ).withColumn("g1", F.expr(f"shiftright(h, 28) % {_MH_G}"))
         aggs = [
-            F.min(
-                (F.lit(a) * F.col("g1") + F.lit(b) * F.col("g2") + F.lit(c)) % F.lit(_MH_P)
-            ).alias(f"mh{i}")
+            F.expr(f"min(({a} * g1 + {b} * g2 + {c}) % {_MH_P}) AS mh{i}")
             for i, (a, b, c) in enumerate(MH_ABC)
         ]
     if with_sets:
