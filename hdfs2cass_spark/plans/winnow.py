@@ -298,9 +298,21 @@ def _candidate_pairs_df(d: DataFrame, fast: bool = False) -> DataFrame:
     """The MOSS matching stage over either hash mode: distinct selected
     fingerprints -> capped-bucket gate -> in-bucket pair expansion ->
     per-pair shared count (>= 2). One definition so the md5 oracle twin and
-    the xxhash64 production twin can never fork on the pair dataflow."""
-    fp = winnow_fingerprints_df(d, fast=fast)
-    dfp = fp.select("doc_id", "h").distinct()
+    the xxhash64 production twin can never fork on the pair dataflow.
+
+    The (doc_id, h) distinct is computed IN-ROW (r13): doc_id is part of
+    the distinct key, so the former global ``.distinct()`` — a full
+    corpus-sized exchange of the fingerprint table — was equivalent to
+    per-doc dedup of the selected hashes, which array_distinct does on the
+    selection array before the explode. One exchange (the capped-bucket
+    gate) now remains between the scan and the pair expansion."""
+    sel_h = f"array_distinct(transform({_sel_let(fast)}, s -> s.h))"
+    dfp = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(W_SPARK).alias("ws"))
+        .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
+        .select("doc_id", F.explode(F.expr(sel_h)).alias("h"))
+    )
     buckets = capped_buckets(dfp, ["h"], "doc_id", cap=PAIR_CAP)
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
