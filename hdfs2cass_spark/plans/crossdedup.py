@@ -37,8 +37,8 @@ from ..operators.buckets import capped_buckets
 from ..sources import load_table
 from .llm import (
     BAND_CAP,
+    _band_structs,
     _spread_docs,
-    band_rows,
     bands_sql,
     hash60_duck,
     hash60_spark,
@@ -163,20 +163,26 @@ def cross_dedup_df(
         .withColumn("exact_dup", F.lit(True))
     )
 
-    # near: one minhash aggregate per side; band keys union under a side
-    # marker so the skew cap gates the COMBINED bucket in one pass
-    wn = minhash_wide_df(new, fast=fast, with_sets=True, spread=False)
-    wr = minhash_wide_df(ref, fast=fast, with_sets=True, spread=False)
+    # near: ONE minhash aggregate over the side-marked union (r13 — the two
+    # per-side aggregates each scanned+shingled+hashed their corpus, and the
+    # melted verify referenced both AGAIN, so every action paid FOUR
+    # corpus-scale aggregate subtrees; the union form pays two: one for the
+    # band pass, one for the set pass — same bytes hashed per pass, half
+    # the passes). The side marker rides the aggregate as a group_extra
+    # column (doc-constant, so the group shape is unchanged).
+    u = new.select("doc_id", "text").withColumn("_side", F.lit("n")).unionByName(
+        ref.select("doc_id", "text").withColumn("_side", F.lit("r"))
+    )
+    wide = minhash_wide_df(
+        u, fast=fast, with_sets=True, spread=False, group_extra=("_side",)
+    )
 
-    def _bands(wide: DataFrame, side: str) -> DataFrame:
-        # the shared band-key definition, payload re-marked with the side
-        return band_rows(wide).select(
-            F.struct(F.lit(side).alias("side"), F.col("doc_id").alias("d")).alias("sd"),
-            "band",
-            "bkey",
-        )
-
-    allb = _bands(wn, "n").unionByName(_bands(wr, "r"))
+    # the shared band-key definition (_band_structs), payload marked with
+    # the side — band_rows' explode with the sd struct payload inlined
+    allb = wide.select(
+        F.struct(F.col("_side").alias("side"), F.col("doc_id").alias("d")).alias("sd"),
+        F.explode(F.array(*_band_structs())).alias("bb"),
+    ).select("sd", "bb.band", "bb.bkey")
     buckets = capped_buckets(allb, ["band", "bkey"], "sd", cap=BAND_CAP)
     # in-row cross expansion: new-side x ref-side only (<= cap^2 per bucket)
     pair_expr = (
@@ -189,9 +195,7 @@ def cross_dedup_df(
         .select("p.new_id", "p.ref_id")
         .distinct()
     )
-    sets = wn.select("doc_id", "shset", "n_sh").unionByName(
-        wr.select("doc_id", "shset", "n_sh")
-    )
+    sets = wide.select("doc_id", "shset", "n_sh")
     near = (
         verified_jaccard(cand, sets, a="new_id", b="ref_id", threshold=threshold)
         .select(F.col("new_id").alias("doc_id"))

@@ -562,18 +562,26 @@ def _minhash_wide(
 
 
 def minhash_wide_df(
-    d: DataFrame, fast: bool = False, with_sets: bool = False, spread: bool = True
+    d: DataFrame,
+    fast: bool = False,
+    with_sets: bool = False,
+    spread: bool = True,
+    group_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """_minhash_wide over an arbitrary (doc_id, text, ...) DataFrame — the
     composable form curate_corpus feeds its dedup survivors through.
     ``spread=False`` skips the scan-parallelism check for inputs that already
-    sit downstream of a shuffle."""
+    sit downstream of a shuffle. ``group_extra`` names doc-constant columns
+    to carry through the aggregate (grouped alongside doc_id — a no-op on
+    the group shape since doc_id is unique; the cross-corpus dedup rides its
+    side marker through ONE union-side aggregate this way instead of
+    aggregating each corpus separately)."""
     # explode WITHOUT the _shingles .distinct(): collect_set dedups and min is
     # duplicate-insensitive, so the extra (doc_id, s) shuffle buys nothing
     sh = (
         (_spread_docs(d) if spread else d)
-        .select("doc_id", F.expr(W_SPARK).alias("ws"))
-        .select("doc_id", F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
+        .select("doc_id", *group_extra, F.expr(W_SPARK).alias("ws"))
+        .select("doc_id", *group_extra, F.explode(F.expr(SH_ON_WS_SPARK)).alias("s"))
     )
     # each signature aggregate is ONE parsed SQL expression: the Column-API
     # forms cost ~10 py4j round-trips per signature (~0.3 s per call at
@@ -593,9 +601,11 @@ def minhash_wide_df(
         # overruns h's 60 bits and keeps its own conv.
         sh = sh.select(
             "doc_id",
+            *group_extra,
             F.expr("md5(CAST(s AS BINARY))").alias("mhex"),
         ).select(
             "doc_id",
+            *group_extra,
             F.expr("CAST(conv(substr(mhex, 1, 15), 16, 10) AS BIGINT)").alias("h"),
             F.expr(f"CAST(conv(substr(mhex, 9, 8), 16, 10) AS BIGINT) % {_MH_G}").alias("g2"),
         ).withColumn("g1", F.expr(f"shiftright(h, 28) % {_MH_G}"))
@@ -608,11 +618,11 @@ def minhash_wide_df(
         # ~8-byte-per-element array_intersect on the verify side
         hcol = F.xxhash64(F.col("s")) if fast else F.col("h")
         return (
-            sh.groupBy("doc_id")
+            sh.groupBy("doc_id", *group_extra)
             .agg(F.collect_set(hcol).alias("shset"), *aggs)
             .withColumn("n_sh", F.size("shset"))
         )
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id", *group_extra).agg(*aggs)
 
 
 # build the oracle SQL for minhash queries programmatically (the identical
