@@ -1336,36 +1336,49 @@ def connected_components(
     # executor block storage until a GC happened to run).
     from ..operators.ckpt import release_checkpoint
 
-    ckpt = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    comps = ckpt
+    # Round 0 folds the identity-label table away (r13): with comp(node) =
+    # node, the neighbor-min join against the label table is an identity
+    # join and the node list is distinct(a) by symmetry — so the first
+    # round is ONE aggregate over sym (least(a, min(b))), and the separate
+    # nodes-distinct checkpoint job disappears. Rounds >= 1 are unchanged.
+    ckpt = None
+    comps = None
     converged = False
     for _round in range(max_iter):
         _t0 = time.perf_counter() if round_log is not None else 0.0
-        neighbor_min = (
-            sym.join(comps, sym.b == comps.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        updated = (
-            comps.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
-                (F.col("ncomp") < F.col("comp")).alias("_changed"),
+        if comps is None:
+            updated = (
+                sym.groupBy(F.col("a").alias("node"))
+                .agg(F.min("b").alias("ncomp"))
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.col("ncomp")).alias("comp"),
+                    (F.col("ncomp") < F.col("node")).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            neighbor_min = (
+                sym.join(comps, sym.b == comps.node)
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            updated = (
+                comps.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                    (F.col("ncomp") < F.col("comp")).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
         changed = updated.filter(F.col("_changed")).count()
         if round_log is not None:
             round_log.append((_round, changed, time.perf_counter() - _t0))
         # release the CHECKPOINTED handle, not the derived projection — the
         # unpersist accessor needs the LogicalRDD at the plan root
-        release_checkpoint(ckpt)  # superseded: `updated` is materialized
+        if ckpt is not None:
+            release_checkpoint(ckpt)  # superseded: `updated` is materialized
         ckpt = updated
         comps = updated.drop("_changed")
         if changed == 0:
