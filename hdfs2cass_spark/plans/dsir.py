@@ -152,11 +152,19 @@ def dsir_weights_df(
         .cast("bigint")
         .alias("c_t"),
     )
-    tot = m.agg(
-        F.sum("c_r").cast("bigint").alias("n_r"),
-        F.sum("c_t").cast("bigint").alias("n_t"),
-    )
-    model = m.crossJoin(F.broadcast(tot)).select(
+    # totals derive from the 256-row bucket table itself (unbounded window
+    # over the aggregate output), NOT from a second m.agg(): Catalyst inlines
+    # a separate agg as a THIRD corpus-wide scan+explode+hash subtree (the
+    # r13 before-plan shows it), and exchange reuse is not guaranteed to
+    # dedup it. The window sees `buckets` rows on one partition — free.
+    w_all = Window.partitionBy()
+    model = m.select(
+        "b",
+        "c_r",
+        "c_t",
+        F.sum("c_r").over(w_all).cast("bigint").alias("n_r"),
+        F.sum("c_t").over(w_all).cast("bigint").alias("n_t"),
+    ).select(
         "b",
         F.expr(
             f"CAST(round("
