@@ -180,16 +180,24 @@ def lang_rates_df(d: DataFrame, cap: bool) -> DataFrame:
         .cast("bigint")
         .alias("sq"),
     )
-    t = s.agg(
-        F.sum("sq").cast("bigint").alias("s_tot"),
-        F.sum("n_lang").cast("bigint").alias("n_tot"),
+    # totals via an unbounded window over the O(#langs) aggregate, NOT a
+    # second s.agg() + crossJoin: Catalyst inlines the latter as a SECOND
+    # corpus scan+aggregate subtree (dsir r13 precedent; the before-plan
+    # showed 3 scans). Integer sums of the same bigints — identical rates.
+    w_all = Window.partitionBy()
+    s = s.select(
+        "lang",
+        "n_lang",
+        "sq",
+        F.sum("sq").over(w_all).cast("bigint").alias("s_tot"),
+        F.sum("n_lang").over(w_all).cast("bigint").alias("n_tot"),
     )
     rate = (F.col("sq").cast("double") / F.col("s_tot").cast("double")) * (
         F.col("n_tot").cast("double") / F.col("n_lang").cast("double")
     )
     if cap:
         rate = F.least(F.lit(1.0), rate)
-    return s.crossJoin(F.broadcast(t)).select("lang", "n_lang", rate.alias("rate"))
+    return s.select("lang", "n_lang", rate.alias("rate"))
 
 
 @declare(
