@@ -120,12 +120,21 @@ def top_paths_report(paths: DataFrame) -> DataFrame:
     census = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
-    tot = census.agg(F.sum("n_sessions").cast("bigint").alias("t"))
-    # top-k FIRST via orderBy+limit -> TakeOrderedAndProject (mappers
-    # truncate to 20; the path census never rides an unpartitioned window),
+    # the session total rides an unbounded window over the POST-AGGREGATE
+    # census, NOT a census.agg() + crossJoin: Catalyst inlines the latter as
+    # a SECOND full sessionize->paths->census subtree per action (the r13
+    # before-plan shows the whole window pipeline twice, no ReusedExchange).
+    # The window's single partition sees #distinct-paths rows — bounded by
+    # the event-type alphabet ^ PATH_STEPS, corpus-size-independent — and
+    # the same bigint sum yields the identical total.
+    census = census.withColumn(
+        "t", F.sum("n_sessions").over(Window.partitionBy()).cast("bigint")
+    )
+    # top-k FIRST via orderBy+limit -> TakeOrderedAndProject (census is
+    # already on one partition post-window; mappers truncate to 20),
     # THEN rank: the row_number window is global but sees <= TOP_PATHS rows
     top = (
-        census.crossJoin(F.broadcast(tot))
+        census
         .select(
             "path",
             "n_sessions",

@@ -151,9 +151,16 @@ def test_top_paths_agg_input_is_rn_bounded(spark, events_sf):
     # hash(user_id) from sessionization already clusters (user_id,
     # session_no): the in-session window must re-sort in place, not shuffle
     assert ", session_no" not in plan.split("Exchange hashpartitioning", 1)[-1].split(")", 1)[0]
-    # the census subtree feeds BOTH the top-k and the share denominator —
-    # AQE must reuse the census exchange, not recompute scan+sessionize
-    assert "ReusedExchange" in plan
+    # the share denominator rides an unbounded window over the POST-AGGREGATE
+    # census (r13: the census.agg + crossJoin form re-ran the whole
+    # scan+sessionize+census pipeline per action — exchange reuse only
+    # deduped the events-scan shuffle, not the window pipeline above it).
+    # One sessionize pipeline in the executed plan: exactly one
+    # partial_collect_list (the path build runs once) and no
+    # BroadcastNestedLoopJoin for the total.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("partial_collect_list") == 1
+    assert "BroadcastNestedLoopJoin" not in final
 
 
 def test_top_paths_mega_session_bounded(spark, tmp_path):
