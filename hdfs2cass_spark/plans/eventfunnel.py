@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import declare
@@ -187,11 +188,21 @@ def cohort_report_from_act(act: DataFrame) -> DataFrame:
     activity aggregate — shared by the batch query above and the streaming
     cohort log (streaming/funnel.py cohort_report_from_weeks), so the
     base-size join and rounding cannot drift between the two surfaces."""
-    base = act.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
-    )
+    # cohort_size rides a window over the POST-AGGREGATE act frame (grain:
+    # #cohort-weeks partitions), not a filter + broadcast join-back, which
+    # Catalyst inlines as a SECOND full activity-aggregate subtree per
+    # action (r13; the dsir/top_paths precedent). A cohort with no
+    # offset-0 row sums to NULL and the NOT-NULL filter reproduces the
+    # former inner join exactly.
+    w_cohort = Window.partitionBy("cohort_week")
     return (
-        act.join(F.broadcast(base), "cohort_week")
+        act.withColumn(
+            "cohort_size",
+            F.sum(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+                w_cohort
+            ),
+        )
+        .filter(F.col("cohort_size").isNotNull())
         .select(
             "cohort_week",
             "week_offset",
@@ -364,14 +375,13 @@ def transition_report_from_counts(t: DataFrame) -> DataFrame:
     derive from the same relation, and when that relation is a bare scan
     (the streaming memory sink) the analyzer cannot disambiguate the
     shared attribute ids."""
-    s = (
-        t.select(F.col("prev_type").alias("_pt"), "n")
-        .groupBy("_pt")
-        .agg(F.sum("n").alias("n_prev"))
-        .withColumnRenamed("_pt", "prev_type")
-    )
+    # the row normalizer rides a window over the POST-AGGREGATE count table
+    # (grain: #event-types partitions), not a re-aggregate + broadcast
+    # join-back, which Catalyst inlines as a SECOND transition-count subtree
+    # per action (r13). Every t row's prev_type is in its own partition by
+    # construction, so the window sum equals the former inner-join value.
     return (
-        t.join(F.broadcast(s), "prev_type")
+        t.withColumn("n_prev", F.sum("n").over(Window.partitionBy("prev_type")))
         .select(
             "prev_type",
             "next_type",

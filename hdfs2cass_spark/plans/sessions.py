@@ -193,16 +193,20 @@ def engagement_from_pairs(ud: DataFrame) -> DataFrame:
     DAU/WAU computation, shared by the batch query above and the streaming
     active-day emission log (streaming/funnel.py stream_active_days), so
     the two surfaces cannot drift."""
-    days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
-    # each (user, day) pair covers target days day..day+6; keep only
-    # observed days (the report's grain) via the broadcast day list
+    # each (user, day) pair covers target days day..day+6; target days
+    # nobody was active on are dropped by the final INNER join on dau's day
+    # list, so the former broadcast observed-day pre-filter (a THIRD
+    # corpus-distinct subtree per action — Catalyst inlines ud for it) only
+    # pre-shrunk the wau aggregate's input by the unobserved-day fraction.
+    # r13: removed — the explode count is bounded at WAU_DAYS x |ud| either
+    # way and one full distinct pass of the corpus disappears.
     targets = ud.select(
         "user_id",
         F.explode(
             F.expr(f"transform(sequence(0, {WAU_DAYS - 1}), i -> date_add(day, i))")
         ).alias("day"),
-    ).join(F.broadcast(days), "day")
+    )
     wau = targets.groupBy("day").agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
