@@ -18,6 +18,7 @@ Scale design (the point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,87 @@ SH_ON_WS_SPARK = (
 )
 
 
+def _bytes_conf(conf, key: str, dflt: str) -> int:
+    v = (conf.get(key, dflt) or dflt).strip().lower()
+    return int(v[:-1] if v.endswith("b") else v)
+
+
+def _scan_partitions(df: DataFrame) -> int | None:
+    """Spark's scan partition count, computed driver-side without a plan→RDD
+    conversion (`df.rdd` costs 45-110 ms of py4j + deserializer planning per
+    call — measured r13; this is ~10 ms). Replicates FilePartition.scala's
+    maxSplitBytes + greedy bin packing from the local file sizes; validated
+    equal to `df.rdd.getNumPartitions()` on every fixture table at all three
+    SFs (incl. the 3-split lineitem). Returns None (caller falls back) for
+    non-`file:` schemes, missing files, or non-scan inputs.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-source plans
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = f[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    maxpb = _bytes_conf(conf, "spark.sql.files.maxPartitionBytes", "134217728b")
+    opencost = _bytes_conf(conf, "spark.sql.files.openCostInBytes", "4194304b")
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        minpn = int(conf.get("spark.sql.files.minPartitionNum", str(dp)) or dp)
+    except Exception:  # noqa: BLE001
+        minpn = dp
+    total = sum(sizes) + len(sizes) * opencost
+    max_split = min(maxpb, max(opencost, total // max(minpn, 1)))
+    pieces = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            pieces.append(min(max_split, s - off))
+            off += max_split
+        if s == 0:
+            pieces.append(0)
+    pieces.sort(reverse=True)
+    n, cur, opened = 0, 0, False
+    for p in pieces:
+        if opened and cur + p > max_split:
+            n += 1
+            cur = 0
+        cur += p + opencost
+        opened = True
+    return n + 1 if opened else 0
+
+
+# logical-plan nodes that cannot RAISE the partition count above the scan's
+# split count; anything else (Repartition, Join, Aggregate, Window, ...) may
+# already have spread the data, so the slow df.rdd check decides there.
+_SCAN_SHAPED_NODES = frozenset({
+    "Relation", "UnresolvedDataSource", "UnresolvedRelation", "Project",
+    "Filter", "SubqueryAlias", "Union", "View", "WithColumns",
+})
+
+
+def _plan_is_scan_shaped(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("(", 1)[0]
+        if node and node not in _SCAN_SHAPED_NODES:
+            return False
+    return True
+
+
 def _spread_docs(df: DataFrame) -> DataFrame:
     """Ensure scan parallelism before an explode-heavy stage.
 
@@ -60,9 +142,19 @@ def _spread_docs(df: DataFrame) -> DataFrame:
     gives ~100k+ splits) this is a NO-OP: shipping the whole raw-text corpus
     through an exchange just to "spread" it would be a pure waste there, and
     the previous unconditional repartition did exactly that. The check reads
-    the physical scan's partition count (no job runs).
+    the physical scan's partition count (no job runs; computed from file
+    sizes when local, `df.rdd` otherwise).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    est = _scan_partitions(df)
+    if est is not None and 2 * est >= n:
+        # scan splits alone satisfy the bar; upstream transforms never shrink
+        # them (no coalesce in any caller), so the no-op verdict is safe
+        return df
+    if est is not None and _plan_is_scan_shaped(df):
+        # narrow bare scan (the common bench-scale case): the estimate IS the
+        # partition count — spread without paying the plan→RDD conversion
+        return df.repartition(n, "doc_id")
     try:
         cur = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — conversion quirks: keep the safe path

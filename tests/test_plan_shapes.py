@@ -312,6 +312,29 @@ def test_spread_docs_is_conditional(spark, sf_dir):
     assert _spread_docs(wide) is wide  # identity: no exchange added
 
 
+def test_scan_partitions_estimate_matches_spark(spark, sf_dir):
+    """_scan_partitions (the driver-side split estimate that replaced the
+    45-110 ms df.rdd conversion in _spread_docs, r13) must agree with
+    Spark's own FilePartition packing on every fixture table, and must
+    decline (None) on inputs it cannot see through — the df.rdd fallback
+    handles those."""
+    from hdfs2cass_spark.plans.llm import _plan_is_scan_shaped, _scan_partitions
+    from hdfs2cass_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        est = _scan_partitions(df)
+        assert est == df.rdd.getNumPartitions(), t
+        assert _plan_is_scan_shaped(df), t
+    # in-memory frame: no input files -> decline to estimate
+    mem = spark.range(10).withColumnRenamed("id", "doc_id")
+    assert _scan_partitions(mem) is None
+    # an upstream repartition hides the true count from the file estimate:
+    # the plan gate must reject it so the fallback answers
+    rep = load_table(spark, sf_dir, "documents").repartition(4)
+    assert not _plan_is_scan_shaped(rep)
+
+
 def test_jaccard_single_corpus_pass(spark, sf_dir):
     """ngram_jaccard_pairs must evaluate the shingle chain ONCE: one
     array_distinct in the whole plan (the n_tot embedding dodges the
