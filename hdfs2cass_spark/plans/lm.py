@@ -16,10 +16,12 @@ model-fit amortized into the query instead of a side-loaded artifact.
 adjacent word pair, 60-bit hashed — no vocabulary built or broadcast) and
 is materialized ONCE (DISK_ONLY localCheckpoint — it feeds both the model
 fit and the scoring probe, and its explode lambda never passes
-ReuseExchange); the model (distinct bigrams with MLE log-probs) comes from
-two cascaded map-side-combined aggregations, and scoring is ONE hashed
-equi-join of positions to model (AQE-splittable, nothing broadcast) plus a
-per-doc aggregate. Determinism for the oracle: per-bigram log-probs round to 9
+ReuseExchange); the model (distinct bigrams with MLE log-probs) is one
+map-side-combined aggregation plus an unbounded window per unigram (the
+denominator partition is the distinct CONTINUATIONS of one prefix word —
+vocabulary-bounded, not corpus-bounded, so no window task scales with the
+corpus), and scoring is ONE hashed equi-join of positions to model
+(AQE-splittable, nothing broadcast) plus a per-doc aggregate. Determinism for the oracle: per-bigram log-probs round to 9
 decimals and sum as DECIMAL (exact, order-independent — float summation
 order differs between engines), with the final average a rounded double
 division of identical operands.
@@ -32,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
@@ -68,8 +71,9 @@ _LOGP_DEC = "DECIMAL(20, 9)"
     """,
     doc="Bigram-LM quality scoring (the in-dataflow analogue of the CCNet "
     "perplexity filter): a bigram MLE model is fit on the corpus in one "
-    "pass (two cascaded map-side-combined aggregations over 60-bit-hashed "
-    "word pairs — no vocabulary built, broadcast, or side-loaded) and each "
+    "pass (one map-side-combined aggregation over 60-bit-hashed word "
+    "pairs, denominators via a per-unigram window — no vocabulary built, "
+    "broadcast, or side-loaded) and each "
     "doc scores as the average log P(w_i | w_i-1) of its transitions. Low "
     "avg_logprob flags gibberish / word-salad / wrong-language docs. "
     "Scoring is one hashed equi-join of the position table to the model "
@@ -109,8 +113,14 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     cb = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
-    cu = cb.groupBy("a").agg(F.sum("cnt_ab").alias("cnt_a"))
-    model = cb.join(cu, "a").select(
+    # cnt_a rides an unbounded window over cb (grain: one partition per
+    # unigram a), not a re-aggregate + join-back — Catalyst inlines cb as a
+    # SECOND aggregate subtree for the cu branch and re-shuffles cb by a for
+    # the join (r13; the dsir/lang_rates precedent). The window sum is the
+    # identical integer SUM(cnt_ab) per a, so logp is bit-equal.
+    model = cb.withColumn(
+        "cnt_a", F.sum("cnt_ab").over(Window.partitionBy("a"))
+    ).select(
         "a",
         "b",
         F.expr(
