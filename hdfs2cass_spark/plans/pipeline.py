@@ -177,7 +177,16 @@ def top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .select("doc_id", F.explode(F.expr(_BG_ON_WS_SPARK)).alias("g"))
     )
-    cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    # ONE exchange for both aggregates (r13): hashpartitioning(doc_id)
+    # satisfies the clustering of groupBy(doc_id, g) AND groupBy(doc_id), so
+    # an explicit doc_id repartition lets the per-doc rollup ride the same
+    # shuffle. The former shape paid TWO corpus-scale exchanges — the
+    # (doc_id, g) aggregate's and a re-shuffle of the ~same-sized cnt table
+    # by doc_id (map-side combine bought almost nothing: a doc's bigrams are
+    # mostly distinct, and each doc's rows already sit in one map partition).
+    cnt = bg.repartition(F.col("doc_id")).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
         cnt.groupBy("doc_id")
         .agg(
