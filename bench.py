@@ -820,7 +820,12 @@ def main() -> int:
                 continue
             if (
                 ev.get("verdict")
-                in ("flat-slope", "flat-slope-vs-duck", "flat-slope-internal")
+                in (
+                    "flat-slope",
+                    "flat-slope-vs-duck",
+                    "flat-slope-internal",
+                    "flat-slope-amortizing",
+                )
                 and ev.get("module_sha256")
                 and ev["module_sha256"] == _module_sha(name)
             ):
