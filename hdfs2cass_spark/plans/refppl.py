@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
@@ -132,8 +133,16 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refb = big.filter(F.col("doc_id") % REF_MOD == 0).select("a", "b")
     cb = refb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
-    cu = cb.groupBy("a").agg(F.sum("cnt_ab").alias("cnt_a"))
-    model = cb.join(cu, "a").select(
+    # cnt_a rides an unbounded window over cb (one partition per unigram a),
+    # not a re-aggregate + join-back — the lm.py r13 fix, which this module's
+    # copy of the fit missed: Catalyst inlines cb as a SECOND aggregate
+    # subtree for the cu branch and re-shuffles cb by a for the join. The
+    # window sum is the identical integer SUM(cnt_ab) per a, so logp is
+    # bit-equal; a window partition holds the distinct CONTINUATIONS of one
+    # prefix word — vocabulary-bounded, not corpus-bounded.
+    model = cb.withColumn(
+        "cnt_a", F.sum("cnt_ab").over(Window.partitionBy("a"))
+    ).select(
         "a",
         "b",
         F.expr(
