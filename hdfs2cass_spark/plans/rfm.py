@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.ntile import exact_ntile
 from ..sources import load_table
@@ -98,6 +99,15 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # the user-grain table feeds three chained exact_ntile applications,
+        # each consuming its input TWICE (histogram + rank join-back) — the
+        # un-materialized event-grain aggregate subtree multiplies up to 2^3
+        # copies in the plan and runtime reuse does not dedup the work above
+        # the exchanges (measured: 5M-event stress, u alone 0.72 s vs the
+        # full query 2.8-3.5 s). Materialize it once before the chain — the
+        # refppl.py pre-ntile pattern (its `scored` checkpoint, same reason).
+        # 5M-event interleaved A/B: 3.48/2.81 -> 2.13/2.23 s.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     return rfm_from_metrics(u)
 
