@@ -421,3 +421,32 @@ def test_winnow_pairs_capped_before_collect(spark, sf_dir):
     # appears AFTER the collect_list aggregate in the text
     assert "windowspecdefinition(h#" in p  # the per-hash count gate exists
     assert p.index("collect_list") < p.index("windowspecdefinition(h#")
+
+
+def test_refppl_fit_denominator_rides_window(spark, sf_dir, monkeypatch):
+    """ref_perplexity_buckets' model fit (r13 #16): cnt_a must ride a window
+    over the (a, b) count table, not a re-aggregate + join-back — Catalyst
+    inlines the join-back form as a SECOND aggregate subtree and re-shuffles
+    the counts by a, all inside the per-pass checkpoint lineage. The fit is
+    hidden behind the lazy localCheckpoints, so assert on the
+    checkpoint-BYPASSED tree: the unigram window exists and the inlined
+    parquet-scan count stays at the window form's 8 (the join-back form
+    inlines 12)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", lambda self, *a, **k: self)
+    p = _explain(spark, CATALOG["ref_perplexity_buckets"].fn(spark, sf_dir))
+    assert "windowspecdefinition(a#" in p  # cnt_a = sum(cnt_ab) OVER (PARTITION BY a)
+    assert p.count("Scan parquet") <= 8
+
+
+def test_rfm_materializes_user_grain_before_ntile_chain(spark, sf_dir):
+    """rfm_user_segments (r13 #17): the user-grain table feeds three chained
+    exact_ntile applications, each consuming its input twice (histogram +
+    rank join-back) — un-materialized, the event-grain aggregate multiplies
+    into up to 2^3 plan copies (32 parquet scans measured). The checkpoint
+    must make every ntile consumer ride ONE materialized RDD: no parquet
+    scan may survive in the final plan."""
+    p = _explain(spark, CATALOG["rfm_user_segments"].fn(spark, sf_dir))
+    assert "Scan parquet" not in p  # all consumers read the checkpointed RDD
+    assert "Scan ExistingRDD" in p
