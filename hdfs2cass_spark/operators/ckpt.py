@@ -11,6 +11,28 @@ state cardinalities (round-8 advice).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Cut lineage on a reused intermediate: a RELIABLE ``checkpoint()``
+    when the session has a checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir`` / ``spark.checkpoint.dir``),
+    else a DISK_ONLY ``localCheckpoint``.
+
+    Why (r13 verdict item 9): a localCheckpoint's blocks live on executors
+    — on a real cluster an executor loss severs the lineage with no
+    recompute path, so any operator that depends on one (the bigram-LM fit,
+    the refppl scored table, the gram-position table, the compose
+    survivors, the rfm user-grain table) would fail the whole job instead
+    of re-running a stage. Deployments that cannot accept a job rerun set a
+    checkpoint dir and get HDFS-backed reliable checkpoints; local runs and
+    the bench (no dir set) keep the cheaper executor-local form, so bench
+    behavior is unchanged."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def release_checkpoint(df: DataFrame) -> None:

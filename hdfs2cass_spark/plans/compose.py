@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..operators.ckpt import materialize
 from ..sources import load_table
 from .llm import (
     CLUSTER_EDGES_FRAGMENT,
@@ -208,8 +208,8 @@ def curate_stage_dfs(d: DataFrame) -> dict[str, DataFrame]:
         # streaming/curate.py). Lazy: the first CC job populates it.
         # DISK_ONLY so the stored survivors never pin the unified memory pool
         # against the chain's own aggregates (see exact_substring_spans).
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    deduped = materialize(deduped)
 
     # --- 3. near-dup dedup: LSH pairs -> clusters -> keep min per cluster ---
     # spread=False: the survivors sit downstream of the dedup window's

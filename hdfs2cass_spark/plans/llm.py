@@ -132,6 +132,35 @@ def _plan_is_scan_shaped(df: DataFrame) -> bool:
     return True
 
 
+# applicationId -> is the FilePartition-packing replica trusted? (r13 verdict
+# item 10: the replica tracks FilePartition.scala's maxSplitBytes + greedy
+# packing, which could drift across Spark versions)
+_SCAN_EST_VALIDATED: dict[str, bool] = {}
+
+
+def _scan_est_ok(df: DataFrame, est: int) -> bool:
+    """One-time per-application cross-check of `_scan_partitions` against
+    Spark's own plan->RDD partition count. The first SCAN-SHAPED use (where
+    the estimate must equal `df.rdd.getNumPartitions()` exactly) pays one
+    df.rdd conversion (~50-100 ms, once per session); a mismatch permanently
+    disables the estimator for this application — every later caller falls
+    back to the df.rdd path — so a Spark upgrade that changes split packing
+    can never silently change spread decisions."""
+    app = df.sparkSession.sparkContext.applicationId
+    ok = _SCAN_EST_VALIDATED.get(app)
+    if ok is None:
+        if not _plan_is_scan_shaped(df):
+            # no exact ground truth on a transformed plan; trust the fixture-
+            # tested equality for now and validate on a later bare scan
+            return True
+        try:
+            ok = df.rdd.getNumPartitions() == est
+        except Exception:  # noqa: BLE001 — unvalidatable: keep the estimator
+            ok = True
+        _SCAN_EST_VALIDATED[app] = ok
+    return ok
+
+
 def _spread_docs(df: DataFrame) -> DataFrame:
     """Ensure scan parallelism before an explode-heavy stage.
 
@@ -147,6 +176,8 @@ def _spread_docs(df: DataFrame) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     est = _scan_partitions(df)
+    if est is not None and not _scan_est_ok(df, est):
+        est = None  # replica drifted vs this Spark's packing: df.rdd decides
     if est is not None and 2 * est >= n:
         # scan splits alone satisfy the bar; upstream transforms never shrink
         # them (no coalesce in any caller), so the no-op verdict is safe

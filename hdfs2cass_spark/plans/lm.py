@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
+from ..operators.ckpt import materialize
 from ..sources import load_table
 from .llm import W_DUCK, W_SPARK, _spread_docs, hash60_duck, hash60_spark
 from .registry import declare
@@ -106,12 +106,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.a", "g.b")
-        # the position table feeds TWO branches (model fit + scoring probe)
-        # and its explode carries a lambda subtree that never passes
-        # ReuseExchange — materialize once, same house shape (and rationale)
-        # as exact_substring_spans' gram table
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # the position table feeds TWO branches (model fit + scoring probe)
+    # and its explode carries a lambda subtree that never passes
+    # ReuseExchange — materialize once, same house shape (and rationale)
+    # as exact_substring_spans' gram table
+    big = materialize(big)
     cb = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
     # cnt_a rides an unbounded window over cb (grain: one partition per
     # unigram a), not a re-aggregate + join-back — Catalyst inlines cb as a

@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
+from ..operators.ckpt import materialize
 from ..sources.readers import load_table
 from .llm import (
     SHH_DUCK,
@@ -258,13 +258,12 @@ def substring_gram_positions(d: DataFrame) -> DataFrame:
         + hash60_spark(f"concat_ws(' ', slice(ws, i, {SUBSTR_K}))")
         + ")"
     )
-    return (
+    return materialize(
         _spread_docs(d)
         .select("doc_id", F.expr(W_SPARK).alias("ws"))
         .filter(F.expr(f"size(ws) >= {SUBSTR_K}"))
         .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
 

@@ -26,8 +26,12 @@ a window over the histogram gives each score's "better-rows-before-me"
 offset; each doc's exact rank = that offset + its row_number among its
 equal-score peers (a (lang, score)-partitioned window — bounded by tie
 counts, not corpus size); the ntile bucket is then closed-form arithmetic
-on (rank, n). Every window in the plan is bounded: histogram-sized or
-tie-sized, never corpus-sized. Engine-exactness: ranks are exact integers
+on (rank, n). Every window in the plan is bounded — histogram-sized,
+tie-sized, or (the r13 fit window: SUM(cnt_ab) OVER (PARTITION BY a))
+vocabulary-bounded, a partition holding one prefix word's distinct
+continuations; a heavy-hitter prefix gives a large partition, but its size
+is capped by vocabulary, not corpus — never corpus-sized.
+Engine-exactness: ranks are exact integers
 under the deterministic (score DESC, doc_id) order, and the closed-form
 bucket reproduces NTILE's ceil/floor sizes bit-for-bit.
 """
@@ -37,8 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
+from ..operators.ckpt import materialize
 from ..sources import load_table
 from .crossdedup import REF_MOD
 from .llm import W_DUCK, W_SPARK, _spread_docs, hash60_duck, hash60_spark
@@ -125,12 +129,12 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "lang", "g.a", "g.b")
-        # the position table feeds TWO branches (reference model fit +
-        # new-split scoring) and its explode lambda never passes
-        # ReuseExchange — materialize once (the lm.py rationale verbatim;
-        # measured 18.2s -> see ROUND8.md at the 1M-doc stress)
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # the position table feeds TWO branches (reference model fit +
+    # new-split scoring) and its explode lambda never passes
+    # ReuseExchange — materialize once (the lm.py rationale verbatim;
+    # measured 18.2s -> see ROUND8.md at the 1M-doc stress)
+    big = materialize(big)
     refb = big.filter(F.col("doc_id") % REF_MOD == 0).select("a", "b")
     cb = refb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
     # cnt_a rides an unbounded window over cb (one partition per unigram a),
@@ -176,9 +180,7 @@ def ref_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, 6 narrow columns; at the 1M-doc stress the win is modest — the
     # md5 word hashing dominates — but at 100 TB the avoided recompute is
     # the full fit+score, not a hash-bound scan)
-    scored = scored_plan.localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
+    scored = materialize(scored_plan)
     # Exact per-language terciles WITHOUT a corpus-sized window — the
     # histogram-rank NTILE (operators/ntile.py: cumulative window over the
     # small (lang, rounded-score) histogram + tie-local row_numbers +

@@ -26,8 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..operators.ckpt import materialize
 from ..operators.ntile import exact_ntile
 from ..sources import load_table
 from .catalog import _qsum
@@ -106,8 +106,10 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exchanges (measured: 5M-event stress, u alone 0.72 s vs the
         # full query 2.8-3.5 s). Materialize it once before the chain — the
         # refppl.py pre-ntile pattern (its `scored` checkpoint, same reason).
-        # 5M-event interleaved A/B: 3.48/2.81 -> 2.13/2.23 s.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        # 5M-event interleaved A/B: 3.48/2.81 -> 2.13/2.23 s. The
+        # materialization itself lives in rfm_from_metrics (r13 ADVICE: the
+        # streaming twin fed an un-materialized user-grain table and paid
+        # the same 2^3 plan-copy blowup; sharing the fold shares the fix).
     )
     return rfm_from_metrics(u)
 
@@ -117,7 +119,18 @@ def rfm_from_metrics(u: DataFrame) -> DataFrame:
     monetary) user-grain table — the ONE RFM scoring computation, shared by
     the batch query above and the streaming RFM state log
     (streaming/funnel.py rfm_report_from_log), so the two surfaces cannot
-    drift."""
+    drift.
+
+    The input is materialized HERE (lazy; reliable checkpoint when a
+    checkpoint dir is set, else DISK_ONLY localCheckpoint): the three
+    chained exact_ntile applications each consume their input twice
+    (histogram + rank join-back), so an un-materialized user-grain subtree
+    multiplies up to 2^3 copies in the plan (measured r13: 5M-event stress,
+    u alone 0.72 s vs the full query 2.8-3.5 s; A/B 3.48/2.81 -> 2.13/2.23
+    s). Living in the shared fold, the fix covers the streaming twin too
+    (r13 ADVICE: rfm_report_from_log previously fed an un-materialized
+    emissions aggregate and paid the same blowup)."""
+    u = materialize(u)
     q = exact_ntile(u, 5, "recency_days", "user_id", desc=False, out_col="r_q")
     q = exact_ntile(q, 5, "frequency", "user_id", desc=True, out_col="f_q")
     q = exact_ntile(q, 5, "monetary", "user_id", desc=True, out_col="m_q")

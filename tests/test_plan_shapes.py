@@ -335,6 +335,69 @@ def test_scan_partitions_estimate_matches_spark(spark, sf_dir):
     assert not _plan_is_scan_shaped(rep)
 
 
+def test_scan_estimator_self_check_disables_on_drift(spark, sf_dir, monkeypatch):
+    """_scan_est_ok (r14, r13 verdict item 10): the first scan-shaped use
+    cross-checks the FilePartition-packing replica against Spark's own
+    plan->RDD count; a mismatch permanently disables the estimator for the
+    application so a Spark-version packing change can never silently alter
+    spread decisions."""
+    from hdfs2cass_spark.plans import llm
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true_n = df.rdd.getNumPartitions()
+    # fresh state, correct estimate: validates and memoizes trusted
+    monkeypatch.setattr(llm, "_SCAN_EST_VALIDATED", {})
+    assert llm._scan_est_ok(df, true_n)
+    app = spark.sparkContext.applicationId
+    assert llm._SCAN_EST_VALIDATED[app] is True
+    # fresh state, drifted estimate: the guard must catch it and stick
+    monkeypatch.setattr(llm, "_SCAN_EST_VALIDATED", {})
+    assert not llm._scan_est_ok(df, true_n + 7)
+    assert llm._SCAN_EST_VALIDATED[app] is False
+    assert not llm._scan_est_ok(df, true_n)  # sticky: estimator stays off
+    # non-scan-shaped frame: no ground truth here -> defer, don't memoize
+    monkeypatch.setattr(llm, "_SCAN_EST_VALIDATED", {})
+    rep = df.repartition(4)
+    assert llm._scan_est_ok(rep, 1)
+    assert app not in llm._SCAN_EST_VALIDATED
+
+
+def test_materialize_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """materialize() (r14, r13 verdict item 9): DISK_ONLY localCheckpoint by
+    default; a RELIABLE checkpoint when the session has a checkpoint dir —
+    executor loss must not sever lineage on a real cluster. Rows identical
+    either way."""
+    from hdfs2cass_spark.operators.ckpt import materialize
+
+    def _ckpt_rdd(df):
+        # the checkpoint handle is the LogicalRDD at the analyzed-plan root
+        # (a fresh _jdf.rdd() would build a NEW, un-checkpointed RDD)
+        return df._jdf.queryExecution().analyzed().rdd()
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    expect = [r.k for r in df.collect()]
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # bench/local default: no dir
+    local = materialize(df)
+    assert sorted(r.k for r in local.collect()) == expect
+    assert _ckpt_rdd(local).isLocallyCheckpointed()
+    assert not _ckpt_rdd(local).isReliablyCheckpointed()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert sc.getCheckpointDir() is not None
+        rel = materialize(spark.range(100).withColumnRenamed("id", "k"))
+        assert sorted(r.k for r in rel.collect()) == expect
+        # lazy reliable checkpoint: materialized by the action above
+        assert _ckpt_rdd(rel).isReliablyCheckpointed()
+    finally:
+        # the dir is session-global: restore the no-dir default so the rest
+        # of the suite keeps the cheap localCheckpoint path (the Scala
+        # setter is name-mangled, hence getattr)
+        none_opt = sc._jvm.scala.Option.apply(None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none_opt)
+    assert sc.getCheckpointDir() is None
+
+
 def test_jaccard_single_corpus_pass(spark, sf_dir):
     """ngram_jaccard_pairs must evaluate the shingle chain ONCE: one
     array_distinct in the whole plan (the n_tot embedding dodges the
@@ -429,15 +492,22 @@ def test_refppl_fit_denominator_rides_window(spark, sf_dir, monkeypatch):
     inlines the join-back form as a SECOND aggregate subtree and re-shuffles
     the counts by a, all inside the per-pass checkpoint lineage. The fit is
     hidden behind the lazy localCheckpoints, so assert on the
-    checkpoint-BYPASSED tree: the unigram window exists and the inlined
-    parquet-scan count stays at the window form's 8 (the join-back form
-    inlines 12)."""
+    checkpoint-BYPASSED tree: the unigram window exists and no aggregate
+    keyed by the unigram alone survives (the join-back form's cu =
+    groupBy(a) subtree) — a structural property, unlike the old inlined
+    scan count, which was coupled to Catalyst inlining behavior (r13
+    ADVICE)."""
+    import re
+
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
     monkeypatch.setattr(ClassicDF, "localCheckpoint", lambda self, *a, **k: self)
     p = _explain(spark, CATALOG["ref_perplexity_buckets"].fn(spark, sf_dir))
     assert "windowspecdefinition(a#" in p  # cnt_a = sum(cnt_ab) OVER (PARTITION BY a)
-    assert p.count("Scan parquet") <= 8
+    # no HashAggregate(keys=[a#N]) anywhere: the (a, b) count table is the
+    # only aggregate over unigrams; a single-key aggregate on `a` means the
+    # re-aggregate + join-back shape came back
+    assert not re.search(r"HashAggregate\(keys=\[a#\d+[^,\]]*\]", p)
 
 
 def test_rfm_materializes_user_grain_before_ntile_chain(spark, sf_dir):
