@@ -11,7 +11,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from hdfs2cass_spark.session import get_session
 
-    s = get_session("hdfs2cass_spark-tests", shuffle_partitions=8)
+    s = get_session(
+        "hdfs2cass_spark-tests",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+    )
     yield s
     s.stop()
 

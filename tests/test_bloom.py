@@ -1,3 +1,4 @@
+import pytest
 """bloom_decontamination (plans/bloom.py): the fixed-size twin of the exact
 broadcast-set check. Pins the Bloom guarantee — one-sided error — against
 decontamination_overlap on the fixture corpus, plus the filter's structure.
@@ -17,6 +18,7 @@ from hdfs2cass_spark.plans.bloom import (
 from hdfs2cass_spark.plans.registry import CATALOG
 
 
+@pytest.mark.slow
 def test_no_false_negatives_vs_exact_check(spark, sf_dir):
     """Every doc the exact broadcast-set check finds contaminated MUST be
     flagged by the bloom twin (a miss would mean the filter dropped a bit —

@@ -112,6 +112,7 @@ def test_fit_matches_reference_trainer(spark, planted_sf):
     assert len(got) == 12
 
 
+@pytest.mark.slow
 def test_fit_is_deterministic_under_repartitioning(spark, planted_sf):
     from hdfs2cass_spark.sources.readers import load_table
 
@@ -136,6 +137,7 @@ def test_encode_lossless_and_matches_reference(spark, planted_sf):
         assert enc[i] == want
 
 
+@pytest.mark.slow
 def test_fit_and_encode_fuzz_vs_reference(spark, tmp_path):
     """Seeded random corpora (random small-alphabet words, random
     frequencies) — the trainer's merge sequence and the encoder's output

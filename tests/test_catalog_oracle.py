@@ -20,6 +20,24 @@ from hdfs2cass_spark.sources.readers import TABLES
 ORACLE_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
 
+# slow-tier params (r13 verdict item 1: fit the driver's verify budget):
+# - text_embed_dedup_clusters_md5: 52 s, ~68 s of which is DUCKDB evaluating
+#   the md5-embedding recursive CTE — not reducible without changing the
+#   declared query. Its Spark plan stays covered by the default-tier
+#   text_embed_near_dup_pairs_md5 oracle row and by the driver's own
+#   rotating oracle gate, which runs outside pytest.
+# - quality_classifier_learned (rows-only): the fn() re-FITS the logreg
+#   (~19 s driver-side); the same fn is exercised every default run by
+#   test_classifier.py's shared fixture.
+_SLOW_PARAMS = {"text_embed_dedup_clusters_md5", "quality_classifier_learned"}
+
+
+def _tiered(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARAMS else n
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -50,7 +68,7 @@ def _norm_rows(rows):
     return sorted((tuple(_norm_val(v) for v in r) for r in rows), key=repr)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ORACLE_QUERIES))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = CATALOG[name]
     sdf = q.fn(spark, sf_dir)
@@ -68,7 +86,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: value mismatches (first 5): {mismatches}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY_QUERIES))
 def test_rows_only_query_runs(spark, sf_dir, name):
     q = CATALOG[name]
     sdf = q.fn(spark, sf_dir)

@@ -21,6 +21,7 @@ def _norm(rows):
 
 
 @pytest.mark.parametrize("seed", [3, 17, 42])
+@pytest.mark.slow
 def test_matches_default_cc_on_random_graphs(spark, seed):
     rng = random.Random(seed)
     n = 120

@@ -212,6 +212,7 @@ def test_compact_on_empty_or_missing_path_is_a_noop(spark, tmp_path):
     shutil.rmtree(p, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_random_append_compact_interleavings_preserve_rows(spark, tmp_path):
     """Invariant over arbitrary (seeded) interleavings: whatever compaction
     points fire, the identity-fold index always reads back exactly the union

@@ -144,6 +144,7 @@ def test_crash_mid_write_torn_bucketed_keeper_rebuilds(spark, tmp_path):
     assert read_index(spark, p).count() == 300
 
 
+@pytest.mark.slow
 def test_pruned_exact_losers_equal_unpruned(spark, tmp_path):
     """The curate exact-dedup stage's pruned keeper read decides the same
     losers as the full scan — the bit-identical-decisions contract at the

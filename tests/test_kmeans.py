@@ -78,6 +78,7 @@ def _clustered_corpus(spark, n_per=300, k=3, dims=16, seed=11):
     return spark.createDataFrame(rows, schema)
 
 
+@pytest.mark.slow
 def test_sampled_fit_assigns_like_full_fit(spark):
     """The sample-fit model must induce (nearly) the same partition of the
     corpus as the full-fit model — cell IDS may permute between models, so
@@ -97,6 +98,7 @@ def test_sampled_fit_assigns_like_full_fit(spark):
     assert agree / total >= 0.95, f"co-membership agreement {agree/total:.3f}"
 
 
+@pytest.mark.slow
 def test_sampled_fit_is_deterministic_and_actually_samples(spark):
     emb = _clustered_corpus(spark, n_per=200)
     m1 = fit_kmeans(emb, k=3, iters=2, sample_fraction=0.2)

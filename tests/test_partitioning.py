@@ -320,6 +320,7 @@ def test_binary_key_expr_null_components(spark):
     assert toks[0]["token"] == MIN_TOKEN
 
 
+@pytest.mark.slow
 def test_bucket_expr_exact_vs_python_bigint(spark):
     """The int64 split-division bucket must equal exact Python big-int
     arithmetic floor((token + 2^63) / ceil(2^64 / n)) for every bucket count

@@ -16,6 +16,18 @@ def _explain(spark, df, mode="simple"):
     )
 
 
+@pytest.fixture(scope="module")
+def catalog_plans(spark, sf_dir):
+    """One {name: simple-mode explain} sweep over the whole catalog, shared
+    by every blanket plan-quality net below. Building all 108 plans is the
+    expensive part (fn() construction runs eager work for the iterative
+    queries), and each blanket test used to pay it separately — ~75 s per
+    test at the r13 suite (r13 verdict item 1: the suite must fit the
+    driver's verify budget). Tests that tweak session confs or need
+    formatted mode keep calling _explain directly."""
+    return {name: _explain(spark, q.fn(spark, sf_dir)) for name, q in CATALOG.items()}
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     p = _explain(spark, CATALOG["q1_pricing_summary"].fn(spark, sf_dir), "formatted")
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
@@ -148,7 +160,7 @@ def test_sink_partition_pruning(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*2", p)
 
 
-def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
+def test_no_query_uses_row_python_or_cartesian(spark, catalog_plans):
     """Blanket plan-quality net over the WHOLE catalog: no query may plan a
     row-at-a-time Python UDF (BatchEvalPython — Arrow-batched ArrowEvalPython
     and MapInPandas are the only permitted Python crossings), an unbroadcast
@@ -158,8 +170,7 @@ def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
     session). Catches any future query sneaking in the classic
     scale-killers."""
     flagged = {}
-    for name, q in CATALOG.items():
-        p = _explain(spark, q.fn(spark, sf_dir))
+    for name, p in catalog_plans.items():
         marks = [
             m
             for m in ("BatchEvalPython", "CartesianProduct", "InMemoryTableScan")
@@ -171,7 +182,7 @@ def test_no_query_uses_row_python_or_cartesian(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
-def test_no_unbarriered_range_sort_over_maponly_compute(spark, sf_dir):
+def test_no_unbarriered_range_sort_over_maponly_compute(catalog_plans):
     """Blanket net for the present.py defect class (caught on the winnow
     report in r10 and token_route_customer in r13): an ORDER BY plans a
     range exchange whose boundary sampler RE-EXECUTES the child; when the
@@ -195,8 +206,7 @@ def test_no_unbarriered_range_sort_over_maponly_compute(spark, sf_dir):
         "AQEShuffleRead",
     )
     flagged = []
-    for name, q in CATALOG.items():
-        p = _explain(spark, q.fn(spark, sf_dir))
+    for name, p in catalog_plans.items():
         i = p.find("rangepartitioning")
         if i < 0:
             continue

@@ -239,6 +239,7 @@ def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+@pytest.mark.slow
 def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
     """Pins the documented contract when files arrive OUT of doc_id order:
     a doc is judged against what the index held AT ITS ARRIVAL, with doc_id
@@ -297,6 +298,7 @@ def test_stream_near_dup_out_of_order_arrival_contract(spark, tmp_path):
     assert tuple(dec[0]) == tuple(twin[0])  # the first copy stays kept
 
 
+@pytest.mark.slow
 def test_stream_curate_with_learned_gate_equals_batch_twin(spark, sf_dir, tmp_path):
     """The optional LEARNED quality gate (the round-8 classifier's
     margin > 0 with the committed fixture weights) must keep stream ==
@@ -436,6 +438,7 @@ def test_stream_curate_equals_greedy_batch_twin(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.parametrize("compact_every", [None, 1])
+@pytest.mark.slow
 def test_stream_near_dup_band_cap_with_and_without_compaction(
     spark, tmp_path, compact_every
 ):
@@ -476,6 +479,7 @@ def test_stream_near_dup_band_cap_with_and_without_compaction(
     assert not any(dec[200 + i]["is_dup"] for i in range(5))
 
 
+@pytest.mark.slow
 def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
     spark, sf_dir, tmp_path
 ):
@@ -574,6 +578,7 @@ def test_stream_curate_compaction_bounds_dirs_and_preserves_decisions(
     assert n_subdirs(spark, f"{idx}/fcnt") == 2
 
 
+@pytest.mark.slow
 def test_stream_curate_packing_equals_batch_twin(spark, sf_dir, tmp_path):
     """Streaming sequence packing (packed_path set): per-batch base offsets
     from the accumulating token-total index + in-batch prefix sums must
@@ -639,6 +644,7 @@ def test_stream_curate_packing_equals_batch_twin(spark, sf_dir, tmp_path):
         assert s2 == s1 + n1  # exclusive prefix sum, no gaps across batches
 
 
+@pytest.mark.slow
 def test_stream_curate_checkpoint_resume(spark, sf_dir, tmp_path):
     """Stopping and restarting the curation stream against the same
     checkpoint must process each file exactly once; the resumed run's
@@ -1584,6 +1590,7 @@ def test_stream_active_days_equals_batch_engagement(spark, sf_dir, events_dir):
     assert len(rep) > 0 and rep == want
 
 
+@pytest.mark.slow
 def test_stateful_keys_seen_only_in_batch_zero_survive(spark, tmp_path):
     """The batch-0 watermark is 0; a timeout anchored to it lands in 1970
     and the key is evicted at the next trigger. Regression: a user whose
@@ -1717,6 +1724,7 @@ def test_stream_rag_index_equals_batch_any_order(spark, sf_dir, tmp_path):
     assert n_subdirs(spark, f"{idx}/chunks") == 2
 
 
+@pytest.mark.slow
 def test_stream_rag_index_reingest_keeps_first(spark, sf_dir, tmp_path):
     """A doc_id genuinely RE-INGESTED in a later batch (same id, modified
     text — not a checkpoint replay) must not enroll twice: the chunk index
@@ -1847,6 +1855,7 @@ def test_stream_scrub_equals_batch(spark, sf_dir, tmp_path):
     assert n_subdirs(spark, f"{idx}/grams") == 2
 
 
+@pytest.mark.slow
 def test_stream_scrub_retention_ages_out_old_grams(spark, tmp_path):
     """The retain_docs horizon (r9 verdict item 5): grams whose first-holder
     fell more than retain_docs doc_ids behind the newest arriving doc age
