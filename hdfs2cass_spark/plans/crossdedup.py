@@ -173,8 +173,18 @@ def cross_dedup_df(
     u = new.select("doc_id", "text").withColumn("_side", F.lit("n")).unionByName(
         ref.select("doc_id", "text").withColumn("_side", F.lit("r"))
     )
+    # share_exchange (r14): `wide` feeds TWO aggregates-worth of consumers
+    # (the band explode and the verify-set melt); pinning an explicit doc_id
+    # exchange below both lets runtime stage reuse run scan+shingle+hash
+    # ONCE per action instead of once per consumer (pass count 2 -> 1).
+    # 1M-doc interleaved A/B, both orders: 8.76/9.90 -> 7.76/8.45 s.
     wide = minhash_wide_df(
-        u, fast=fast, with_sets=True, spread=False, group_extra=("_side",)
+        u,
+        fast=fast,
+        with_sets=True,
+        spread=False,
+        group_extra=("_side",),
+        share_exchange=True,
     )
 
     # the shared band-key definition (_band_structs), payload marked with
